@@ -1,0 +1,210 @@
+"""Snapshot table: merge correctness, exactly-once ledger, time travel,
+bucket pruning, schema evolution (SURVEY.md §7 M2/M3/M5)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_hub_ejp_xml_pipeline_spark.generator import (
+    generate_changelog_pandas,
+    spark_changelog_from_pandas,
+)
+from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
+from data_hub_ejp_xml_pipeline_spark.oracle import (
+    assert_final_state_equal,
+    expected_final_state_pandas,
+)
+from data_hub_ejp_xml_pipeline_spark.schemas import FINAL_STATE_COLUMNS, TARGET_SCHEMA
+from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+PAYLOAD_SCHEMA = T.StructType([f for f in TARGET_SCHEMA.fields if f.name != "_lsn"])
+
+
+def _new_table(spark, tmp_path, n_buckets=8):
+    return SnapshotTable.create(
+        spark, str(tmp_path / "tbl"), PAYLOAD_SCHEMA, key="doc_id", n_buckets=n_buckets
+    )
+
+
+def _final_pdf(table):
+    return (
+        table.read()
+        .selectExpr("doc_id", "tokens", "n_tok", "source", "_lsn")
+        .toPandas()
+    )
+
+
+def test_incremental_merge_matches_oracle(spark, tmp_path, changelog_pdf, changelog_df):
+    """Apply the changelog in 4 ordered batches → final state == oracle."""
+    table = _new_table(spark, tmp_path)
+    n = len(changelog_pdf)
+    edges = [0, n // 4, n // 2, 3 * n // 4, n]
+    for i in range(4):
+        batch_pdf = changelog_pdf.iloc[edges[i] : edges[i + 1]]
+        batch = spark_changelog_from_pandas(spark, batch_pdf)
+        res = table.merge(reduce_latest(batch), batch_id=i)
+        assert res.applied
+    assert_final_state_equal(_final_pdf(table), expected_final_state_pandas(changelog_pdf))
+
+
+def test_merge_is_order_insensitive_and_replay_safe(spark, tmp_path, changelog_pdf):
+    """Batches applied out of order + one batch applied twice (without the
+    ledger) still converge to the oracle state — the LSN guard at work."""
+    table = _new_table(spark, tmp_path)
+    n = len(changelog_pdf)
+    thirds = [changelog_pdf.iloc[: n // 3], changelog_pdf.iloc[n // 3 : 2 * n // 3],
+              changelog_pdf.iloc[2 * n // 3 :]]
+    for pdf in (thirds[2], thirds[0], thirds[1], thirds[0]):  # shuffled + replayed
+        table.merge(reduce_latest(spark_changelog_from_pandas(spark, pdf)))
+    assert_final_state_equal(_final_pdf(table), expected_final_state_pandas(changelog_pdf))
+
+
+def test_exactly_once_ledger(spark, tmp_path, changelog_pdf):
+    table = _new_table(spark, tmp_path)
+    batch = reduce_latest(
+        spark_changelog_from_pandas(spark, changelog_pdf.iloc[:1000])
+    )
+    r1 = table.merge(batch, batch_id=7)
+    r2 = table.merge(batch, batch_id=7)  # same epoch re-applied
+    assert r1.applied and not r2.applied
+    assert r2.snapshot_id == r1.snapshot_id
+    assert table.current_version() == r1.version
+
+
+def test_time_travel_and_snapshot_log(spark, tmp_path, changelog_pdf):
+    table = _new_table(spark, tmp_path)
+    b1 = changelog_pdf.iloc[:1000]
+    table.merge(reduce_latest(spark_changelog_from_pandas(spark, b1)), batch_id=0)
+    v1 = table.current_version()
+    state_v1 = _final_pdf(table)
+    table.merge(
+        reduce_latest(spark_changelog_from_pandas(spark, changelog_pdf.iloc[1000:2000])),
+        batch_id=1,
+    )
+    old = (
+        table.read(version=v1)
+        .selectExpr("doc_id", "tokens", "n_tok", "source", "_lsn")
+        .toPandas()
+    )
+    assert_final_state_equal(old, expected_final_state_pandas(b1))
+    assert len(table.snapshots()) == table.current_version() + 1
+    del state_v1
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path, changelog_pdf):
+    """File pruning: a single-key update must carry forward every file of
+    untouched buckets by reference."""
+    table = _new_table(spark, tmp_path, n_buckets=8)
+    table.merge(reduce_latest(spark_changelog_from_pandas(spark, changelog_pdf)), batch_id=0)
+    files_before = {f["path"]: f["bucket"] for f in table.manifest()["files"]}
+
+    one = changelog_pdf.iloc[[0]].copy()
+    one["lsn"] = changelog_pdf["lsn"].max() + 1
+    one["op"] = "U"
+    table.merge(reduce_latest(spark_changelog_from_pandas(spark, one)), batch_id=1)
+
+    m = table.manifest()
+    touched_bucket = (
+        table.read().filter(F.col("doc_id") == one["doc_id"].iloc[0]).count()
+    )  # key still present
+    assert touched_bucket == 1
+    carried = [f for f in m["files"] if f["path"] in files_before]
+    buckets_rewritten = {f["bucket"] for f in m["files"] if f["path"] not in files_before}
+    assert len(buckets_rewritten) == 1, "exactly one bucket rewritten"
+    assert all(files_before[f["path"]] != next(iter(buckets_rewritten)) for f in carried)
+
+
+def test_bucket_pruned_read(spark, tmp_path, changelog_pdf):
+    table = _new_table(spark, tmp_path, n_buckets=8)
+    table.merge(reduce_latest(spark_changelog_from_pandas(spark, changelog_pdf)), batch_id=0)
+    total = table.read().count()
+    per_bucket = sum(table.read(buckets={b}).count() for b in range(8))
+    assert per_bucket == total
+
+
+def test_schema_evolution_add_column(spark, tmp_path, changelog_pdf):
+    """Mid-stream added column (FIXTURES.md §4): target gains nullable
+    `lang`, pre-cutover rows null, existing definitions win."""
+    table = _new_table(spark, tmp_path)
+    n = len(changelog_pdf)
+    b1, b2 = changelog_pdf.iloc[: n // 2], changelog_pdf.iloc[n // 2 :].copy()
+    table.merge(reduce_latest(spark_changelog_from_pandas(spark, b1)), batch_id=0)
+
+    b2_df = spark_changelog_from_pandas(spark, b2).withColumn(
+        "lang", F.when(F.col("op") != "D", F.lit("en"))
+    )
+    # widened lsn-ish payload column: incoming n_tok as bigint — existing int wins
+    b2_df = b2_df.withColumn("n_tok", F.col("n_tok").cast("bigint"))
+    table.merge(reduce_latest(b2_df), batch_id=1)
+
+    schema = table.schema()
+    names = [f.name for f in schema.fields]
+    assert "lang" in names
+    assert dict((f.name, f.dataType.simpleString()) for f in schema.fields)["n_tok"] == "int"
+
+    final = table.read()
+    # a key's lang is set iff its winning (doc_id, lsn) was first applied from
+    # b2 — i.e. it does NOT appear in b1 (the stream is shuffled + replayed,
+    # so a pure LSN cutover does not exist; membership is the ground truth)
+    b1_set = set(zip(b1["doc_id"], b1["lsn"]))
+    got = {r.doc_id: r.lang for r in final.select("doc_id", "lang", "_lsn").collect()}
+    win = {r.doc_id: r._lsn for r in final.select("doc_id", "_lsn").collect()}
+    for doc, lsn in win.items():
+        expected_lang = None if (doc, lsn) in b1_set else "en"
+        assert got[doc] == expected_lang, (doc, lsn, got[doc], expected_lang)
+
+    # full-replay equivalence on the shared columns still holds
+    b2_oracle = b2.copy()
+    expected = expected_final_state_pandas(
+        __import__("pandas").concat([b1, b2_oracle], ignore_index=True)
+    )
+    actual = final.selectExpr("doc_id", "tokens", "n_tok", "source", "_lsn").toPandas()
+    assert_final_state_equal(actual, expected)
+
+
+def test_append_and_lineage(spark, tmp_path, changelog_df):
+    table = _new_table(spark, tmp_path)
+    res = table.merge(reduce_latest(changelog_df), batch_id=0)
+    lineage = table.lineage()
+    assert lineage, "lineage rows recorded"
+    assert all(r["snapshot_id"] == res.snapshot_id for r in lineage)
+    assert all(r["offset_min"] <= r["offset_max"] for r in lineage)
+    n_events = sum(r["n_events"] for r in lineage)
+    assert n_events == reduce_latest(changelog_df).count()
+
+
+def test_delete_semantics(spark, tmp_path):
+    import pandas as pd
+
+    table = _new_table(spark, tmp_path)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        pd.DataFrame(rows, columns=["lsn", "op", "doc_id", "tokens", "n_tok", "source"]),
+        schema="lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    table.merge(mk([(1, "I", "a", [1, 2], 2, "s"), (2, "I", "b", [3], 1, "s")]), batch_id=0)
+    # delete existing, delete non-existing (phantom), late delete (ignored)
+    table.merge(mk([(3, "D", "a", None, None, "s"), (4, "D", "zz", None, None, "s"),
+                    (1, "D", "b", None, None, "s")]), batch_id=1)
+    rows = {r.doc_id: r for r in table.read().collect()}
+    assert set(rows) == {"b"}
+    assert list(rows["b"].tokens) == [3]
+
+
+def test_create_guard_and_columns(spark, tmp_path):
+    table = _new_table(spark, tmp_path)
+    assert SnapshotTable.exists(str(tmp_path / "tbl"))
+    assert [f.name for f in table.schema().fields] == FINAL_STATE_COLUMNS + ["_lsn", "_deleted"]
+    assert table.read().count() == 0
+
+
+@pytest.mark.parametrize("n_buckets", [1, 32])
+def test_bucket_counts(spark, tmp_path, changelog_pdf, n_buckets):
+    table = _new_table(spark, tmp_path, n_buckets=n_buckets)
+    table.merge(reduce_latest(spark_changelog_from_pandas(spark, changelog_pdf)), batch_id=0)
+    expected = expected_final_state_pandas(changelog_pdf)
+    assert table.read().count() == len(expected)
+    assert int(np.max([f["bucket"] for f in table.manifest()["files"]])) <= n_buckets - 1
