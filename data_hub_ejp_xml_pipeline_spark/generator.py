@@ -118,6 +118,65 @@ def spark_changelog_from_pandas(spark: SparkSession, pdf: pd.DataFrame) -> DataF
     return spark.createDataFrame(pdf, schema=CHANGELOG_SCHEMA)
 
 
+def changelog_arrow_schema():
+    """Arrow schema matching CHANGELOG_SCHEMA (tokens as list<int32>)."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("lsn", pa.int64()),
+            ("op", pa.string()),
+            ("doc_id", pa.string()),
+            ("tokens", pa.list_(pa.int32())),
+            ("n_tok", pa.int32()),
+            ("source", pa.string()),
+            ("source_file", pa.string()),
+            ("offset", pa.int64()),
+            ("event_ts", pa.timestamp("us", tz="UTC")),
+        ]
+    )
+
+
+def write_changelog_files(
+    pdf: pd.DataFrame,
+    out_dir: str,
+    n_files: int,
+    base_mtime: float | None = None,
+    prefix: str = "part",
+    start_index: int = 0,
+) -> list[str]:
+    """Split a pandas changelog into N parquet files with ascending mtimes
+    (the streaming file source processes in mtime order — the reference's
+    LastModified sort, ``dags/s3_xml_import_pipeline.py:213-221``)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    base = base_mtime if base_mtime is not None else time.time() - 10_000
+    step = (len(pdf) + n_files - 1) // n_files
+    schema = changelog_arrow_schema()
+    extra = [c for c in pdf.columns if c not in schema.names]
+    paths = []
+    for i in range(n_files):
+        part = pdf.iloc[i * step : (i + 1) * step]
+        if part.empty:
+            continue
+        full_schema = schema
+        for c in extra:
+            full_schema = full_schema.append(
+                pa.field(c, pa.Table.from_pandas(part[[c]], preserve_index=False).schema[0].type)
+            )
+        tbl = pa.Table.from_pandas(part, schema=full_schema, preserve_index=False)
+        path = os.path.join(out_dir, f"{prefix}-{start_index + i:04d}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (base + i, base + i))
+        paths.append(path)
+    return paths
+
+
 def _u(col: Column, seed: int, salt: int) -> Column:
     """Deterministic uniform [0,1) from a column (JVM-side, scales)."""
     return F.pmod(F.xxhash64(col, F.lit(seed + salt)), F.lit(1_000_000)) / 1_000_000.0

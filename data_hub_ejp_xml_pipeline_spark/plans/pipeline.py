@@ -1,0 +1,53 @@
+"""Batch facade: reduce → merge in one call (the fused single-stage plan).
+
+The reference runs two Airflow tasks with an S3 JSONL hop between them
+(``ETL_eJP_XML_To_S3_JSON`` → ``Load_S3_JSON_To_BQ``,
+``dags/s3_xml_import_pipeline.py:286-297``); the engine fuses them into a
+single DataFrame plan — parse → reduce → merge — with no intermediate
+materialization (SURVEY.md §3.1 engine equivalent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
+from data_hub_ejp_xml_pipeline_spark.schemas import TARGET_SCHEMA
+from data_hub_ejp_xml_pipeline_spark.table.snapshot_table import CommitResult, SnapshotTable
+
+PAYLOAD_SCHEMA = T.StructType([f for f in TARGET_SCHEMA.fields if f.name != "_lsn"])
+
+
+class MergePipeline:
+    """reduce_latest + SnapshotTable.merge, with create-if-missing."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_root: str,
+        key: str = "doc_id",
+        n_buckets: int = 16,
+        reduce_strategy: str = "agg",
+        n_salts: int = 16,
+        payload_schema: T.StructType = PAYLOAD_SCHEMA,
+    ):
+        self.spark = spark
+        if SnapshotTable.exists(table_root):
+            self.table = SnapshotTable(spark, table_root)
+        else:
+            self.table = SnapshotTable.create(
+                spark, table_root, payload_schema, key=key, n_buckets=n_buckets
+            )
+        self.key = key
+        self.reduce_strategy = reduce_strategy
+        self.n_salts = n_salts
+
+    def apply(self, changelog: DataFrame, batch_id: int | None = None) -> CommitResult:
+        reduced = reduce_latest(
+            changelog, key=self.key, strategy=self.reduce_strategy, n_salts=self.n_salts
+        )
+        return self.table.merge(reduced, batch_id=batch_id)
+
+    def final_state(self) -> DataFrame:
+        return self.table.read()
