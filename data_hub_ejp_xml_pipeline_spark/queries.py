@@ -1,0 +1,837 @@
+"""Driver-contract query registry: Spark implementation + DuckDB oracle SQL
+for every operator family in SURVEY.md §2, plus the training-data-pipeline
+operators (dedup / similarity / text analysis / multimodal metadata).
+
+Each entry: ``QUERIES[name] = (fn, oracle_sql | None)`` where
+``fn(spark, sf_dir) -> DataFrame`` and the oracle is ANSI-ish SQL DuckDB
+runs on the same parquet (views pre-registered by the driver). Column
+names/aliases match exactly on both sides; float columns are rounded
+in-query on both sides so value-hashes compare equal.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from data_hub_ejp_xml_pipeline_spark.functions import scalars as S
+from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# CDC core (events table: event_id ≈ lsn, user_id ≈ doc_id,
+# event_type='error' plays the delete op)
+# =====================================================================
+
+_LWW_ORACLE = """
+SELECT user_id,
+       event_id   AS last_event_id,
+       event_type AS last_event_type,
+       round(value, 4) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_lww_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: per-key last-writer-wins via max_by (map-side combinable agg)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by(F.struct("event_id", "event_type", "value"), F.col("event_id")).alias("x")
+    ).select(
+        "user_id",
+        F.col("x.event_id").alias("last_event_id"),
+        F.col("x.event_type").alias("last_event_type"),
+        F.round("x.value", 4).alias("last_value"),
+    )
+
+
+def q_lww_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 window variant: row_number over (key order by lsn desc)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 4).alias("last_value"),
+        )
+    )
+
+
+def q_lww_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 grouped-map pandas variant (north-star mandated shape)."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+
+    def latest(pdf: pd.DataFrame) -> pd.DataFrame:
+        top = pdf.sort_values("event_id").iloc[[-1]]
+        return pd.DataFrame(
+            {
+                "user_id": top["user_id"].values,
+                "last_event_id": top["event_id"].values,
+                "last_event_type": top["event_type"].values,
+                "last_value": top["value"].round(4).values,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        latest,
+        schema="user_id bigint, last_event_id bigint, last_event_type string, last_value double",
+    )
+
+
+def q_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 + skew salting: two-phase reduce, salt = pmod(xxhash64(lsn), 8)."""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(8)))
+    partial = salted.groupBy("user_id", "_salt").agg(
+        F.max_by(F.struct("event_id", "event_type", "value"), F.col("event_id")).alias("x")
+    )
+    return partial.groupBy("user_id").agg(
+        F.max_by(F.col("x"), F.col("x.event_id")).alias("x")
+    ).select(
+        "user_id",
+        F.col("x.event_id").alias("last_event_id"),
+        F.col("x.event_type").alias("last_event_type"),
+        F.round("x.value", 4).alias("last_value"),
+    )
+
+
+_CDC_FINAL_ORACLE = """
+SELECT CAST(user_id AS VARCHAR) AS doc_id,
+       event_type AS final_event_type,
+       round(value, 4) AS final_value,
+       event_id AS last_lsn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_cdc_engine_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end engine check: events → changelog (error ⇒ delete) applied
+    through the REAL snapshot table in 3 incremental merges; final state
+    must equal the one-shot SQL LWW view. Exercises reduce + bucketed COW
+    merge + tombstones + LSN guard against an independent oracle."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("final_event_type"),
+        F.round("value", 4).alias("final_value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("final_event_type", T.StringType()),
+            T.StructField("final_value", T.DoubleType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdcq-") + "/tbl"
+    table = SnapshotTable.create(spark, root, payload, key="doc_id", n_buckets=8)
+    bounds = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    lo, hi = bounds[0], bounds[1]
+    step = max((hi - lo + 1) // 3 + 1, 1)
+    for i in range(3):
+        batch = changelog.filter(
+            (F.col("lsn") >= lo + i * step) & (F.col("lsn") < lo + (i + 1) * step)
+        )
+        table.merge(reduce_latest(batch), batch_id=i)
+    return table.read().select(
+        "doc_id", "final_event_type", "final_value", F.col("_lsn").alias("last_lsn")
+    )
+
+
+def q_watermark_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-pattern max-LSN watermark (etl_state.py:65-76 analog)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.max("event_id").alias("watermark_lsn"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_ordered_replay_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/O1: LastModified-order replay → per-key sequence numbers."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "user_id", "event_id", F.row_number().over(w).alias("seq")
+    )
+
+
+def q_anti_join_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: anti-join against committed/known keys (watermark exclusion)."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        ev.join(cust, ev.user_id == cust.c_custkey, "left_anti")
+        .select("user_id")
+        .distinct()
+    )
+
+
+def q_dispatch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/U1/U2: root-tag dispatch into branches, unioned by name with
+    missing columns (the reference's dual-spelling union)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", F.round("value", 4).alias("value"), F.lit("purchase").alias("branch")
+    )
+    signups = ev.filter("event_type = 'signup'").select(
+        "event_id", "user_id", F.lit("signup").alias("branch")
+    )
+    return purchases.unionByName(signups, allowMissingColumns=True)
+
+
+def q_scalar_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P9/P11/P13: scalar-function layer over a real table."""
+    ev = _t(spark, sf_dir, "events")
+    iso = S.format_iso_utc("ts")
+    return ev.select(
+        "event_id",
+        iso.alias("iso_ts"),
+        S.to_int(F.regexp_extract("props", r'"k": (\d+)', 1)).alias("k"),
+        S.version_id("event_type", iso).alias("version_id"),
+    )
+
+
+def q_missing_ratio_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: missing/low-value ratio + 3 examples per group
+    (ejp_person_xml.py:239-255 analog)."""
+    ev = _t(spark, sf_dir, "events")
+    low = F.when(F.col("value") < 1.0, F.col("event_id"))
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(F.when(F.col("value") < 1.0, 1).otherwise(0)) * 100, 4).alias("pct_low"),
+        F.slice(F.sort_array(F.collect_list(low)), 1, 3).alias("examples"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + cumulative gap count (streaming session
+    window, batch-expressed)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts"))
+    gap = epoch - F.lag(epoch).over(w)
+    brk = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("session_no", F.sum(brk).over(w))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+def q_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation == plain groupBy (skew pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    partial = ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(8))).groupBy(
+        "user_id", "_salt"
+    ).agg(F.count(F.lit(1)).alias("c"), F.sum("value").alias("v"))
+    return partial.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"), F.round(F.sum("v"), 4).alias("sum_value")
+    )
+
+
+# =====================================================================
+# Analytics proofs (join/agg/sort/limit operator coverage)
+# =====================================================================
+
+_TPCH_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_TOP_ORDERS_ORACLE = """
+SELECT o.o_orderkey, o.o_orderdate::VARCHAR AS orderdate,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+"""
+
+
+def q_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+_REGION_ORACLE = """
+SELECT r.r_name AS region, count(*) AS n_customers,
+       round(sum(c.c_acctbal), 4) AS total_acctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name
+"""
+
+
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3-style small-dim lookup: explicit broadcast of nation+region."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dims = F.broadcast(nation.join(region, nation.n_regionkey == region.r_regionkey))
+    return (
+        cust.join(dims, cust.c_nationkey == dims.n_nationkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_acctbal"),
+        )
+    )
+
+
+# =====================================================================
+# Training-data pipeline: dedup / similarity / text / multimodal
+# =====================================================================
+
+
+def _shingles(words_col: F.Column, k: int = 3) -> F.Column:
+    """k-word shingles as an array (empty when fewer than k words)."""
+    n = F.size(words_col)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words_col, i + j) for j in range(k)]
+    )
+    return F.when(n >= k, F.array_distinct(F.transform(idx, mk))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+_DEDUP_EXACT_ORACLE = """
+SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("fingerprint")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+_SHINGLE_CTE = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM words, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i) t
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+_JACCARD_ORACLE = (
+    _SHINGLE_CTE
+    + """,
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+"""
+)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.8 (quadratic verify over
+    shingle-join candidates — the LSH variant below is the scale path)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _shingles(F.split("text", " ")).alias("sh")
+    )
+    sh = docs.select("doc_id", F.explode("sh").alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_N_MINHASH = 9
+_BAND_SIZE = 3
+
+
+def _minhash_oracle() -> str:
+    mins = ", ".join(
+        f"min(md5('{i}' || s)) AS h{i}" for i in range(_N_MINHASH)
+    )
+    bands = ", ".join(
+        "md5(" + " || '|' || ".join(f"h{b * _BAND_SIZE + j}" for j in range(_BAND_SIZE)) + f") AS band{b}"
+        for b in range(_N_MINHASH // _BAND_SIZE)
+    )
+    band_joins = "\nUNION\n".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b "
+        f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(_N_MINHASH // _BAND_SIZE)
+    )
+    return (
+        _SHINGLE_CTE
+        + f""",
+mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, {bands} FROM mh),
+cand AS ({band_joins}),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS c
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.8
+"""
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → 9 minhashes (lexicographic min of
+    md5, portable across engines) → 3 bands → bucket-join candidates →
+    exact-Jaccard verify ≥ 0.8. The banded join replaces the quadratic
+    shingle self-join — this is the 100 TB path."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _shingles(F.split("text", " ")).alias("sh")
+    )
+    sh = docs.select("doc_id", F.explode("sh").alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    mins = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("s")))).alias(f"h{i}")
+        for i in range(_N_MINHASH)
+    ]
+    mh = sh.groupBy("doc_id").agg(*mins)
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"h{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)])
+        ).alias(f"band{b}")
+        for b in range(_N_MINHASH // _BAND_SIZE)
+    ]
+    bands = mh.select("doc_id", *band_cols)
+
+    cand = None
+    for b in range(_N_MINHASH // _BAND_SIZE):
+        a = bands.alias("a")
+        bb = bands.alias("b")
+        pairs = a.join(
+            bb,
+            (F.col(f"a.band{b}") == F.col(f"b.band{b}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a.s") == F.col("b.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
+
+_TEXT_QUALITY_ORACLE = f"""
+WITH words AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents)
+SELECT doc_id,
+       len(w) AS n_words,
+       round(n_chars * 1.0 / len(w), 4) AS chars_per_word,
+       round(len(list_filter(w, x -> x IN {_SW_SQL})) * 1.0 / len(w), 4) AS stopword_ratio,
+       CASE WHEN len(w) >= 20 AND len(list_filter(w, x -> x IN {_SW_SQL})) * 1.0 / len(w) > 0.01
+            THEN 'good' ELSE 'low' END AS quality_label
+FROM words
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / stopword-ratio heuristics, all JVM-side."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    sw = F.array(*[F.lit(x) for x in _STOPWORDS])
+    n_words = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+    ratio = n_stop / n_words
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(F.col("n_chars") / n_words, 4).alias("chars_per_word"),
+        F.round(ratio, 4).alias("stopword_ratio"),
+        F.when((n_words >= 20) & (ratio > 0.01), "good").otherwise("low").alias("quality_label"),
+    )
+
+
+_LANG_WORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "los", "una"],
+}
+
+
+def _lang_oracle() -> str:
+    scores = ", ".join(
+        "len(list_filter(w, x -> x IN ("
+        + ", ".join(f"'{t}'" for t in toks)
+        + f"))) AS s_{lang}"
+        for lang, toks in _LANG_WORDS.items()
+    )
+    langs = list(_LANG_WORDS)
+    best = "CASE "
+    for lang in langs:
+        others = [f"s_{lang} >= s_{o}" for o in langs if o != lang]
+        best += f"WHEN s_{lang} > 0 AND {' AND '.join(others)} THEN '{lang}' "
+    best += "ELSE 'unk' END"
+    return f"""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+scored AS (SELECT doc_id, {scores} FROM words)
+SELECT doc_id, {best} AS pred_lang FROM scored
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit argmax with deterministic
+    first-wins tie-break (same CASE order as the oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+
+    def _score(toks: list[str]) -> F.Column:
+        arr = F.array(*[F.lit(t) for t in toks])
+        return F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: _score(toks) for lang, toks in _LANG_WORDS.items()}
+    langs = list(_LANG_WORDS)
+    expr = F.lit("unk")
+    for lang in reversed(langs):
+        cond = (scores[lang] > 0)
+        for other in langs:
+            if other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    # reversed() + otherwise-chaining makes the FIRST language win ties,
+    # matching the oracle's CASE order
+    return docs.select("doc_id", expr.alias("pred_lang"))
+
+
+_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{_TOKEN_PATTERN}')) AS re_tokens
+FROM documents
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex tokenizer."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_PATTERN), F.lit(0))).alias("re_tokens"),
+    )
+
+
+_FINGERPRINT_ORACLE = """
+SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+       count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whitespace-normalized content hash."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return docs.groupBy(fp.alias("fingerprint")).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
+_ANN_K = 5
+_ANN_NQ = 8
+
+_ANN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < {_ANN_NQ}),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6) AS sim6
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim6,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rank
+  FROM sims
+)
+SELECT query_id, neighbor_id, rank, round(sim6, 4) AS cosine
+FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
+def _cosine(a: F.Column, b: F.Column) -> F.Column:
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for a query set: broadcast the queries,
+    score candidates with JVM-side higher-order functions, window top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < _ANN_NQ).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+    )
+    sims = (
+        q.join(emb, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine(F.col("qe"), F.col("embedding")), 6).alias("sim6"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim6").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ANN_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim6", 4).alias("cosine"))
+    )
+
+
+_NEARDUP_COS_ORACLE = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6), 4) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.38
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold on rounded sim so both
+    engines cut identically)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim6 = F.round(_cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim6.alias("sim6"),
+        )
+        .filter(F.col("sim6") >= 0.38)
+        .select("vec_a", "vec_b", F.round("sim6", 4).alias("cosine"))
+    )
+
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       length(text) AS n_chars_exact
+FROM documents
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload column + typed metadata
+    (decode itself is stubbed — see operators.multimodal)."""
+    docs = _t(spark, sf_dir, "documents")
+    blob = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.length("text").alias("n_chars_exact"),
+    )
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "lww_latest_event": (q_lww_latest_event, _LWW_ORACLE),
+    "lww_window": (q_lww_window, _LWW_ORACLE),
+    "lww_applyinpandas": (q_lww_applyinpandas, _LWW_ORACLE),
+    "lww_salted": (q_lww_salted, _LWW_ORACLE),
+    "cdc_engine_final_state": (q_cdc_engine_final_state, _CDC_FINAL_ORACLE),
+    "watermark_per_source": (
+        q_watermark_per_source,
+        "SELECT event_type, max(event_id) AS watermark_lsn, count(*) AS n_events "
+        "FROM events GROUP BY event_type",
+    ),
+    "ordered_replay_seq": (
+        q_ordered_replay_seq,
+        "SELECT user_id, event_id, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY event_id) AS seq FROM events",
+    ),
+    "anti_join_unseen": (
+        q_anti_join_unseen,
+        "SELECT DISTINCT user_id FROM events e WHERE NOT EXISTS "
+        "(SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)",
+    ),
+    "dispatch_union": (
+        q_dispatch_union,
+        "SELECT event_id, user_id, round(value, 4) AS value, 'purchase' AS branch "
+        "FROM events WHERE event_type = 'purchase' "
+        "UNION ALL "
+        "SELECT event_id, user_id, NULL AS value, 'signup' AS branch "
+        "FROM events WHERE event_type = 'signup'",
+    ),
+    "scalar_projection": (
+        q_scalar_projection,
+        """SELECT event_id,
+                  strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso_ts,
+                  TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k,
+                  event_type || '/' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS version_id
+           FROM events""",
+    ),
+    "missing_ratio_diag": (
+        q_missing_ratio_diag,
+        "SELECT event_type, round(100.0 * avg(CASE WHEN value < 1.0 THEN 1 ELSE 0 END), 4)"
+        " AS pct_low, "
+        "coalesce((list_sort(list(event_id) FILTER (WHERE value < 1.0)))[1:3], "
+        "CAST([] AS BIGINT[])) AS examples "
+        "FROM events GROUP BY event_type",
+    ),
+    "sessionize": (
+        q_sessionize,
+        """WITH g AS (
+             SELECT user_id, event_id, ts,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS brk
+             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           ), s AS (
+             SELECT user_id, event_id,
+                    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+             FROM g
+           )
+           SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
+                  min(event_id) AS first_event_id, max(event_id) AS last_event_id
+           FROM s GROUP BY 1, 2""",
+    ),
+    "salted_count": (
+        q_salted_count,
+        "SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value "
+        "FROM events GROUP BY user_id",
+    ),
+    "tpch_q1": (q_tpch_q1, _TPCH_Q1_ORACLE),
+    "top_orders_by_revenue": (q_top_orders_by_revenue, _TOP_ORDERS_ORACLE),
+    "broadcast_dim_join": (q_broadcast_dim_join, _REGION_ORACLE),
+    "dedup_exact": (q_dedup_exact, _DEDUP_EXACT_ORACLE),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _JACCARD_ORACLE),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_oracle()),
+    "text_quality": (q_text_quality, _TEXT_QUALITY_ORACLE),
+    "lang_id": (q_lang_id, _lang_oracle()),
+    "token_count": (q_token_count, _TOKEN_COUNT_ORACLE),
+    "doc_fingerprint": (q_doc_fingerprint, _FINGERPRINT_ORACLE),
+    "ann_brute_force": (q_ann_brute_force, _ANN_ORACLE),
+    "embedding_neardup": (q_embedding_neardup, _NEARDUP_COS_ORACLE),
+    "multimodal_meta": (q_multimodal_meta, _MULTIMODAL_ORACLE),
+}
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def get_oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
