@@ -1,0 +1,201 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All JVM-side DataFrame compositions (no Python in the hot path); hashes
+are md5-hex based so an independent SQL engine (the DuckDB oracle)
+reproduces results bit-for-bit.
+
+Scale notes (100 TB):
+* exact dedup — hash-groupBy: one shuffle on the fingerprint.
+* n-gram Jaccard — exact but quadratic in co-shingled docs: the shingle
+  self-join explodes on common shingles. Use for verification / small
+  corpora; the LSH path is the production one.
+* MinHash+LSH — shingle → K minhashes (lexicographic min of md5, portable)
+  → bands → bucket-join. Only documents sharing a band bucket ever meet in
+  the shuffle; candidates are then verified with exact Jaccard. Band/row
+  tuning: P(candidate) = 1-(1-s^r)^b for similarity s.
+* SimHash — 16-bit sign-sum signature; near-dup = hamming ≤ d. Candidate
+  generation via nibble-banding (pigeonhole: hamming ≤ 3 over 4 nibbles
+  guarantees one equal nibble), verified with bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles(words_col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles as an array (empty when fewer than k)."""
+    n = F.size(words_col)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words_col, i + j) for j in range(k)]
+    )
+    return F.when(n >= k, F.array_distinct(F.transform(idx, mk))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by content hash; keeper = min id."""
+    return df.groupBy(F.md5(text_col).alias("fingerprint")).agg(
+        F.min(id_col).alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 3) -> DataFrame:
+    """(id, shingle) long table — input to both Jaccard and MinHash."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.split(text_col, " "), k)).alias("s")
+    )
+
+
+def jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs (doc_a, doc_b) given the shingle
+    table; returns pairs ≥ threshold with the similarity."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a.s") == F.col("b.s")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def jaccard_pairs(df: DataFrame, threshold: float = 0.8, k: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (quadratic candidate gen)."""
+    sh = shingle_table(df, id_col, text_col, k).persist()
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return jaccard_verify(cand, sh, threshold)
+
+
+def minhash_bands(sh: DataFrame, n_hashes: int, band_size: int) -> DataFrame:
+    """(doc_id, band_no, band_hash) — LSH bucket table. MinHash_j(doc) =
+    lexicographic min of md5(j || shingle): portable, uniform, and
+    order-free (a pure aggregation — one shuffle on doc_id)."""
+    mins = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.col("s")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    mh = sh.groupBy("doc_id").agg(*mins)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_no"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)])
+            ).alias("band_hash"),
+        )
+        for b in range(n_hashes // band_size)
+    ]
+    return mh.select("doc_id", F.explode(F.array(*band_structs)).alias("band")).select(
+        "doc_id", "band.band_no", "band.band_hash"
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.8, n_hashes: int = 9,
+                      band_size: int = 3, k: int = 3, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified — the scale path."""
+    sh = shingle_table(df, id_col, text_col, k).persist()
+    bands = minhash_bands(sh, n_hashes, band_size)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return jaccard_verify(cand, sh, threshold)
+
+
+SIMHASH_BITS = 16
+
+
+def _word_hash16() -> Column:
+    """16-bit portable word hash: first 4 hex chars of md5 → int.
+    (Spark: conv(hex,16,10); DuckDB oracle: ('0x'||hex)::BIGINT.)"""
+    return F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("long")
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """16-bit SimHash per document: bit b is set iff the sign-sum of bit b
+    over all word occurrences is positive."""
+    words = df.select(F.col(id_col).alias("doc_id"), F.explode(F.split(text_col, " ")).alias("w"))
+    h = words.withColumn("h", _word_hash16())
+    bit_sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.col("h").bitwiseAND(F.lit(1 << b))) > 0, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return bit_sums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 3,
+                          id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash near-dup: candidates share ≥1 of 4 nibble-bands (pigeonhole
+    guarantees recall for hamming ≤ 3), verified via bit_count(xor)."""
+    sig = simhash(df, id_col, text_col)
+    nibbles = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("nib_no"),
+                        F.shiftright("simhash", 4 * i).bitwiseAND(F.lit(0xF)).alias("nib"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("x"),
+    ).select("doc_id", "simhash", "x.nib_no", "x.nib")
+    a = nibbles.alias("a")
+    b = nibbles.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.nib_no") == F.col("b.nib_no"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -17,12 +17,19 @@ pandas oracle):
 * ``window``    — ``row_number() over (partition by key order by lsn desc)``.
   A full shuffle+sort per key; kept for comparison, never the scale pick.
 * ``applyinpandas`` — grouped-map pandas UDF (north-star mandated shape).
-  No partial aggregation: every replica of a hot key crosses the shuffle.
-* ``salted``    — two-phase ``applyInPandas``: partial reduce per
-  ``(key, salt)`` where ``salt = pmod(xxhash64(source_file, offset), n)``,
-  then final reduce per key over ≤n pre-reduced rows. This is the explicit
-  skew fix for the grouped-map path (AQE splits skewed *joins*, not
-  grouped-map shuffles — SURVEY.md §4 custom piece #2).
+  No partial aggregation: every replica of a hot key crosses the shuffle,
+  and pandas pays a per-group call — measured ~10x slower than ``agg`` at
+  1M events. Kept for parity; not the scale pick.
+* ``salted``    — two-phase: grouped-map partial reduce per ``(key, salt)``
+  where ``salt = pmod(xxhash64(source_file, offset), n)`` splits a hot key
+  across n reducers, then a JVM ``max_by`` final over ≤n rows per key.
+  This is the explicit skew fix for the grouped-map path (AQE splits
+  skewed *joins*, not grouped-map shuffles — SURVEY.md §4 custom piece #2).
+* ``hybrid``    — vectorized pandas partial + JVM final: ``mapInPandas``
+  does a partition-local ``drop_duplicates(keep=max-lsn)`` per Arrow batch
+  (ONE pandas call per batch — no per-group overhead, no shuffle), then
+  ``agg max_by`` finishes. The pandas path that actually scales: map-side
+  combine in pandas, skew-immune final in the JVM.
 
 Ordering ties: replayed events are identical full-row images (reference
 replays whole files, ``dags/s3_xml_import_pipeline.py:149-170``), so a
@@ -57,6 +64,8 @@ def reduce_latest(
         return _reduce_apply_in_pandas(df, key, lsn_col)
     if strategy == "salted":
         return _reduce_salted(df, key, lsn_col, n_salts)
+    if strategy == "hybrid":
+        return _reduce_hybrid(df, key, lsn_col)
     raise ValueError(f"unknown strategy: {strategy!r}")
 
 
@@ -106,7 +115,8 @@ def _reduce_salted(df: DataFrame, key: str, lsn_col: str, n_salts: int) -> DataF
 
     Phase 1 groups on ``(key, _salt)`` so a key carrying 30% of all events
     is split across ``n_salts`` reducers; phase 2 sees at most ``n_salts``
-    rows per key — a broadcast-light final reduce.
+    rows per key and runs as a JVM ``max_by`` (hash-partial, skew-immune) —
+    a grouped-map phase 2 would pay a pandas call per key.
     """
     schema = df.schema
     salt_src = (
@@ -121,8 +131,26 @@ def _reduce_salted(df: DataFrame, key: str, lsn_col: str, n_salts: int) -> DataF
         return out.drop(columns=["_salt"])
 
     partial = salted.groupBy(key, "_salt").applyInPandas(reduce_group, schema=schema)
-    return _reduce_apply_in_pandas(partial, key, lsn_col)
+    return _reduce_agg(partial, key, lsn_col)
+
+
+def _reduce_hybrid(df: DataFrame, key: str, lsn_col: str) -> DataFrame:
+    """Vectorized pandas partial reduce + JVM final.
+
+    ``mapInPandas`` collapses each Arrow batch with ONE pandas
+    sort+drop_duplicates call (no shuffle, no per-group overhead) — the
+    pandas analog of map-side combine — then ``max_by`` finishes across
+    partitions. Replay-heavy and hot-key batches shrink before the only
+    shuffle.
+    """
+    schema = df.schema
+
+    def partial(it):
+        for pdf in it:
+            yield _latest_rows_pandas(pdf, key, lsn_col)
+
+    return _reduce_agg(df.mapInPandas(partial, schema=schema), key, lsn_col)
 
 
 def iter_reduce_strategies() -> Iterable[str]:
-    return ("agg", "window", "applyinpandas", "salted")
+    return ("agg", "window", "applyinpandas", "salted", "hybrid")

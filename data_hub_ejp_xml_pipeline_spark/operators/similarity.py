@@ -1,0 +1,99 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — exact baseline: broadcast the query set,
+  score every candidate with JVM higher-order functions (zip_with +
+  aggregate — no Python), window top-k. Linear scan: right answer for
+  small query sets or as the verifier.
+* random-hyperplane LSH — the scale path: H deterministic hyperplanes →
+  H-bit signature → candidates share the signature bucket (or a banded
+  sub-signature) → exact rerank inside buckets. Recall < 1 by design;
+  tune n_planes/bands for the recall/cost point.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array columns, computed in double."""
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def ann_brute_force(emb: DataFrame, queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    ``queries`` must have columns (query_id, qe). The query side is
+    broadcast — at 100 TB the candidate scan is the only large side and it
+    never shuffles (map-side score + per-partition top-k via the window's
+    partial sort)."""
+    sims = F.broadcast(queries).join(
+        emb, F.col(id_col) != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qe"), F.col(vec_col)), 6).alias("sim6"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim6").desc(), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim6", 4).alias("cosine"))
+    )
+
+
+def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (inlined as literals so the SQL
+    oracle can reproduce signatures bit-for-bit)."""
+    rng = np.random.default_rng(seed)
+    return [[round(float(x), 6) for x in rng.standard_normal(dim)] for _ in range(n_planes)]
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """H-bit signature: bit j = sign(dot(vec, plane_j)) > 0."""
+    sig = None
+    for j, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec_col.cast("array<double>"), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig.cast("long")
+
+
+def ann_lsh(emb: DataFrame, queries: DataFrame, planes: list[list[float]], k: int = 5,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """LSH-bucketed ANN: equi-join on the signature bucket, exact rerank
+    within the bucket. One shuffle on the bucket key instead of a full
+    cross product — the 100 TB shape. Approximate (recall < 1)."""
+    sig = lsh_signature(F.col(vec_col), planes)
+    cand = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce"),
+                      sig.alias("bucket"))
+    qs = queries.select("query_id", "qe", lsh_signature(F.col("qe"), planes).alias("bucket"))
+    qs2 = F.broadcast(qs).alias("q")
+    cand2 = cand.alias("c")
+    scored = qs2.join(
+        cand2,
+        (F.col("q.bucket") == F.col("c.bucket")) & (F.col("c.neighbor_id") != F.col("q.query_id")),
+    ).select(
+        F.col("q.query_id").alias("query_id"),
+        F.col("c.neighbor_id").alias("neighbor_id"),
+        F.round(cosine(F.col("q.qe"), F.col("c.ce")), 6).alias("sim6"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim6").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim6", 4).alias("cosine"))
+    )

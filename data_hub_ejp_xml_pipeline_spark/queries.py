@@ -409,7 +409,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", _shingles(F.split("text", " ")).alias("sh")
     )
-    sh = docs.select("doc_id", F.explode("sh").alias("s"))
+    sh = docs.select("doc_id", F.explode("sh").alias("s")).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -474,7 +474,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", _shingles(F.split("text", " ")).alias("sh")
     )
-    sh = docs.select("doc_id", F.explode("sh").alias("s"))
+    # reused by sizes, minhashes, and the verify join → materialize once
+    sh = docs.select("doc_id", F.explode("sh").alias("s")).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
     mins = [
@@ -482,25 +483,36 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(_N_MINHASH)
     ]
     mh = sh.groupBy("doc_id").agg(*mins)
-    band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"h{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)])
-        ).alias(f"band{b}")
+    # long format: one row per (doc, band) → a single equi-join on
+    # (band_no, band_hash) replaces B self-joins; band_no disambiguates
+    # buckets across bands. This is the shape that scales: the join key is
+    # the LSH bucket, so co-candidates meet in one shuffle.
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_no"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)]
+                )
+            ).alias("band_hash"),
+        )
         for b in range(_N_MINHASH // _BAND_SIZE)
     ]
-    bands = mh.select("doc_id", *band_cols)
-
-    cand = None
-    for b in range(_N_MINHASH // _BAND_SIZE):
-        a = bands.alias("a")
-        bb = bands.alias("b")
-        pairs = a.join(
+    bands = mh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", "band.band_no", "band.band_hash")
+    a = bands.alias("a")
+    bb = bands.alias("b")
+    cand = (
+        a.join(
             bb,
-            (F.col(f"a.band{b}") == F.col(f"b.band{b}"))
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
     a = sh.alias("a")
     b = sh.alias("b")
@@ -723,6 +735,95 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_oracle() -> str:
+    from data_hub_ejp_xml_pipeline_spark.operators.dedup import SIMHASH_BITS
+
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h & {1 << b}) > 0 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 4))::BIGINT AS h FROM words),
+bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits),
+nib AS (
+  SELECT doc_id, simhash, i AS nib_no, (simhash >> (4 * i)) & 15 AS nib
+  FROM sig, LATERAL (SELECT unnest([0, 1, 2, 3]) AS i) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM nib a JOIN nib b
+    ON a.nib_no = b.nib_no AND a.nib = b.nib AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 16-bit sign-sum signatures, nibble-band candidate
+    generation (pigeonhole-complete for hamming ≤ 3), bit_count verify."""
+    from data_hub_ejp_xml_pipeline_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
+_ANN_LSH_PLANES = 8
+_ANN_LSH_DIM = 64
+
+
+def _lsh_planes() -> list[list[float]]:
+    from data_hub_ejp_xml_pipeline_spark.operators.similarity import hyperplanes
+
+    return hyperplanes(_ANN_LSH_PLANES, _ANN_LSH_DIM, seed=42)
+
+
+def _ann_lsh_oracle() -> str:
+    planes = _lsh_planes()
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {p!r}::DOUBLE[]) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, CAST({bucket} AS BIGINT) AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM sig WHERE vec_id < {_ANN_NQ}),
+scored AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qe, s.e), 6) AS sim6
+  FROM q JOIN sig s ON s.bucket = q.bucket AND s.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim6,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(sim6, 4) AS cosine
+FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: signature-bucket join + exact rerank —
+    the scale path (one shuffle on the bucket instead of a cross product)."""
+    from data_hub_ejp_xml_pipeline_spark.operators.similarity import ann_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return ann_lsh(emb, queries, _lsh_planes(), k=_ANN_K)
+
+
 _MULTIMODAL_ORACLE = """
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
@@ -823,7 +924,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lang_id": (q_lang_id, _lang_oracle()),
     "token_count": (q_token_count, _TOKEN_COUNT_ORACLE),
     "doc_fingerprint": (q_doc_fingerprint, _FINGERPRINT_ORACLE),
+    "dedup_simhash": (q_dedup_simhash, _simhash_oracle()),
     "ann_brute_force": (q_ann_brute_force, _ANN_ORACLE),
+    "ann_lsh": (q_ann_lsh, _ann_lsh_oracle()),
     "embedding_neardup": (q_embedding_neardup, _NEARDUP_COS_ORACLE),
     "multimodal_meta": (q_multimodal_meta, _MULTIMODAL_ORACLE),
 }

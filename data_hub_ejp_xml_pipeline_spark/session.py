@@ -25,6 +25,17 @@ def get_spark(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
+
+    # Python workers are separate processes: they must be able to import
+    # this package (grouped-map UDF closures reference it). Locally we put
+    # the repo root on PYTHONPATH before the JVM launches; on a cluster the
+    # same is done with `spark-submit --py-files engine.zip`.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pypath if pypath else "")
+        )
     n_threads = _master_threads(master, cpus)
     shuffle_partitions = shuffle_partitions or max(n_threads, 8)
 

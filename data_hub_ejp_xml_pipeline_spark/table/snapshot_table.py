@@ -251,9 +251,6 @@ class SnapshotTable:
         merged_schema = merge_schemas(existing_schema, incoming_payload)
         schema_evolved = len(merged_schema.fields) != len(existing_schema.fields)
 
-        # ---- lineage off the raw batch (before provenance cols are dropped)
-        lineage_rows = self._lineage_rows(updates)
-
         version = m["version"] + 1
         snapshot_id = f"snap-{version:08d}-b{batch_id if batch_id is not None else 'x'}"
         snap_rel = os.path.join("data", f"snap-v{version:08d}")
@@ -264,15 +261,17 @@ class SnapshotTable:
             [f for f in merged_schema.fields if f.name not in INTERNAL_COLS]
         )
         if merge:
+            # NOTE: the batch feeds two jobs (lineage/buckets collect + the
+            # merge-write). Recomputing the reduce is cheaper than caching:
+            # persisting array<int> payloads costs more in columnar cache
+            # serialization than the JVM re-aggregation (measured at 1M).
             src = updates.withColumn("_bucket", bucket)
+            lineage_rows, touched = self._lineage_and_buckets(src)
             src_full = src.select(
                 *[conform_col(src, f).alias(f.name) for f in payload_schema.fields],
                 F.col(lsn_col).cast("long").alias(LSN_COL),
                 F.col(op_col).alias("_op"),
                 F.col("_bucket"),
-            )
-            touched = sorted(
-                r["_bucket"] for r in src_full.select("_bucket").distinct().collect()
             )
             target = self.read(buckets=set(touched), include_tombstones=True)
             target = conform_to_schema(target, merged_schema).withColumn("_bucket", bucket)
@@ -298,8 +297,10 @@ class SnapshotTable:
                 F.when(s_wins, F.col("s._bucket")).otherwise(F.col("t._bucket")).alias("_bucket"),
             )
         else:
+            src = updates.withColumn("_bucket", bucket)
+            lineage_rows, touched = self._lineage_and_buckets(src)
             result = (
-                conform_to_schema(updates, payload_schema)
+                conform_to_schema(src, payload_schema)
                 .withColumn(
                     LSN_COL,
                     F.col(lsn_col).cast("long")
@@ -309,7 +310,6 @@ class SnapshotTable:
                 .withColumn(DELETED_COL, F.lit(False))
                 .withColumn("_bucket", bucket)
             )
-            touched = sorted(r["_bucket"] for r in result.select("_bucket").distinct().collect())
 
         (
             result.repartition(F.col("_bucket"))
@@ -347,27 +347,33 @@ class SnapshotTable:
         self._write_manifest(manifest)
         return CommitResult(snapshot_id, version, applied=True, rows_written=rows_written)
 
-    def _lineage_rows(self, updates: DataFrame) -> list[dict[str, Any]]:
-        if "source_file" not in updates.columns or "offset" not in updates.columns:
-            return []
-        rows = (
-            updates.groupBy("source_file")
-            .agg(
-                F.min("offset").alias("offset_min"),
-                F.max("offset").alias("offset_max"),
-                F.count(F.lit(1)).alias("n_events"),
+    def _lineage_and_buckets(self, src: DataFrame) -> tuple[list[dict[str, Any]], list[int]]:
+        """One aggregation job yields both the per-source-file lineage rows
+        and the set of touched buckets (for file pruning)."""
+        if "source_file" in src.columns and "offset" in src.columns:
+            rows = (
+                src.groupBy("source_file")
+                .agg(
+                    F.min("offset").alias("offset_min"),
+                    F.max("offset").alias("offset_max"),
+                    F.count(F.lit(1)).alias("n_events"),
+                    F.collect_set("_bucket").alias("buckets"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        return [
-            {
-                "source_file": r["source_file"],
-                "offset_min": r["offset_min"],
-                "offset_max": r["offset_max"],
-                "n_events": r["n_events"],
-            }
-            for r in rows
-        ]
+            lineage = [
+                {
+                    "source_file": r["source_file"],
+                    "offset_min": r["offset_min"],
+                    "offset_max": r["offset_max"],
+                    "n_events": r["n_events"],
+                }
+                for r in rows
+            ]
+            touched = sorted({b for r in rows for b in r["buckets"]})
+            return lineage, touched
+        touched = sorted(r["_bucket"] for r in src.select("_bucket").distinct().collect())
+        return [], touched
 
     def _write_manifest(self, manifest: dict[str, Any]) -> None:
         meta = os.path.join(self.root, "meta")

