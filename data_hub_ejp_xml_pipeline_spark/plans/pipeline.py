@@ -47,7 +47,9 @@ class MergePipeline:
         reduced = reduce_latest(
             changelog, key=self.key, strategy=self.reduce_strategy, n_salts=self.n_salts
         )
-        return self.table.merge(reduced, batch_id=batch_id)
+        # the raw batch feeds the stats/lineage job (no reduce needed there),
+        # so the LWW reduce executes exactly once — in the merge-write job
+        return self.table.merge(reduced, batch_id=batch_id, stats_df=changelog)
 
     def final_state(self) -> DataFrame:
         return self.table.read()

@@ -72,7 +72,7 @@ class ChangelogTailer:
             reduced = reduce_latest(
                 batch_df, strategy=self.reduce_strategy, n_salts=self.n_salts
             )
-            result = self.table.merge(reduced, batch_id=batch_id)
+            result = self.table.merge(reduced, batch_id=batch_id, stats_df=batch_df)
         finally:
             batch_df.unpersist()
         elapsed = max(time.time() - t0, 1e-9)

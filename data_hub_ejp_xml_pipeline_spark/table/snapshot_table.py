@@ -201,6 +201,7 @@ class SnapshotTable:
         op_col: str = "op",
         lsn_col: str = "lsn",
         validate_unique: bool = False,
+        stats_df: DataFrame | None = None,
     ) -> CommitResult:
         """MERGE INTO semantics with an LSN guard:
 
@@ -224,7 +225,7 @@ class SnapshotTable:
                     "run operators.lww.reduce_latest first"
                 )
         return self._commit(updates, operation="merge", batch_id=batch_id, merge=True,
-                            op_col=op_col, lsn_col=lsn_col)
+                            op_col=op_col, lsn_col=lsn_col, stats_df=stats_df)
 
     # ------------------------------------------------------------ internals
     def _commit(
@@ -235,6 +236,7 @@ class SnapshotTable:
         merge: bool,
         op_col: str = "op",
         lsn_col: str = "lsn",
+        stats_df: DataFrame | None = None,
     ) -> CommitResult:
         m = self.manifest()
         if batch_id is not None and str(batch_id) in m["ledger"]:
@@ -261,12 +263,17 @@ class SnapshotTable:
             [f for f in merged_schema.fields if f.name not in INTERNAL_COLS]
         )
         if merge:
-            # NOTE: the batch feeds two jobs (lineage/buckets collect + the
-            # merge-write). Recomputing the reduce is cheaper than caching:
-            # persisting array<int> payloads costs more in columnar cache
-            # serialization than the JVM re-aggregation (measured at 1M).
+            # Two jobs per commit: lineage/buckets collect + the merge-write.
+            # ``stats_df`` lets callers pass the RAW (un-reduced) batch for
+            # the stats job — a 3-column projection with no reduce — so the
+            # expensive LWW reduce executes exactly once (in the write job).
+            # Recomputing beats caching: persisting array<int> payloads costs
+            # more in columnar cache serialization than the re-aggregation.
             src = updates.withColumn("_bucket", bucket)
-            lineage_rows, touched = self._lineage_and_buckets(src)
+            stats_src = (
+                stats_df.withColumn("_bucket", bucket) if stats_df is not None else src
+            )
+            lineage_rows, touched = self._lineage_and_buckets(stats_src)
             src_full = src.select(
                 *[conform_col(src, f).alias(f.name) for f in payload_schema.fields],
                 F.col(lsn_col).cast("long").alias(LSN_COL),
@@ -403,11 +410,13 @@ def _find_field(schema: T.StructType, name: str) -> T.StructField | None:
 
 
 def _list_bucket_files(snap_dir: str, snap_rel: str) -> list[dict[str, Any]]:
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
-    out: list[dict[str, Any]] = []
     if not os.path.isdir(snap_dir):
-        return out
+        return []
+    entries: list[tuple[str, int, str]] = []
     for entry in sorted(os.listdir(snap_dir)):
         if not entry.startswith("_bucket="):
             continue
@@ -415,12 +424,17 @@ def _list_bucket_files(snap_dir: str, snap_rel: str) -> list[dict[str, Any]]:
         bdir = os.path.join(snap_dir, entry)
         for fn in sorted(os.listdir(bdir)):
             if fn.endswith(".parquet"):
-                fp = os.path.join(bdir, fn)
-                out.append(
-                    {
-                        "path": os.path.join(snap_rel, entry, fn),
-                        "bucket": bucket,
-                        "rows": pq.ParquetFile(fp).metadata.num_rows,
-                    }
-                )
-    return out
+                entries.append((entry, bucket, fn))
+
+    def stat(e: tuple[str, int, str]) -> dict[str, Any]:
+        entry, bucket, fn = e
+        fp = os.path.join(snap_dir, entry, fn)
+        return {
+            "path": os.path.join(snap_rel, entry, fn),
+            "bucket": bucket,
+            "rows": pq.ParquetFile(fp).metadata.num_rows,
+        }
+
+    # footer reads are tiny but serial-latency-bound; thread them
+    with ThreadPoolExecutor(max_workers=min(16, max(len(entries), 1))) as ex:
+        return list(ex.map(stat, entries))
