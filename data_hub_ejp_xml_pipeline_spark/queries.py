@@ -207,7 +207,11 @@ def q_dispatch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scalar_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6/P9/P11/P13: scalar-function layer over a real table."""
     ev = _t(spark, sf_dir, "events")
-    iso = S.format_iso_utc("ts")
+    # ts is TIMESTAMP_NTZ: render wall time + literal 'Z' so the result is
+    # independent of the (driver's) session timezone, matching the oracle's
+    # strftime where Z is also literal. P9's tz-aware variant lives in
+    # scalars.format_iso_utc.
+    iso = F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z"))
     return ev.select(
         "event_id",
         iso.alias("iso_ts"),
@@ -232,9 +236,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, batch-expressed)."""
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.unix_timestamp(F.col("ts"))
-    gap = epoch - F.lag(epoch).over(w)
-    brk = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # interval arithmetic on TIMESTAMP_NTZ is session-tz-free (unlike
+    # unix_timestamp, which interprets wall time in the session zone)
+    gap = F.col("ts") - F.lag("ts").over(w)
+    brk = F.when(gap.isNull() | (gap > F.expr("INTERVAL 30 MINUTES")), 1).otherwise(0)
     sess = ev.withColumn("session_no", F.sum(brk).over(w))
     return sess.groupBy("user_id", "session_no").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -274,7 +279,8 @@ GROUP BY l_returnflag, l_linestatus
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        # timestamp_ntz literal: no session-tz coercion against the NTZ column
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
