@@ -26,7 +26,6 @@ import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
 from data_hub_ejp_xml_pipeline_spark.schemas import CHANGELOG_SCHEMA
@@ -61,28 +60,24 @@ class ChangelogTailer:
         self._batches_seen += 1
 
         t0 = time.time()
-        batch_df = batch_df.persist()
-        try:
-            n_events = batch_df.count()
-            if n_events == 0:  # empty-batch short-circuit (reference F4)
-                return
-            max_ts = None
-            if "event_ts" in batch_df.columns:
-                max_ts = batch_df.agg(F.max("event_ts")).first()[0]
-            reduced = reduce_latest(
-                batch_df, strategy=self.reduce_strategy, n_salts=self.n_salts
-            )
-            result = self.table.merge(reduced, batch_id=batch_id, stats_df=batch_df)
-        finally:
-            batch_df.unpersist()
+        reduced = reduce_latest(
+            batch_df, strategy=self.reduce_strategy, n_salts=self.n_salts
+        )
+        # batch stats (count, max event time) come back from the merge's own
+        # stats job — no extra persist/count/max actions per microbatch
+        result = self.table.merge(reduced, batch_id=batch_id, stats_df=batch_df)
+        if result.n_events == 0 and not result.applied:
+            return  # empty batch (or already-applied epoch) — reference F4
         elapsed = max(time.time() - t0, 1e-9)
         row = {
             "batch_id": batch_id,
             "snapshot_id": result.snapshot_id,
             "applied": result.applied,
-            "events_applied": n_events,
-            "events_sec": n_events / elapsed,
-            "lag_sec": (time.time() - max_ts.timestamp()) if max_ts else None,
+            "events_applied": result.n_events,
+            "events_sec": result.n_events / elapsed,
+            "lag_sec": (time.time() - result.max_event_ts.timestamp())
+            if result.max_event_ts
+            else None,
         }
         self.metrics.append(row)
         with open(self.metrics_path, "a") as fh:

@@ -58,6 +58,8 @@ class CommitResult:
     version: int
     applied: bool  # False when the batch_id was already in the ledger
     rows_written: int = 0
+    n_events: int = 0  # events observed in the batch (from the stats job)
+    max_event_ts: Any = None  # max event_ts in the batch, for lag metrics
 
 
 class SnapshotTable:
@@ -273,7 +275,12 @@ class SnapshotTable:
             stats_src = (
                 stats_df.withColumn("_bucket", bucket) if stats_df is not None else src
             )
-            lineage_rows, touched = self._lineage_and_buckets(stats_src)
+            lineage_rows, touched, batch_stats = self._lineage_and_buckets(stats_src)
+            if batch_stats["n_events"] == 0:
+                # empty batch: no data files, no new snapshot (reference F4)
+                return CommitResult(
+                    m["snapshot_id"], m["version"], applied=False, n_events=0
+                )
             src_full = src.select(
                 *[conform_col(src, f).alias(f.name) for f in payload_schema.fields],
                 F.col(lsn_col).cast("long").alias(LSN_COL),
@@ -305,7 +312,7 @@ class SnapshotTable:
             )
         else:
             src = updates.withColumn("_bucket", bucket)
-            lineage_rows, touched = self._lineage_and_buckets(src)
+            lineage_rows, touched, batch_stats = self._lineage_and_buckets(src)
             result = (
                 conform_to_schema(src, payload_schema)
                 .withColumn(
@@ -352,22 +359,32 @@ class SnapshotTable:
             "ts": time.time(),
         }
         self._write_manifest(manifest)
-        return CommitResult(snapshot_id, version, applied=True, rows_written=rows_written)
+        return CommitResult(
+            snapshot_id,
+            version,
+            applied=True,
+            rows_written=rows_written,
+            n_events=batch_stats["n_events"],
+            max_event_ts=batch_stats["max_event_ts"],
+        )
 
-    def _lineage_and_buckets(self, src: DataFrame) -> tuple[list[dict[str, Any]], list[int]]:
-        """One aggregation job yields both the per-source-file lineage rows
-        and the set of touched buckets (for file pruning)."""
+    def _lineage_and_buckets(
+        self, src: DataFrame
+    ) -> tuple[list[dict[str, Any]], list[int], dict[str, Any]]:
+        """One aggregation job yields the per-source-file lineage rows, the
+        set of touched buckets (for file pruning), AND batch stats (event
+        count, max event time) — so streaming callers need no extra pass."""
+        has_ts = "event_ts" in src.columns
         if "source_file" in src.columns and "offset" in src.columns:
-            rows = (
-                src.groupBy("source_file")
-                .agg(
-                    F.min("offset").alias("offset_min"),
-                    F.max("offset").alias("offset_max"),
-                    F.count(F.lit(1)).alias("n_events"),
-                    F.collect_set("_bucket").alias("buckets"),
-                )
-                .collect()
-            )
+            aggs = [
+                F.min("offset").alias("offset_min"),
+                F.max("offset").alias("offset_max"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.collect_set("_bucket").alias("buckets"),
+            ]
+            if has_ts:
+                aggs.append(F.max("event_ts").alias("max_ts"))
+            rows = src.groupBy("source_file").agg(*aggs).collect()
             lineage = [
                 {
                     "source_file": r["source_file"],
@@ -378,9 +395,29 @@ class SnapshotTable:
                 for r in rows
             ]
             touched = sorted({b for r in rows for b in r["buckets"]})
-            return lineage, touched
-        touched = sorted(r["_bucket"] for r in src.select("_bucket").distinct().collect())
-        return [], touched
+            stats = {
+                "n_events": sum(r["n_events"] for r in rows),
+                "max_event_ts": max(
+                    (r["max_ts"] for r in rows if r["max_ts"] is not None), default=None
+                )
+                if has_ts
+                else None,
+            }
+            return lineage, touched, stats
+        aggs = [F.count(F.lit(1)).alias("n")]
+        if has_ts:
+            aggs.append(F.max("event_ts").alias("max_ts"))
+        rows = src.groupBy("_bucket").agg(*aggs).collect()
+        touched = sorted(r["_bucket"] for r in rows)
+        stats = {
+            "n_events": sum(r["n"] for r in rows),
+            "max_event_ts": max(
+                (r["max_ts"] for r in rows if r["max_ts"] is not None), default=None
+            )
+            if has_ts
+            else None,
+        }
+        return [], touched, stats
 
     def _write_manifest(self, manifest: dict[str, Any]) -> None:
         meta = os.path.join(self.root, "meta")
