@@ -45,8 +45,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   k: int = 3) -> DataFrame:
-    """(id, shingle) long table — input to both Jaccard and MinHash."""
-    return df.select(
+    """(id, shingle) long table — input to both Jaccard and MinHash.
+
+    The input is re-partitioned across the cluster before the explode: a
+    document table often arrives as few large files, and the shingle/md5
+    expansion is the expensive part — fan it out BEFORE the blow-up, not
+    after (a tiny shuffle of raw text rows buys full parallelism)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par).select(
         F.col(id_col).alias("doc_id"), F.explode(shingles(F.split(text_col, " "), k)).alias("s")
     )
 
