@@ -101,6 +101,26 @@ class ChangelogTailer:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         stream = reader.format(fmt).load(changelog_path)
 
+        return self.attach(
+            stream,
+            checkpoint_dir,
+            available_now=available_now,
+            processing_time=processing_time,
+        )
+
+    def attach(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str,
+        available_now: bool = True,
+        processing_time: str | None = None,
+    ):
+        """Attach the exactly-once apply loop to ANY prepared streaming
+        DataFrame in changelog shape — e.g. the zip-of-XML source
+        (``sources.xml_zip.read_zip_entities(streaming=True)`` →
+        ``entities_to_changelog``), a Kafka topic, or a rate source. This
+        is the full reference pipeline (poll → parse → warehouse upsert)
+        as ONE streaming query."""
         writer = stream.writeStream.foreachBatch(self.apply_epoch).option(
             "checkpointLocation", checkpoint_dir
         )
