@@ -351,6 +351,62 @@ def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+        .na.fill(0, _PIVOT_TYPES)
+    )
+
+
+_PIVOT_ORACLE = "SELECT user_id, " + ", ".join(
+    f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in _PIVOT_TYPES
+) + " FROM events GROUP BY user_id"
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup: revenue at (type, user), (type), and grand-total levels."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.rollup("event_type", "user_id").agg(
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT event_type, user_id, round(sum(value), 4) AS total_value, count(*) AS n
+FROM events GROUP BY ROLLUP (event_type, user_id)
+"""
+
+
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark `percentile`
+    == DuckDB `quantile_cont`, both exact linear interpolation)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.min("value"), 4).alias("vmin"),
+        F.round(F.max("value"), 4).alias("vmax"),
+    )
+
+
+_PCT_ORACLE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(min(value), 4) AS vmin,
+       round(max(value), 4) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
 # =====================================================================
 # Training-data pipeline: dedup / similarity / text / multimodal
 # =====================================================================
@@ -920,6 +976,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         "SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value "
         "FROM events GROUP BY user_id",
     ),
+    "pivot_event_matrix": (q_pivot_event_matrix, _PIVOT_ORACLE),
+    "rollup_revenue": (q_rollup_revenue, _ROLLUP_ORACLE),
+    "value_percentiles": (q_value_percentiles, _PCT_ORACLE),
     "tpch_q1": (q_tpch_q1, _TPCH_Q1_ORACLE),
     "top_orders_by_revenue": (q_top_orders_by_revenue, _TOP_ORDERS_ORACLE),
     "broadcast_dim_join": (q_broadcast_dim_join, _REGION_ORACLE),
