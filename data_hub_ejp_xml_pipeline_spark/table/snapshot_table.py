@@ -326,7 +326,10 @@ class SnapshotTable:
             )
 
         (
-            result.repartition(F.col("_bucket"))
+            # range-partition on the bucket id: each output partition holds
+            # exactly one bucket (hash-repartition maps 64 bucket values onto
+            # shuffle partitions with collisions → imbalanced write tasks)
+            result.repartitionByRange(m["n_buckets"], F.col("_bucket"))
             .sortWithinPartitions(key)
             .write.mode("overwrite")
             .partitionBy("_bucket")
