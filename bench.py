@@ -153,6 +153,27 @@ def cdc_apply(spark, changelog_dir: str, n_events: int, n_batches: int = 4,
     }
 
 
+def reduce_strategy_comparison(spark, changelog_dir: str, limit: int = 200_000) -> dict[str, float]:
+    """Time each LWW-reduce strategy on the same slice. Shows WHY `agg` is
+    the default (JVM partial agg) and what the pandas paths cost."""
+    from pyspark.sql import functions as F
+
+    from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
+
+    sl = spark.read.parquet(changelog_dir).filter(F.col("lsn") <= limit)
+    # warm the Python worker pool once so pandas strategies aren't charged
+    # interpreter startup
+    reduce_latest(sl.limit(1000), strategy="hybrid").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out: dict[str, float] = {}
+    for strat in ("agg", "hybrid", "window", "applyinpandas"):
+        t0 = time.time()
+        reduce_latest(sl, strategy=strat).write.format("noop").mode("overwrite").save()
+        out[strat] = round(time.time() - t0, 3)
+    return out
+
+
 def main() -> None:
     gen_dir = os.path.join(_bench_tmpdir(), f"changelog_{N_EVENTS}")
 
@@ -172,6 +193,7 @@ def main() -> None:
         "events": N_EVENTS,
         "events_per_sec": apply_main["events_per_sec"],
         "final_rows": apply_main["final_rows"],
+        "reduce_strategies_sec": reduce_strategy_comparison(spark, gen_dir),
     }
     spark.stop()
 
