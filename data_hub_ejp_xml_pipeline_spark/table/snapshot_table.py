@@ -65,6 +65,18 @@ class CommitResult:
 class SnapshotTable:
     """Iceberg-semantics table: create/append/merge/add_columns/time-travel."""
 
+    # Batches at or below this many events merge via a broadcast plan (the
+    # target side is scanned map-side — never shuffled, never sorted);
+    # above it, the sort-merge full-outer join runs. Default 0 = always
+    # sort-merge: measured in THIS sandbox (single JVM, tmpfs shuffle) SMJ
+    # wins at every batch size because a local shuffle is nearly free while
+    # the broadcast plan pays a second pruned target scan + a driver-side
+    # broadcast build. On a real cluster — network shuffle, 100 TB target,
+    # small steady-state microbatches — set this to the largest batch size
+    # whose reduced form fits executor memory (e.g. 500k rows) so the
+    # target side stops being shuffled+sorted every epoch.
+    broadcast_merge_max_rows: int = 0
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
@@ -290,25 +302,11 @@ class SnapshotTable:
             target = self.read(buckets=set(touched), include_tombstones=True)
             target = conform_to_schema(target, merged_schema).withColumn("_bucket", bucket)
 
-            t = target.alias("t")
-            s = src_full.alias("s")
-            joined = t.join(s, on=F.col(f"t.{key}") == F.col(f"s.{key}"), how="full_outer")
-
-            s_wins = F.col(f"s.{key}").isNotNull() & (
-                F.col(f"t.{key}").isNull() | (F.col(f"s.{LSN_COL}") > F.col(f"t.{LSN_COL}"))
+            broadcast_batch = (
+                batch_stats["n_events"] <= self.broadcast_merge_max_rows
             )
-            is_delete = F.col("s._op") == F.lit("D")
-            # deletes become tombstone rows: late-arriving older updates must
-            # not resurrect a deleted key (order-insensitivity across batches)
-            deleted = F.when(s_wins, is_delete).otherwise(
-                F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False))
-            )
-            pick = lambda c: F.when(s_wins, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))  # noqa: E731
-            result = joined.select(
-                *[pick(f.name).alias(f.name) for f in payload_schema.fields],
-                pick(LSN_COL).alias(LSN_COL),
-                deleted.alias(DELETED_COL),
-                F.when(s_wins, F.col("s._bucket")).otherwise(F.col("t._bucket")).alias("_bucket"),
+            result = _merge_rows(
+                target, src_full, key, payload_schema, broadcast_batch
             )
         else:
             src = updates.withColumn("_bucket", bucket)
@@ -431,6 +429,69 @@ class SnapshotTable:
         with open(tmp, "w") as fh:
             fh.write(str(manifest["version"]))
         os.replace(tmp, os.path.join(meta, "VERSION"))  # atomic pointer swap
+
+
+def _merge_rows(
+    target: DataFrame,
+    src_full: DataFrame,
+    key: str,
+    payload_schema: T.StructType,
+    broadcast_batch: bool,
+) -> DataFrame:
+    """Produce the post-merge rows for the touched buckets.
+
+    Two physical strategies with identical semantics (pinned by tests):
+
+    * **broadcast** (small batches — the streaming steady state): a
+      full-outer join cannot use a broadcast hash join, so decompose into
+      (a) ``target LEFT JOIN broadcast(batch)`` — the 100 TB target side
+      is scanned map-side with NO shuffle and NO sort — plus (b) inserts =
+      ``batch ANTI JOIN broadcast(matched keys)``. Costs one extra
+      column-pruned target scan branch; saves the full shuffle+sort of the
+      target, which dominates at scale.
+    * **sort-merge full outer** (large batches): one pass, both sides
+      shuffle on the key; AQE handles skew splits.
+    """
+    t = target.alias("t")
+    s = (F.broadcast(src_full) if broadcast_batch else src_full).alias("s")
+    how = "left_outer" if broadcast_batch else "full_outer"
+    joined = t.join(s, on=F.col(f"t.{key}") == F.col(f"s.{key}"), how=how)
+
+    s_wins = F.col(f"s.{key}").isNotNull() & (
+        F.col(f"t.{key}").isNull() | (F.col(f"s.{LSN_COL}") > F.col(f"t.{LSN_COL}"))
+    )
+    is_delete = F.col("s._op") == F.lit("D")
+    # deletes become tombstone rows: late-arriving older updates must
+    # not resurrect a deleted key (order-insensitivity across batches)
+    deleted = F.when(s_wins, is_delete).otherwise(
+        F.coalesce(F.col(f"t.{DELETED_COL}"), F.lit(False))
+    )
+    pick = lambda c: F.when(s_wins, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))  # noqa: E731
+    merged = joined.select(
+        *[pick(f.name).alias(f.name) for f in payload_schema.fields],
+        pick(LSN_COL).alias(LSN_COL),
+        deleted.alias(DELETED_COL),
+        F.when(s_wins, F.col("s._bucket")).otherwise(F.col("t._bucket")).alias("_bucket"),
+    )
+    if not broadcast_batch:
+        return merged
+
+    # inserts: batch keys that matched no target row (phantom deletes are
+    # recorded as tombstones). matched-keys is bounded by the batch size →
+    # broadcastable anti-join; the extra target scan branch prunes to
+    # (key) columns only.
+    matched_keys = (
+        t.join(s, on=F.col(f"t.{key}") == F.col(f"s.{key}"), how="inner")
+        .select(F.col(f"t.{key}").alias(key))
+        .distinct()
+    )
+    inserts = src_full.join(F.broadcast(matched_keys), on=key, how="left_anti").select(
+        *[F.col(f.name) for f in payload_schema.fields],
+        F.col(LSN_COL),
+        (F.col("_op") == F.lit("D")).alias(DELETED_COL),
+        F.col("_bucket"),
+    )
+    return merged.unionByName(inserts)
 
 
 def conform_col(df: DataFrame, field: T.StructField) -> F.Column:

@@ -1,0 +1,76 @@
+"""Broadcast-merge vs sort-merge full-outer: identical final state."""
+
+from __future__ import annotations
+
+from data_hub_ejp_xml_pipeline_spark.generator import spark_changelog_from_pandas
+from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
+from data_hub_ejp_xml_pipeline_spark.oracle import (
+    assert_final_state_equal,
+    expected_final_state_pandas,
+)
+from data_hub_ejp_xml_pipeline_spark.plans.pipeline import PAYLOAD_SCHEMA
+from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+
+def _apply_all(spark, tmp_path, changelog_pdf, name, broadcast_max):
+    table = SnapshotTable.create(spark, str(tmp_path / name), PAYLOAD_SCHEMA, n_buckets=8)
+    table.broadcast_merge_max_rows = broadcast_max
+    n = len(changelog_pdf)
+    edges = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        batch = spark_changelog_from_pandas(
+            spark, changelog_pdf.iloc[edges[i] : edges[i + 1]]
+        )
+        table.merge(reduce_latest(batch), batch_id=i, stats_df=batch)
+    return table
+
+
+def _hash(table):
+    return (
+        table.read()
+        .selectExpr("sum(pmod(xxhash64(doc_id, _lsn, n_tok, source), 1000000007)) h")
+        .first()
+        .h
+    )
+
+
+def test_broadcast_and_smj_merge_agree(spark, tmp_path, changelog_pdf):
+    bcast = _apply_all(spark, tmp_path, changelog_pdf, "bcast", broadcast_max=10**9)
+    smj = _apply_all(spark, tmp_path, changelog_pdf, "smj", broadcast_max=0)
+    expected = expected_final_state_pandas(changelog_pdf)
+    for table in (bcast, smj):
+        actual = (
+            table.read()
+            .selectExpr("doc_id", "tokens", "n_tok", "source", "_lsn")
+            .toPandas()
+        )
+        assert_final_state_equal(actual, expected)
+    assert _hash(bcast) == _hash(smj)
+
+
+def test_broadcast_plan_has_no_smj(spark, tmp_path, changelog_pdf):
+    """The broadcast path must not shuffle-sort the target side."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.table.snapshot_table import _merge_rows
+
+    table = _apply_all(spark, tmp_path, changelog_pdf, "t", broadcast_max=10**9)
+    target = table.read(include_tombstones=True).withColumn(
+        "_bucket", F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int")
+    )
+    batch = spark_changelog_from_pandas(spark, changelog_pdf.iloc[:500])
+    src = reduce_latest(batch).select(
+        "doc_id", "tokens", "n_tok", "source",
+        F.col("lsn").alias("_lsn"), F.col("op").alias("_op"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int").alias("_bucket"),
+    )
+    payload = T.StructType([f for f in PAYLOAD_SCHEMA.fields])
+    plan = (
+        _merge_rows(target, src, "doc_id", payload, broadcast_batch=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan[:1200]
+    assert plan.count("BroadcastHashJoin") >= 2  # left-outer + anti
