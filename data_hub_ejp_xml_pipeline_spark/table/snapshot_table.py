@@ -52,6 +52,10 @@ DELETED_COL = "_deleted"
 INTERNAL_COLS = (LSN_COL, DELETED_COL)
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer advanced the table while this commit was in flight."""
+
+
 @dataclass
 class CommitResult:
     snapshot_id: str
@@ -359,7 +363,7 @@ class SnapshotTable:
             + [{**r, "snapshot_id": snapshot_id} for r in lineage_rows],
             "ts": time.time(),
         }
-        self._write_manifest(manifest)
+        self._write_manifest(manifest, expected_parent_version=m["version"])
         return CommitResult(
             snapshot_id,
             version,
@@ -420,8 +424,22 @@ class SnapshotTable:
         }
         return [], touched, stats
 
-    def _write_manifest(self, manifest: dict[str, Any]) -> None:
+    def _write_manifest(
+        self, manifest: dict[str, Any], expected_parent_version: int | None = None
+    ) -> None:
         meta = os.path.join(self.root, "meta")
+        if expected_parent_version is not None:
+            # optimistic concurrency (Iceberg commit semantics): the commit
+            # is based on a snapshot read at the start; if another writer
+            # advanced the pointer meanwhile, fail instead of losing their
+            # commit. (Streaming normally guarantees one writer via
+            # checkpoint ownership — this guards misconfiguration.)
+            current = self.current_version()
+            if current != expected_parent_version:
+                raise ConcurrentCommitError(
+                    f"table advanced to v{current} while committing on top of "
+                    f"v{expected_parent_version}; retry the merge"
+                )
         path = os.path.join(meta, f"v{manifest['version']:08d}.json")
         with open(path, "w") as fh:
             json.dump(manifest, fh)

@@ -1,0 +1,40 @@
+"""Optimistic-concurrency guard: a commit based on a stale snapshot fails
+instead of silently dropping the interleaved writer's commit."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_hub_ejp_xml_pipeline_spark.generator import spark_changelog_from_pandas
+from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
+from data_hub_ejp_xml_pipeline_spark.plans.pipeline import PAYLOAD_SCHEMA
+from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+from data_hub_ejp_xml_pipeline_spark.table.snapshot_table import ConcurrentCommitError
+
+
+def test_stale_commit_detected(spark, tmp_path, changelog_pdf, monkeypatch):
+    table = SnapshotTable.create(spark, str(tmp_path / "tbl"), PAYLOAD_SCHEMA, n_buckets=4)
+    b1 = reduce_latest(spark_changelog_from_pandas(spark, changelog_pdf.iloc[:500]))
+    b2 = reduce_latest(spark_changelog_from_pandas(spark, changelog_pdf.iloc[500:1000]))
+
+    # interleave: while commit A is writing, a second writer commits B
+    original = table._write_manifest
+    interfered = {"done": False}
+
+    def interfering_write(manifest, expected_parent_version=None):
+        if not interfered["done"] and manifest["operation"].startswith("merge"):
+            interfered["done"] = True
+            # second writer sneaks in a full commit first
+            other = SnapshotTable(spark, table.root)
+            other.merge(b2, batch_id=99)
+        original(manifest, expected_parent_version=expected_parent_version)
+
+    monkeypatch.setattr(table, "_write_manifest", interfering_write)
+    with pytest.raises(ConcurrentCommitError):
+        table.merge(b1, batch_id=0)
+
+    # the interleaved commit survived; a retry on the fresh snapshot works
+    monkeypatch.setattr(table, "_write_manifest", original)
+    assert "99" in table.ledger()
+    res = table.merge(b1, batch_id=0)
+    assert res.applied
