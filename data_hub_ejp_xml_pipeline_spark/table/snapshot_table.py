@@ -373,6 +373,71 @@ class SnapshotTable:
             max_event_ts=batch_stats["max_event_ts"],
         )
 
+    # ------------------------------------------------------------ maintenance
+    def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
+        """Iceberg-style snapshot expiry: drop manifests older than the
+        ``keep_last`` most recent versions and delete data files referenced
+        ONLY by expired snapshots (the reference's consumed-temp-object
+        cleanup, ``etl.py:202-213``/K5, done safely: current state and the
+        retained time-travel window are untouched)."""
+        current = self.current_version()
+        cutoff = max(current - keep_last + 1, 0)
+        retained_files: set[str] = set()
+        for v in range(cutoff, current + 1):
+            retained_files.update(f["path"] for f in self.manifest(v)["files"])
+        removed_files = 0
+        removed_manifests = 0
+        for v in range(cutoff):
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue
+            for f in m["files"]:
+                if f["path"] not in retained_files:
+                    fp = os.path.join(self.root, f["path"])
+                    if os.path.exists(fp):
+                        os.remove(fp)
+                        removed_files += 1
+            os.remove(os.path.join(self.root, "meta", f"v{v:08d}.json"))
+            removed_manifests += 1
+        return {"removed_files": removed_files, "removed_manifests": removed_manifests,
+                "oldest_retained_version": cutoff}
+
+    def vacuum_tombstones(self, older_than_lsn: int) -> CommitResult:
+        """Drop delete tombstones whose LSN is at or below a watermark the
+        stream has provably passed (no event with lsn ≤ watermark can still
+        arrive). Full copy-on-write rewrite — run rarely, like Iceberg
+        rewrite_data_files."""
+        live = self.read(include_tombstones=True).filter(
+            ~(F.col(DELETED_COL) & (F.col(LSN_COL) <= older_than_lsn))
+        )
+        m = self.manifest()
+        key = m["key"]
+        version = m["version"] + 1
+        snap_rel = os.path.join("data", f"snap-v{version:08d}")
+        snap_dir = os.path.join(self.root, snap_rel)
+        (
+            live.withColumn("_bucket", self._bucket_expr(key))
+            .repartitionByRange(m["n_buckets"], F.col("_bucket"))
+            .sortWithinPartitions(key)
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(snap_dir)
+        )
+        new_files = _list_bucket_files(snap_dir, snap_rel)
+        manifest = {
+            **m,
+            "version": version,
+            "snapshot_id": f"snap-{version:08d}-vacuum",
+            "parent": m["snapshot_id"],
+            "operation": "vacuum_tombstones",
+            "files": new_files,
+            "ts": time.time(),
+        }
+        self._write_manifest(manifest, expected_parent_version=m["version"])
+        return CommitResult(manifest["snapshot_id"], version, applied=True,
+                            rows_written=sum(f["rows"] for f in new_files))
+
     def _lineage_and_buckets(
         self, src: DataFrame
     ) -> tuple[list[dict[str, Any]], list[int], dict[str, Any]]:

@@ -1,0 +1,82 @@
+"""Table maintenance: snapshot expiry (disk GC) and tombstone vacuum."""
+
+from __future__ import annotations
+
+import os
+
+from data_hub_ejp_xml_pipeline_spark.generator import spark_changelog_from_pandas
+from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
+from data_hub_ejp_xml_pipeline_spark.oracle import (
+    assert_final_state_equal,
+    expected_final_state_pandas,
+)
+from data_hub_ejp_xml_pipeline_spark.plans.pipeline import PAYLOAD_SCHEMA
+from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+
+def _data_files(root):
+    out = []
+    for dirpath, _, files in os.walk(os.path.join(root, "data")):
+        out += [os.path.join(dirpath, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+def _build(spark, tmp_path, changelog_pdf, n_batches=4):
+    table = SnapshotTable.create(spark, str(tmp_path / "tbl"), PAYLOAD_SCHEMA, n_buckets=4)
+    n = len(changelog_pdf)
+    step = n // n_batches + 1
+    for i in range(n_batches):
+        batch = spark_changelog_from_pandas(
+            spark, changelog_pdf.iloc[i * step : (i + 1) * step]
+        )
+        table.merge(reduce_latest(batch), batch_id=i)
+    return table
+
+
+def test_expire_snapshots_frees_files_keeps_state(spark, tmp_path, changelog_pdf):
+    table = _build(spark, tmp_path, changelog_pdf)
+    files_before = len(_data_files(table.root))
+    state_hash = (
+        table.read().selectExpr("sum(pmod(xxhash64(doc_id,_lsn),1000000007)) h").first().h
+    )
+    stats = table.expire_snapshots(keep_last=1)
+    assert stats["removed_files"] > 0
+    assert len(_data_files(table.root)) < files_before
+    # current state untouched; ledger intact (exactly-once survives expiry)
+    h2 = table.read().selectExpr("sum(pmod(xxhash64(doc_id,_lsn),1000000007)) h").first().h
+    assert h2 == state_hash
+    assert len(table.ledger()) == 4
+    assert_final_state_equal(
+        table.read().selectExpr("doc_id", "tokens", "n_tok", "source", "_lsn").toPandas(),
+        expected_final_state_pandas(changelog_pdf),
+    )
+
+
+def test_vacuum_tombstones(spark, tmp_path, changelog_pdf):
+    table = _build(spark, tmp_path, changelog_pdf)
+    before = table.read(include_tombstones=True)
+    n_tomb = before.filter("_deleted").count()
+    assert n_tomb > 0, "fixture should produce deletes"
+    max_lsn = int(changelog_pdf["lsn"].max())
+    table.vacuum_tombstones(older_than_lsn=max_lsn)
+    after = table.read(include_tombstones=True)
+    assert after.filter("_deleted").count() == 0
+    # live rows byte-identical to the oracle
+    assert_final_state_equal(
+        table.read().selectExpr("doc_id", "tokens", "n_tok", "source", "_lsn").toPandas(),
+        expected_final_state_pandas(changelog_pdf),
+    )
+
+
+def test_vacuum_respects_watermark(spark, tmp_path, changelog_pdf):
+    table = _build(spark, tmp_path, changelog_pdf)
+    tombs = table.read(include_tombstones=True).filter("_deleted")
+    lsns = sorted(r._lsn for r in tombs.collect())
+    if len(lsns) < 2:
+        return
+    mid = lsns[len(lsns) // 2]
+    table.vacuum_tombstones(older_than_lsn=mid)
+    remaining = sorted(
+        r._lsn for r in table.read(include_tombstones=True).filter("_deleted").collect()
+    )
+    assert remaining == [x for x in lsns if x > mid]
