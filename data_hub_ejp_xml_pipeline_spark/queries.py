@@ -351,6 +351,40 @@ def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, o.o_orderkey AS o_orderkey_asof
+FROM events e
+ASOF LEFT JOIN o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks): latest order per user at or
+    before each event's timestamp, via union + carry-forward window."""
+    from data_hub_ejp_xml_pipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # one right row per (key, ts): ASOF tie-breaking at equal timestamps is
+    # engine-defined, so pin it identically on both sides
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+        )
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof_join(
+        ev, orders, key="user_id", left_ts="ts", right_ts="o_orderdate",
+        value_cols=["o_orderkey"],
+    )
+    return out.select("event_id", "user_id", "o_orderkey_asof")
+
+
 _PIVOT_TYPES = ["click", "view", "purchase", "signup", "error"]
 
 
@@ -976,6 +1010,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         "SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value "
         "FROM events GROUP BY user_id",
     ),
+    "asof_join_last_order": (q_asof_join, _ASOF_ORACLE),
     "pivot_event_matrix": (q_pivot_event_matrix, _PIVOT_ORACLE),
     "rollup_revenue": (q_rollup_revenue, _ROLLUP_ORACLE),
     "value_percentiles": (q_value_percentiles, _PCT_ORACLE),
