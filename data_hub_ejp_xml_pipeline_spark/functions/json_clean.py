@@ -1,11 +1,22 @@
-"""Recursive null-key stripping with False preserved.
+"""Recursive null-key stripping, exact reference semantics.
 
-Re-implements the semantics of the reference's ``remove_key_with_null_value``
+Re-implements the reference's ``remove_key_with_null_value``
 (``ejp_xml_pipeline/transform_json.py:1-15``, pinned by
-``tests/unit_test/transform_json_test.py:5-21``): ``None``, ``''``, ``[]``,
-``{}`` are dropped; ``False`` and ``0`` survive. Used driver-side by the
-zip/XML parser before JSON serialization (the Spark-side analog for struct
-columns is ``functions.scalars.to_clean_json``)."""
+``tests/unit_test/transform_json_test.py:5-21``) byte-for-byte on the
+stored JSON:
+
+* a dict key is dropped when its value is falsy and not a bool —
+  ``None``, ``''``, ``0``, ``0.0``, ``[]``, ``{}`` all go; ``False`` and
+  ``True`` stay;
+* the falsiness test runs BEFORE recursion, so a container that only
+  becomes empty after cleaning its children is kept (as an empty
+  container);
+* list elements are never dropped — they are only recursed into.
+
+Used driver-side by the zip/XML parser before JSON serialization (the
+Spark-side analog for struct columns is ``functions.scalars.to_clean_json``,
+which documents its own, struct-typed semantics).
+"""
 
 from __future__ import annotations
 
@@ -13,26 +24,15 @@ from typing import Any
 
 
 def remove_empty_keys(obj: Any) -> Any:
-    """Recursively strip keys whose value is empty (None/''/[]/{}).
-
-    ``False`` and ``0`` are kept — emptiness, not falsiness, is the test.
-    Lists are cleaned element-wise; elements that become empty are dropped.
-    """
+    """Pure (non-mutating) equivalent of the reference algorithm: the
+    keep-test runs on the pre-recursion value, so containers that empty
+    out during cleaning survive as empty containers."""
     if isinstance(obj, dict):
-        out = {}
-        for k, v in obj.items():
-            cleaned = remove_empty_keys(v)
-            if _keep(cleaned):
-                out[k] = cleaned
-        return out
+        return {
+            k: remove_empty_keys(v)
+            for k, v in obj.items()
+            if v or isinstance(v, bool)
+        }
     if isinstance(obj, list):
-        return [c for c in (remove_empty_keys(v) for v in obj) if _keep(c)]
+        return [remove_empty_keys(v) for v in obj]
     return obj
-
-
-def _keep(v: Any) -> bool:
-    if v is None:
-        return False
-    if isinstance(v, (str, list, dict)) and len(v) == 0:
-        return False
-    return True

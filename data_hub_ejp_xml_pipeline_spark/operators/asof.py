@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -29,19 +30,26 @@ def asof_join(
     """Left as-of join: all left columns + the latest ``value_cols`` from
     ``right`` as of each left row's timestamp (null when none precedes)."""
     lcols = left.columns
+    # carry ONE struct of all value cols, not per-column last(ignorenulls):
+    # the struct itself is non-null for every right row, so a matched right
+    # row whose value column is genuinely NULL yields NULL (DuckDB ASOF
+    # semantics) instead of leaking the previous row's value forward.
+    r_struct_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType, True) for c in value_cols]
+    )
     l_tag = left.select(
         *lcols,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_tag = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c != key],
         F.col(key).alias(key),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-    ).select(*lcols, "_ts", "_side", *[f"_r_{c}" for c in value_cols])
+        F.struct(*[F.col(c) for c in value_cols]).alias("_r"),
+    ).select(*lcols, "_ts", "_side", "_r")
 
     u = l_tag.unionByName(r_tag)
     w = (
@@ -52,9 +60,9 @@ def asof_join(
     carried = u.select(
         *lcols,
         F.col("_side"),
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c + "_asof")
-            for c in value_cols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_r_asof"),
     )
-    return carried.filter(F.col("_side") == 1).drop("_side")
+    return carried.filter(F.col("_side") == 1).select(
+        *lcols,
+        *[F.col("_r_asof").getField(c).alias(c + "_asof") for c in value_cols],
+    )

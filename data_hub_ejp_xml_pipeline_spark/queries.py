@@ -225,9 +225,11 @@ def q_missing_ratio_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ejp_person_xml.py:239-255 analog)."""
     ev = _t(spark, sf_dir, "events")
     low = F.when(F.col("value") < 1.0, F.col("event_id"))
+    # examples as a comma-joined string (not array<bigint>): the driver's
+    # canonicalizer sorts rows with pandas and dies on unhashable list cells.
     return ev.groupBy("event_type").agg(
         F.round(F.avg(F.when(F.col("value") < 1.0, 1).otherwise(0)) * 100, 4).alias("pct_low"),
-        F.slice(F.sort_array(F.collect_list(low)), 1, 3).alias("examples"),
+        F.concat_ws(",", F.slice(F.sort_array(F.collect_list(low)), 1, 3)).alias("examples"),
     )
 
 
@@ -985,8 +987,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_missing_ratio_diag,
         "SELECT event_type, round(100.0 * avg(CASE WHEN value < 1.0 THEN 1 ELSE 0 END), 4)"
         " AS pct_low, "
-        "coalesce((list_sort(list(event_id) FILTER (WHERE value < 1.0)))[1:3], "
-        "CAST([] AS BIGINT[])) AS examples "
+        "array_to_string(coalesce((list_sort(list(event_id) FILTER (WHERE value < 1.0)))[1:3], "
+        "CAST([] AS BIGINT[])), ',') AS examples "
         "FROM events GROUP BY event_type",
     ),
     "sessionize": (

@@ -151,7 +151,10 @@ class SnapshotTable:
     def snapshots(self) -> list[dict[str, Any]]:
         out = []
         for v in range(self.current_version() + 1):
-            m = self.manifest(v)
+            try:
+                m = self.manifest(v)
+            except FileNotFoundError:
+                continue  # expired by expire_snapshots(); history starts later
             out.append({"version": v, "snapshot_id": m["snapshot_id"], "operation": m["operation"]})
         return out
 
@@ -205,7 +208,7 @@ class SnapshotTable:
             "schema": json.loads(merged.json()),
             "ts": time.time(),
         }
-        self._write_manifest(manifest)
+        self._write_manifest(manifest, expected_parent_version=m["version"])
         return CommitResult(manifest["snapshot_id"], version, applied=True)
 
     def append(self, df: DataFrame, batch_id: int | None = None) -> CommitResult:
@@ -408,8 +411,11 @@ class SnapshotTable:
         stream has provably passed (no event with lsn ≤ watermark can still
         arrive). Full copy-on-write rewrite — run rarely, like Iceberg
         rewrite_data_files."""
+        # coalesce _deleted exactly as read() does: a NULL _deleted row is
+        # live, and a NULL predicate here would silently drop it from the
+        # rewrite (vacuum deleting rows read() considers live).
         live = self.read(include_tombstones=True).filter(
-            ~(F.col(DELETED_COL) & (F.col(LSN_COL) <= older_than_lsn))
+            ~(F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LSN_COL) <= older_than_lsn))
         )
         m = self.manifest()
         key = m["key"]
@@ -506,8 +512,23 @@ class SnapshotTable:
                     f"v{expected_parent_version}; retry the merge"
                 )
         path = os.path.join(meta, f"v{manifest['version']:08d}.json")
-        with open(path, "w") as fh:
-            json.dump(manifest, fh)
+        if expected_parent_version is not None:
+            # the manifest file itself is the CAS token: O_CREAT|O_EXCL makes
+            # exactly one of two racing same-parent writers win — the
+            # check-then-act pre-check above alone cannot (both can pass it,
+            # then the second silently overwrites the first's v{N}.json).
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise ConcurrentCommitError(
+                    f"manifest v{manifest['version']} already written by a "
+                    "concurrent committer; retry the merge"
+                ) from None
+            with os.fdopen(fd, "w") as fh:
+                json.dump(manifest, fh)
+        else:
+            with open(path, "w") as fh:
+                json.dump(manifest, fh)
         tmp = os.path.join(meta, f".VERSION.tmp.{os.getpid()}")
         with open(tmp, "w") as fh:
             fh.write(str(manifest["version"]))

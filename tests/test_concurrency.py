@@ -38,3 +38,26 @@ def test_stale_commit_detected(spark, tmp_path, changelog_pdf, monkeypatch):
     assert "99" in table.ledger()
     res = table.merge(b1, batch_id=0)
     assert res.applied
+
+
+def test_cas_manifest_create_is_atomic(spark, tmp_path, changelog_pdf):
+    """Two writers that BOTH pass the version pre-check race on writing the
+    same v{N}.json: O_CREAT|O_EXCL makes exactly one win."""
+    import json
+    import os
+
+    table = SnapshotTable.create(spark, str(tmp_path / "tbl"), PAYLOAD_SCHEMA, n_buckets=4)
+    b1 = reduce_latest(spark_changelog_from_pandas(spark, changelog_pdf.iloc[:200]))
+    # simulate the loser: the other writer already created v1's manifest
+    # after our pre-check would have passed
+    path = os.path.join(table.root, "meta", "v00000001.json")
+    with open(path, "w") as fh:
+        json.dump({"version": 1, "snapshot_id": "snap-other", "winner": True}, fh)
+    with pytest.raises(ConcurrentCommitError):
+        table._write_manifest(
+            {"version": 1, "snapshot_id": "snap-mine"}, expected_parent_version=0
+        )
+    # the winner's manifest is untouched
+    with open(path) as fh:
+        assert json.load(fh)["snapshot_id"] == "snap-other"
+    del b1

@@ -80,3 +80,36 @@ def test_vacuum_respects_watermark(spark, tmp_path, changelog_pdf):
         r._lsn for r in table.read(include_tombstones=True).filter("_deleted").collect()
     )
     assert remaining == [x for x in lsns if x > mid]
+
+
+def test_snapshots_survive_expiry(spark, tmp_path, changelog_pdf):
+    """snapshots() must skip expired manifests, not raise FileNotFoundError
+    after routine expire_snapshots maintenance."""
+    table = _build(spark, tmp_path, changelog_pdf)
+    table.expire_snapshots(keep_last=2)
+    snaps = table.snapshots()
+    assert [s["version"] for s in snaps] == [table.current_version() - 1,
+                                             table.current_version()]
+
+
+def test_vacuum_keeps_rows_with_null_deleted_flag(spark, tmp_path, changelog_pdf):
+    """A row whose _deleted is NULL is live for read(); vacuum must not
+    silently drop it (NULL predicate). Inject NULLs by patching one data
+    file's _deleted column in place with pyarrow."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = _build(spark, tmp_path, changelog_pdf, n_batches=1)
+    fp = os.path.join(table.root, table.manifest()["files"][0]["path"])
+    tbl = pq.read_table(fp)
+    idx = tbl.schema.get_field_index("_deleted")
+    nulls = pa.nulls(len(tbl), type=pa.bool_())
+    pq.write_table(tbl.set_column(idx, "_deleted", nulls), fp)
+    crc = os.path.join(os.path.dirname(fp), "." + os.path.basename(fp) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)  # stale Hadoop checksum after out-of-band rewrite
+    spark.catalog.refreshByPath(os.path.dirname(fp))  # drop stale file-size cache
+
+    n_live = table.read().count()  # read() coalesces NULL _deleted → live
+    table.vacuum_tombstones(older_than_lsn=10**9)
+    assert table.read().count() == n_live

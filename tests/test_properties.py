@@ -91,29 +91,32 @@ _json = st.recursive(
 )
 
 
-def _has_empty(obj) -> bool:
-    if isinstance(obj, dict):
-        return any(v is None or v == "" or v == [] or v == {} or _has_empty(v)
-                   for v in obj.values())
-    if isinstance(obj, list):
-        return any(v is None or v == "" or v == [] or v == {} or _has_empty(v)
-                   for v in obj)
-    return False
+def _check_ref_semantics(orig, cleaned):
+    """Declarative spec of the reference algorithm, checked level by level:
+    a dict key survives iff its ORIGINAL value is truthy or a bool; list
+    elements are never dropped; scalars pass through."""
+    if isinstance(orig, dict):
+        assert set(cleaned) == {k for k, v in orig.items() if v or isinstance(v, bool)}
+        for k in cleaned:
+            _check_ref_semantics(orig[k], cleaned[k])
+    elif isinstance(orig, list):
+        assert len(cleaned) == len(orig)
+        for o, c in zip(orig, cleaned):
+            _check_ref_semantics(o, c)
+    else:
+        assert cleaned == orig
 
 
 @given(obj=_json)
 @settings(max_examples=300)
 def test_remove_empty_keys_properties(obj):
-    cleaned = remove_empty_keys(obj)
-    if isinstance(cleaned, (dict, list)):
-        assert not _has_empty(cleaned)  # no empties survive anywhere
-    assert remove_empty_keys(cleaned) == cleaned  # idempotent
+    _check_ref_semantics(obj, remove_empty_keys(obj))
 
 
 @given(obj=st.dictionaries(st.sampled_from(list("abc")),
-                           st.one_of(st.just(False), st.just(0)), min_size=1))
+                           st.booleans(), min_size=1))
 @settings(max_examples=50)
-def test_remove_empty_keys_keeps_falsy_nonempty(obj):
+def test_remove_empty_keys_keeps_bools(obj):
     assert remove_empty_keys(obj) == obj
 
 

@@ -126,8 +126,12 @@ def test_manuscript_id_fallbacks():
 
 
 def test_remove_empty_keys_semantics():
+    # exact reference semantics (transform_json.py:1-15): falsy non-bools
+    # incl. 0 are dropped; bools kept; list ELEMENTS are never dropped;
+    # containers that only empty out during recursion are kept.
     src = {"a": None, "b": "", "c": [], "d": {}, "e": False, "f": 0, "g": [None, "", "x"]}
-    assert remove_empty_keys(src) == {"e": False, "f": 0, "g": ["x"]}
+    assert remove_empty_keys(src) == {"e": False, "g": [None, "", "x"]}
+    assert remove_empty_keys({"a": {"b": None}, "k": 1}) == {"a": {}, "k": 1}
 
 
 def test_spark_end_to_end_zip_to_table(spark, tmp_path):
