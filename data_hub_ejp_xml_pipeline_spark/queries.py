@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from data_hub_ejp_xml_pipeline_spark.functions import scalars as S
+from data_hub_ejp_xml_pipeline_spark.operators import dedup as D
 from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
 
 
@@ -449,12 +450,11 @@ FROM events GROUP BY event_type
 
 
 def _shingles(words_col: F.Column, k: int = 3) -> F.Column:
-    """k-word shingles as an array (empty when fewer than k words)."""
+    """k-word shingles as an array (empty when fewer than k words).
+    slice-based: see operators.dedup.shingles for the rationale."""
     n = F.size(words_col)
     idx = F.sequence(F.lit(1), n - (k - 1))
-    mk = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(words_col, i + j) for j in range(k)]
-    )
+    mk = lambda i: F.concat_ws(" ", F.slice(words_col, i, k))  # noqa: E731
     return F.when(n >= k, F.array_distinct(F.transform(idx, mk))).otherwise(
         F.array().cast("array<string>")
     )
@@ -504,7 +504,8 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard ≥ 0.8 (quadratic verify over
     shingle-join candidates — the LSH variant below is the scale path)."""
-    docs = _t(spark, sf_dir, "documents").select(
+    par = spark.sparkContext.defaultParallelism
+    docs = _t(spark, sf_dir, "documents").repartition(par).select(
         "doc_id", _shingles(F.split("text", " ")).alias("sh")
     )
     sh = docs.select("doc_id", F.explode("sh").alias("s")).persist()
@@ -532,11 +533,22 @@ _BAND_SIZE = 3
 
 
 def _minhash_oracle() -> str:
+    from data_hub_ejp_xml_pipeline_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
+    base = "(('0x' || substring(md5(s), 1, 7))::BIGINT)"
     mins = ", ".join(
-        f"min(md5('{i}' || s)) AS h{i}" for i in range(_N_MINHASH)
+        f"min(({a} * {base} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(_N_MINHASH))
     )
     bands = ", ".join(
-        "md5(" + " || '|' || ".join(f"h{b * _BAND_SIZE + j}" for j in range(_BAND_SIZE)) + f") AS band{b}"
+        "md5("
+        + " || '|' || ".join(
+            f"CAST(h{b * _BAND_SIZE + j} AS VARCHAR)" for j in range(_BAND_SIZE)
+        )
+        + f") AS band{b}"
         for b in range(_N_MINHASH // _BAND_SIZE)
     )
     band_joins = "\nUNION\n".join(
@@ -565,20 +577,29 @@ WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.8
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup: shingle → 9 minhashes (lexicographic min of
-    md5, portable across engines) → 3 bands → bucket-join candidates →
-    exact-Jaccard verify ≥ 0.8. The banded join replaces the quadratic
-    shingle self-join — this is the 100 TB path."""
-    docs = _t(spark, sf_dir, "documents").select(
+    """MinHash+LSH near-dup: shingle → one md5 base per shingle → 9 affine
+    universal hashes (min per doc, portable across engines) → 3 bands →
+    bucket-join candidates → exact-Jaccard verify ≥ 0.8. The banded join
+    replaces the quadratic shingle self-join — this is the 100 TB path."""
+    # fan out BEFORE the explode: documents often arrive as one parquet
+    # file → one input partition; without this the shingle+hash blow-up
+    # runs on a single task (a tiny shuffle of raw rows buys full
+    # parallelism — same rationale as dedup.shingle_table).
+    par = spark.sparkContext.defaultParallelism
+    docs = _t(spark, sf_dir, "documents").repartition(par).select(
         "doc_id", _shingles(F.split("text", " ")).alias("sh")
     )
     # reused by sizes, minhashes, and the verify join → materialize once
     sh = docs.select("doc_id", F.explode("sh").alias("s")).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
+    # ONE md5 per shingle + affine universal-hash family (dedup.minhash_*):
+    # round 1 spent 9 md5 passes over the exploded shingle table here — the
+    # dominant cost of the whole query at sf0.1.
+    base = D.minhash_base(F.col("s"))
     mins = [
-        F.min(F.md5(F.concat(F.lit(str(i)), F.col("s")))).alias(f"h{i}")
-        for i in range(_N_MINHASH)
+        F.min((F.lit(ca) * base + F.lit(cb)) % F.lit(D.MINHASH_P)).alias(f"h{i}")
+        for i, (ca, cb) in enumerate(D.minhash_coeffs(_N_MINHASH))
     ]
     mh = sh.groupBy("doc_id").agg(*mins)
     # long format: one row per (doc, band) → a single equi-join on
@@ -590,7 +611,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(b).alias("band_no"),
             F.md5(
                 F.concat_ws(
-                    "|", *[F.col(f"h{b * _BAND_SIZE + j}") for j in range(_BAND_SIZE)]
+                    "|",
+                    *[
+                        F.col(f"h{b * _BAND_SIZE + j}").cast("string")
+                        for j in range(_BAND_SIZE)
+                    ],
                 )
             ).alias("band_hash"),
         )
