@@ -1012,8 +1012,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_missing_ratio_diag,
         "SELECT event_type, round(100.0 * avg(CASE WHEN value < 1.0 THEN 1 ELSE 0 END), 4)"
         " AS pct_low, "
-        "array_to_string(coalesce((list_sort(list(event_id) FILTER (WHERE value < 1.0)))[1:3], "
-        "CAST([] AS BIGINT[])), ',') AS examples "
+        "coalesce(array_to_string((list_sort(list(event_id) FILTER (WHERE value < 1.0)))[1:3], "
+        "','), '') AS examples "  # DuckDB array_to_string([]) is NULL; Spark concat_ws is ''
         "FROM events GROUP BY event_type",
     ),
     "sessionize": (

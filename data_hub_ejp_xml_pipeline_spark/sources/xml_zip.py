@@ -28,13 +28,15 @@ citations are for semantics parity only.
 
 from __future__ import annotations
 
-import html
 import io
 import json
 import re
 import zipfile
 import xml.etree.ElementTree as ET
+from datetime import timezone as _dt_timezone
 from typing import Any, Iterator
+
+_UTC = _dt_timezone.utc
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +44,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_hub_ejp_xml_pipeline_spark.functions.json_clean import remove_empty_keys
+from data_hub_ejp_xml_pipeline_spark.sources.xml_entities import (
+    child_text,
+    format_iso,
+    node_text,
+    parse_manuscript_document,
+    parse_persons_document,
+    parse_xml_recovering,
+)
 
 ENTITY_SCHEMA = T.StructType(
     [
@@ -58,107 +68,39 @@ ENTITY_SCHEMA = T.StructType(
 )
 
 MANIFEST_NAME = "go.xml"
-_MANUSCRIPT_NO_RE = re.compile(r".*e[Ll]ife.*-(\d{5,6})")
 
 
 # ----------------------------------------------------------------- parsing
 
 
-def _text(el: ET.Element | None, path: str, default: str = "") -> str:
-    child = el.find(path) if el is not None else None
-    if child is None or child.text is None:
-        return default
-    return html.unescape(child.text)
-
-
-def _parse_person(node: ET.Element, idx: int, zip_xml: str, create_date: str) -> dict[str, Any]:
-    pid = _text(node, "person-id")
-    doc_id = pid or f"generated-{zip_xml}-{idx}"
-    profile_ts = _text(node, "profile-modify-date")
-    payload = {
-        "first_name": _text(node, "first-nm"),
-        "last_name": _text(node, "last-nm"),
-        "email": _text(node, "email"),
-        "is_active": _text(node, "active-ind") == "1",
-        "tags": [
-            html.unescape(t.text or "") for t in node.findall("person-tags/tag")
-        ],
-        "addresses": [
-            {
-                "country": _text(a, "country"),
-                "city": _text(a, "city"),
-            }
-            for a in node.findall("addresses/address")
-        ],
-    }
-    return {
-        "entity_type": "person",
-        "doc_id": doc_id,
-        "modified_timestamp": profile_ts or create_date,
-        "payload": payload,
-        "node_index": idx,
-    }
-
-
-def _manuscript_id(number: str, xml_file: str) -> str:
-    m = _MANUSCRIPT_NO_RE.match(number or "")
-    if m:
-        return m.group(1)
-    if number:
-        return number
-    stem = xml_file.rsplit("/", 1)[-1]
-    return stem.rsplit(".", 1)[0]
-
-
-def _parse_manuscript(
-    root: ET.Element, zip_xml: str, create_date: str
-) -> Iterator[dict[str, Any]]:
-    number = _text(root, "manuscript/manuscript-number")
-    mid = _manuscript_id(number, zip_xml)
-    stages = [
-        {
-            "stage_name": _text(s, "stage-nm"),
-            "stage_timestamp": _text(s, "start-date"),
-        }
-        for s in root.findall("manuscript/history/stage")
-    ]
-    created = stages[0]["stage_timestamp"] if stages else ""
-    version_id = f"{mid}/{created}" if created else f"NotAcceptable/{mid}"
-    modified = _text(root, "manuscript/modify-date") or create_date
-    yield {
-        "entity_type": "manuscript",
-        "doc_id": mid,
-        "modified_timestamp": modified,
-        "payload": {
-            "manuscript_number": number,
-            "country": _text(root, "manuscript/country"),
-            "doi": _text(root, "manuscript/production-data/doi"),
-        },
-        "node_index": 0,
-    }
-    yield {
-        "entity_type": "manuscript_version",
-        "doc_id": version_id,
-        "modified_timestamp": modified,
-        "payload": {
-            "manuscript_id": mid,
-            "created_timestamp": created,
-            "stages": stages,
-            "keywords": [
-                html.unescape(k.text or "")
-                for k in root.findall("manuscript/keywords/keyword")
-            ],
-        },
-        "node_index": 1,
-    }
+def _read_manifest(manifest_root: ET.Element) -> tuple[str | None, list[str]]:
+    """Reference go.xml format (ejp_zip.py:31-38): ``create_date``
+    ATTRIBUTE on the root + ``file_nm`` member elements. The engine's
+    round-1 fixture format (``create-date``/``file-nm`` children) is kept
+    readable for back-compat."""
+    create_date = manifest_root.attrib.get("create_date") or child_text(
+        manifest_root, "create-date"
+    )
+    listed = [
+        node_text(node).strip() for node in manifest_root.iter("file_nm")
+    ] or [node_text(node).strip() for node in manifest_root.iter("file-nm")]
+    return create_date, [n for n in listed if n]
 
 
 def parse_zip_bytes(
     content: bytes,
     zip_name: str,
     exclusion_pattern: str | None = None,
+    default_modified_iso: str | None = None,
 ) -> Iterator[dict[str, Any]]:
-    """One zip → entity/quarantine row dicts (manifest-driven member scan)."""
+    """One zip → entity/quarantine row dicts (manifest-driven member scan).
+
+    ``default_modified_iso`` is the fallback document timestamp when the
+    zip has no manifest create_date (the Spark layer passes the zip file's
+    modificationTime); the reference hard-requires go.xml
+    (ejp_zip.py:57-58) — this engine quarantines per member instead of
+    failing the whole batch.
+    """
     excl = re.compile(exclusion_pattern) if exclusion_pattern else None
     try:
         zf = zipfile.ZipFile(io.BytesIO(content))
@@ -170,48 +112,46 @@ def parse_zip_bytes(
         }
         return
     names = set(zf.namelist())
-    create_date = ""
+    modified_timestamp_str = default_modified_iso or ""
     members: list[str] = sorted(n for n in names if n != MANIFEST_NAME)
     if MANIFEST_NAME in names:
-        try:
-            manifest = ET.fromstring(zf.read(MANIFEST_NAME))
-            create_date = _text(manifest, "create-date")
-            listed = [
-                (f.text or "").strip() for f in manifest.iter("file-nm")
-            ]
-            if listed:
-                members = [n for n in listed if n in names]
-        except ET.ParseError as exc:
+        manifest_root, err = parse_xml_recovering(zf.read(MANIFEST_NAME))
+        if manifest_root is None:
             yield {
                 "zip_file": zip_name, "xml_file": MANIFEST_NAME,
                 "entity_type": "error", "doc_id": None,
                 "modified_timestamp": None, "payload": None,
-                "node_index": None, "error": f"manifest parse: {exc}",
+                "node_index": None, "error": f"manifest parse: {err}",
             }
+        else:
+            create_date, listed = _read_manifest(manifest_root)
+            if create_date:
+                modified_timestamp_str = format_iso(create_date)
+            if listed:
+                members = [n for n in listed if n in names]
     for member in members:
         if excl is not None and excl.match(member):
             continue
         zip_xml = f"{zip_name}/{member}"
         data = zf.read(member)
-        try:
-            root = ET.fromstring(data)
-        except ET.ParseError as exc:
-            # quarantine branch (reference reports the offending line,
-            # xml.py:8-22); the malformed payload is preserved for replay
+        root, err = parse_xml_recovering(data)
+        if root is None:
+            # quarantine branch — the error carries the offending source
+            # line (parity with xml.py:8-22); the malformed head is
+            # preserved for replay/debugging
             yield {
                 "zip_file": zip_name, "xml_file": member, "entity_type": "error",
                 "doc_id": None, "modified_timestamp": None,
                 "payload": data[:2048].decode("utf-8", "replace"),
-                "node_index": None, "error": f"xml parse: {exc}",
+                "node_index": None, "error": err,
             }
             continue
         if root.tag == "persons":
-            rows: Iterator[dict[str, Any]] = (
-                _parse_person(n, i, zip_xml, create_date)
-                for i, n in enumerate(root.findall("person"))
+            rows: Iterator[dict[str, Any]] = parse_persons_document(
+                root, modified_timestamp_str, zip_xml
             )
         elif root.tag == "xml":
-            rows = _parse_manuscript(root, zip_xml, create_date)
+            rows = parse_manuscript_document(root, modified_timestamp_str, zip_xml)
         else:
             yield {
                 "zip_file": zip_name, "xml_file": member, "entity_type": "error",
@@ -219,17 +159,27 @@ def parse_zip_bytes(
                 "node_index": None, "error": f"unknown root tag: {root.tag}",
             }
             continue
-        for row in rows:
-            payload = remove_empty_keys(row["payload"])
+        try:
+            for row in rows:
+                payload = remove_empty_keys(row["payload"])
+                yield {
+                    "zip_file": zip_name,
+                    "xml_file": member,
+                    "entity_type": row["entity_type"],
+                    "doc_id": row["doc_id"],
+                    "modified_timestamp": row["modified_timestamp"] or None,
+                    "payload": json.dumps(payload, sort_keys=True, ensure_ascii=False),
+                    "node_index": row["node_index"],
+                    "error": None,
+                }
+        except Exception as exc:  # noqa: BLE001 — ParseDocumentError analog
+            # the reference wraps any transform failure with provenance
+            # (ejp_xml.py:24-42); here it becomes a quarantine row so one
+            # bad document cannot fail the distributed batch
             yield {
-                "zip_file": zip_name,
-                "xml_file": member,
-                "entity_type": row["entity_type"],
-                "doc_id": row["doc_id"],
-                "modified_timestamp": row["modified_timestamp"] or None,
-                "payload": json.dumps(payload, sort_keys=True, ensure_ascii=False),
-                "node_index": row["node_index"],
-                "error": None,
+                "zip_file": zip_name, "xml_file": member, "entity_type": "error",
+                "doc_id": None, "modified_timestamp": None, "payload": None,
+                "node_index": None, "error": f"transform: {exc}",
             }
 
 
@@ -256,9 +206,17 @@ def read_zip_entities(
             out: list[dict[str, Any]] = []
             for _, row in pdf.iterrows():
                 zip_name = row["path"].rsplit("/", 1)[-1]
-                mtime_ms = int(row["modificationTime"].timestamp() * 1000)
+                mtime = row["modificationTime"]
+                mtime_ms = int(mtime.timestamp() * 1000)
+                # file mtimes are UTC instants (session tz is UTC); do NOT
+                # route through format_iso, which treats naive as US/Eastern
+                mdt = mtime.to_pydatetime()
+                if mdt.tzinfo is None:
+                    mdt = mdt.replace(tzinfo=_UTC)
+                mtime_iso = mdt.astimezone(_UTC).isoformat().replace("+00:00", "Z")
                 for rec in parse_zip_bytes(
-                    bytes(row["content"]), zip_name, exclusion_pattern
+                    bytes(row["content"]), zip_name, exclusion_pattern,
+                    default_modified_iso=mtime_iso,
                 ):
                     rec["file_mtime_ms"] = mtime_ms
                     out.append(rec)

@@ -32,12 +32,15 @@ PAYLOAD = T.StructType(
 def _zip_bytes(person_id: str, name: str, ts: str) -> bytes:
     xml = f"""<persons><person>
       <person-id>{person_id}</person-id>
-      <first-nm>{name}</first-nm>
+      <first-name>{name}</first-name>
       <profile-modify-date>{ts}</profile-modify-date>
     </person></persons>""".encode()
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as zf:
-        zf.writestr("go.xml", b"<go><create-date>2020-01-01</create-date></go>")
+        zf.writestr(
+            "go.xml",
+            b'<go create_date="2020-01-01"><file_nm>p.xml</file_nm></go>',
+        )
         zf.writestr("p.xml", xml)
     return buf.getvalue()
 
@@ -68,8 +71,8 @@ def test_zip_stream_to_table_end_to_end(spark, tmp_path):
     q.awaitTermination()
 
     rows = {r.doc_id: r for r in table.read().collect()}
-    assert set(rows) == {"person:p1", "person:p2"}
-    assert "Ada Updated" in rows["person:p1"].payload  # newer zip won
+    assert set(rows) == {"person_v2:p1", "person_v2:p2"}
+    assert "Ada Updated" in rows["person_v2:p1"].payload  # newer zip won
     assert table.lineage(), "lineage recorded"
 
     # a replayed (re-delivered) zip with identical content is absorbed
@@ -84,4 +87,4 @@ def test_zip_stream_to_table_end_to_end(spark, tmp_path):
     q2.awaitTermination()
     rows2 = {r.doc_id: r for r in table.read().collect()}
     assert rows2.keys() == rows.keys()
-    assert "Ada Updated" in rows2["person:p1"].payload
+    assert "Ada Updated" in rows2["person_v2:p1"].payload

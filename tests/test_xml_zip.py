@@ -20,39 +20,54 @@ from data_hub_ejp_xml_pipeline_spark.sources.xml_zip import (
     read_zip_entities,
 )
 
+# reference XML vocabulary throughout (ejp_person_xml.py / ejp_manuscript_xml.py)
 PERSONS_XML = b"""<persons>
   <person>
     <person-id>p1</person-id>
-    <first-nm>Ada</first-nm><last-nm>Lovelace &amp; Co</last-nm>
+    <first-name>Ada</first-name><last-name>Lovelace &amp; Co</last-name>
     <email>ada@example.org</email>
-    <active-ind>1</active-ind>
     <profile-modify-date>2020-01-02 03:04:05</profile-modify-date>
-    <person-tags><tag>editor</tag><tag>reviewer</tag></person-tags>
-    <addresses><address><country>UK</country><city>London</city></address></addresses>
+    <person-tags><person-tag>editor</person-tag><person-tag>reviewer</person-tag></person-tags>
+    <addresses><address active_ind="1"><country>UK</country><city>London</city></address></addresses>
   </person>
   <person>
-    <first-nm>NoId</first-nm><last-nm>Person</last-nm>
-    <active-ind>0</active-ind>
+    <first-name>NoId</first-name><last-name>Person</last-name>
+    <status>Inactive</status>
   </person>
 </persons>"""
 
 MANUSCRIPT_XML = b"""<xml>
+  <people>
+    <person><person-id>a1</person-id><first-name>Alan</first-name>
+      <last-name>Turing</last-name>
+      <roles><role><role-type>Author</role-type></role></roles>
+    </person>
+  </people>
   <manuscript>
-    <manuscript-number>05-02-2020-RA-eLife-12345</manuscript-number>
     <country>UK</country>
-    <modify-date>2020-02-02 00:00:00</modify-date>
-    <history>
-      <stage><stage-nm>Submission</stage-nm><start-date>2020-01-01 00:00:00</start-date></stage>
-      <stage><stage-nm>Review</stage-nm><start-date>2020-01-05 00:00:00</start-date></stage>
-    </history>
-    <keywords><keyword>spark</keyword></keywords>
+    <production-data><production-data-doi>10.7554/eLife.12345</production-data-doi></production-data>
+    <version>
+      <manuscript-number>05-02-2020-RA-eLife-12345</manuscript-number>
+      <manuscript-type>Research Article</manuscript-type>
+      <title>Spark &amp; Scale</title>
+      <history>
+        <stage><stage-name>Submission</stage-name><start-date>2020-01-01 00:00:00</start-date></stage>
+        <stage><stage-name>Review</stage-name><start-date>2020-01-05 00:00:00</start-date></stage>
+      </history>
+      <authors><author><author-person-id>a1</author-person-id>
+        <author-seq>1</author-seq><is-corr>true</is-corr></author></authors>
+      <keywords><keywords><word>spark</word></keywords></keywords>
+    </version>
   </manuscript>
 </xml>"""
 
-GO_XML = b"""<go>
-  <create-date>2020-03-03 00:00:00</create-date>
-  <files><file-nm>people.xml</file-nm><file-nm>ms.xml</file-nm><file-nm>skipme.xml</file-nm></files>
-</go>"""
+# reference go.xml format: create_date ATTRIBUTE + file_nm elements
+# (ejp_zip.py:31-38)
+GO_XML = (
+    b'<go create_date="2020-03-03 00:00:00">'
+    b"<file_nm>people.xml</file_nm><file_nm>ms.xml</file_nm>"
+    b"<file_nm>skipme.xml</file_nm></go>"
+)
 
 
 def make_zip(members: dict[str, bytes]) -> bytes:
@@ -78,42 +93,87 @@ def test_parse_zip_golden():
     for r in rows:
         by_type.setdefault(r["entity_type"], []).append(r)
 
-    persons = by_type["person"]
+    persons = by_type["person_v2"]
     assert persons[0]["doc_id"] == "p1"
     p0 = json.loads(persons[0]["payload"])
     assert p0["last_name"] == "Lovelace & Co"  # entity decoded
-    assert p0["is_active"] is True
-    assert p0["tags"] == ["editor", "reviewer"]
-    assert persons[0]["modified_timestamp"] == "2020-01-02 03:04:05"
-    # synthetic id + create-date fallback for the id-less person
+    assert p0["person_tags"] == ["editor", "reviewer"]
+    assert p0["addresses"][0]["is_enabled"] is True
+    # node_index 0 is falsy → stripped, exactly as the reference's
+    # remove_key_with_null_value does before the BigQuery write (etl.py:47)
+    assert p0["provenance"] == {"source_filename": "batch.zip/people.xml"}
+    # naive wall time → US/Eastern (EST, UTC-5) → ISO Z
+    assert persons[0]["modified_timestamp"] == "2020-01-02T08:04:05Z"
+    # synthetic id + manifest create_date fallback for the id-less person
     assert persons[1]["doc_id"] == "generated-batch.zip/people.xml-1"
-    assert persons[1]["modified_timestamp"] == "2020-03-03 00:00:00"
+    assert persons[1]["modified_timestamp"] == "2020-03-03T05:00:00Z"
     p1 = json.loads(persons[1]["payload"])
-    assert p1["is_active"] is False  # False survives null-stripping
-    assert "email" not in p1  # '' stripped
+    assert p1["status"] == "Inactive"
+    assert "email" not in p1  # missing child (None) stripped
     assert "addresses" not in p1  # [] stripped
+
+    # manuscript-side person entity (people/person)
+    a1 = json.loads(by_type["person"][0]["payload"])
+    assert by_type["person"][0]["doc_id"] == "a1"
+    assert a1["roles"] == [{"role_name": "Author"}]
 
     ms = by_type["manuscript"][0]
     assert ms["doc_id"] == "12345"  # regex-extracted eLife number
+    mp = json.loads(ms["payload"])
+    assert mp["doi"] == "10.7554/eLife.12345"
+    assert mp["long_manuscript_identifier"] == "05-02-2020-RA-eLife-12345"
     ver = by_type["manuscript_version"][0]
-    assert ver["doc_id"] == "12345/2020-01-01 00:00:00"
+    assert ver["doc_id"] == "12345/2020-01-01T05:00:00Z"
     vp = json.loads(ver["payload"])
     assert [s["stage_name"] for s in vp["stages"]] == ["Submission", "Review"]
+    assert vp["authors"] == [
+        {"person_id": "a1", "sequence": 1, "is_corresponding_author": True}
+    ]
+    assert vp["keywords"] == [{"keyword": "spark"}]
+    assert vp["manuscript_title"] == "Spark & Scale"
+    assert vp["overall_stage"] == "Full Submission"
 
     # exclusion + manifest filtering: skipme and not-listed produce nothing
     assert not any(r["xml_file"] in ("skipme.xml", "not-listed.xml") for r in rows)
 
 
 def test_parse_zip_quarantine_paths():
-    z = make_zip({"go.xml": GO_XML, "people.xml": b"<persons><broken", "ms.xml": b"<weird/>"})
+    go = (
+        b'<go create_date="2020-03-03 00:00:00">'
+        b"<file_nm>people.xml</file_nm><file_nm>ms.xml</file_nm>"
+        b"<file_nm>hard.xml</file_nm></go>"
+    )
+    z = make_zip({
+        "go.xml": go,
+        "people.xml": b"<persons><broken",  # truncated → RECOVERED (S7)
+        "ms.xml": b"<weird/>",
+        "hard.xml": b"<a>\n<<<%%% not xml\n</a>",  # unrecoverable
+    })
     rows = list(parse_zip_bytes(z, "bad.zip"))
     errors = [r for r in rows if r["entity_type"] == "error"]
-    assert len(errors) == 2
     kinds = {e["xml_file"]: e["error"] for e in errors}
-    assert "xml parse" in kinds["people.xml"]
+    # truncated people.xml was salvaged (no person children → no rows, no error)
+    assert "people.xml" not in kinds
     assert "unknown root tag" in kinds["ms.xml"]
+    # hard failure carries the offending line (xml.py:8-22 parity)
+    assert "line=[" in kinds["hard.xml"] and "not xml" in kinds["hard.xml"]
     # bad zip bytes entirely
     assert "bad zip" in next(iter(parse_zip_bytes(b"nope", "x.zip")))["error"]
+
+
+def test_truncated_document_yields_entities_not_quarantine():
+    """S7: a recoverably-broken document (truncated mid-element) is
+    salvaged into entities — the reference gets this from lxml
+    recover=True (ejp_zip.py:41-45)."""
+    truncated = (
+        b'<persons><person><person-id>p9</person-id>'
+        b"<first-name>Cut"  # document truncated mid-stream
+    )
+    go = b'<go create_date="2020-03-03 00:00:00"><file_nm>p.xml</file_nm></go>'
+    rows = list(parse_zip_bytes(make_zip({"go.xml": go, "p.xml": truncated}), "t.zip"))
+    assert [r["entity_type"] for r in rows] == ["person_v2"]
+    assert rows[0]["doc_id"] == "p9"
+    assert json.loads(rows[0]["payload"])["first_name"] == "Cut"
 
 
 def test_manuscript_id_fallbacks():
@@ -121,7 +181,15 @@ def test_manuscript_id_fallbacks():
         b"<manuscript-number>05-02-2020-RA-eLife-12345</manuscript-number>", b""
     )
     z = make_zip({"fallback-stem.xml": no_number})
-    rows = [r for r in parse_zip_bytes(z, "z.zip") if r["entity_type"] == "manuscript"]
+    # no go.xml → the Spark layer's file-mtime fallback supplies the
+    # document timestamp (parse_zip_bytes default_modified_iso)
+    rows = [
+        r
+        for r in parse_zip_bytes(
+            z, "z.zip", default_modified_iso="2020-03-03T05:00:00Z"
+        )
+        if r["entity_type"] == "manuscript"
+    ]
     assert rows[0]["doc_id"] == "fallback-stem"
 
 
@@ -150,7 +218,8 @@ def test_spark_end_to_end_zip_to_table(spark, tmp_path):
     assert quarantine(entities).count() == 0
     changelog = entities_to_changelog(entities)
     rows = changelog.collect()
-    assert len(rows) == 3 * 4  # 2 persons + manuscript + version per zip
+    # 2 person_v2 + 1 person + manuscript + version per zip
+    assert len(rows) == 3 * 5
 
     # deterministic on replay
     again = entities_to_changelog(read_zip_entities(spark, str(d))).collect()
@@ -174,8 +243,9 @@ def test_spark_end_to_end_zip_to_table(spark, tmp_path):
     table.merge(reduce_latest(changelog), batch_id=0)
     final = table.read()
     # synthetic person ids are file-scoped (one per zip, as in the
-    # reference) → 3 generated + p1 + manuscript + version = 6
-    assert final.count() == 6
+    # reference) → 3 generated person_v2 + person_v2:p1 + person:a1 +
+    # manuscript + version = 7
+    assert final.count() == 7
     lineage = table.lineage()
     assert {r["source_file"].split("/")[0] for r in lineage} == {
         "batch-0.zip", "batch-1.zip", "batch-2.zip"
@@ -198,4 +268,4 @@ def test_streaming_zip_source(spark, tmp_path):
     q.awaitTermination()
     out = spark.sql("SELECT * FROM zip_entities").collect()
     assert len(out) == 2
-    assert {r.entity_type for r in out} == {"person"}
+    assert {r.entity_type for r in out} == {"person_v2"}
