@@ -9,23 +9,37 @@ hole at ``etl.py:190-195``).
 
 Design for 100 TB:
 
-* **Bucketed copy-on-write.** Every data file belongs to a hash bucket
-  ``pmod(xxhash64(key), n_buckets)``. A merge only reads and rewrites the
-  buckets its update batch touches — file-level pruning identical in
-  spirit to Iceberg manifest pruning. Untouched files are carried forward
-  by reference in the new manifest (no data movement).
-* **Atomic commits.** A commit = write immutable data files → write
-  ``meta/v{N}.json`` manifest → atomically swap the ``meta/VERSION``
-  pointer (``os.replace``). Readers resolve the pointer once and read an
-  immutable snapshot; a crash mid-commit leaves garbage files but a
-  consistent table.
-* **Exactly-once.** The manifest embeds the epoch ledger
-  ``{batch_id → snapshot_id}``; re-applying an already-committed batch is
-  a metadata no-op, so streaming replay from any checkpoint converges to
-  byte-identical state.
-* **Lineage.** Each commit records per-source-file offset ranges
-  (FIXTURES.md §5), generalizing the reference's per-row provenance
-  struct (``ejp_zip.py:66-69``).
+* **Bucketed copy-on-write with file-level pruning.** Every data file
+  belongs to a hash bucket ``pmod(xxhash64(key), n_buckets)`` and carries
+  its key min/max (from the parquet footer statistics — parquet-mr keeps
+  truncated binary stats as valid bounds) in the manifest. A merge reads
+  and rewrites only the files whose key range intersects the batch's
+  per-bucket key range — Iceberg-style min/max manifest pruning, so a
+  small batch against a huge, many-file bucket rewrites O(batch) files,
+  not the bucket. Untouched files are carried forward by reference (no
+  data movement). ``files_per_bucket`` controls write fan-out so buckets
+  are multi-file in the first place.
+* **Atomic commits.** A commit = write immutable data files → create
+  ``meta/v{N}.json`` with ``O_CREAT|O_EXCL`` (the manifest file is the
+  CAS token between racing writers) → atomically swap the
+  ``meta/VERSION`` pointer (``os.replace``). Readers resolve the pointer
+  once and read an immutable snapshot; a crash mid-commit leaves garbage
+  files but a consistent table.
+* **Exactly-once with a BOUNDED ledger.** The manifest embeds a sliding
+  window of recent ``{batch_id → snapshot_id}`` entries plus an
+  ``evicted_below`` watermark: replays inside the window hit the map,
+  older (monotone streaming) replays hit the watermark — O(window), not
+  O(history), per commit.
+* **Lineage sidecar.** Per-source-file offset ranges (FIXTURES.md §5,
+  generalizing the reference's provenance struct ``ejp_zip.py:66-69``)
+  are APPENDED to ``meta/lineage.jsonl`` after the pointer swap — O(1)
+  per commit instead of rewriting cumulative history into the manifest.
+  Lineage is observability: a crash between swap and append loses that
+  epoch's lineage line but never correctness.
+* **One pre-pass per commit.** Lineage, touched buckets, per-bucket key
+  ranges (for the file pruning) and batch stats all come out of a single
+  ``GROUPING SETS ((source_file), (_bucket))`` aggregation over a narrow
+  projection — one extra Spark job per epoch, not three.
 """
 
 from __future__ import annotations
@@ -86,6 +100,10 @@ class SnapshotTable:
         self.root = root
 
     # ---------------------------------------------------------------- setup
+    # ledger entries older than (max batch_id - window) are evicted into
+    # the evicted_below watermark — bounds manifest size at O(window)
+    ledger_window: int = 1024
+
     @classmethod
     def create(
         cls,
@@ -94,9 +112,13 @@ class SnapshotTable:
         schema: T.StructType,
         key: str = "doc_id",
         n_buckets: int = 16,
+        files_per_bucket: int = 1,
     ) -> "SnapshotTable":
         """Create an empty table. ``schema`` is the payload schema (must
-        include ``key``); the engine appends ``_lsn`` internally."""
+        include ``key``); the engine appends ``_lsn`` internally.
+        ``files_per_bucket`` sets the write fan-out per bucket — >1 gives
+        the min/max file pruning something to prune (size it so a file is
+        ~100-500 MB at the target scale)."""
         extra = [
             T.StructField(name, dtype, True)
             for name, dtype in ((LSN_COL, T.LongType()), (DELETED_COL, T.BooleanType()))
@@ -112,10 +134,11 @@ class SnapshotTable:
             "operation": "create",
             "key": key,
             "n_buckets": n_buckets,
+            "files_per_bucket": files_per_bucket,
             "schema": json.loads(schema.json()),
             "files": [],
             "ledger": {},
-            "lineage": [],
+            "ledger_evicted_below": None,
             "ts": time.time(),
         }
         table = cls(spark, root)
@@ -146,7 +169,36 @@ class SnapshotTable:
         return self.manifest()["ledger"]
 
     def lineage(self) -> list[dict[str, Any]]:
-        return self.manifest()["lineage"]
+        """Read the append-only lineage sidecar. A torn final line (crash
+        mid-append) is skipped; duplicate (snapshot_id, source_file) pairs
+        from a retried commit keep the first occurrence."""
+        path = os.path.join(self.root, "meta", "lineage.jsonl")
+        if not os.path.exists(path):
+            return []
+        out: list[dict[str, Any]] = []
+        seen: set[tuple[str, str]] = set()
+        with open(path) as fh:
+            for line in fh:
+                try:
+                    row = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                dedup_key = (row.get("snapshot_id", ""), row.get("source_file", ""))
+                if dedup_key in seen:
+                    continue
+                seen.add(dedup_key)
+                out.append(row)
+        return out
+
+    def _append_lineage(self, snapshot_id: str, rows: list[dict[str, Any]]) -> None:
+        if not rows:
+            return
+        path = os.path.join(self.root, "meta", "lineage.jsonl")
+        payload = "".join(
+            json.dumps({**r, "snapshot_id": snapshot_id}) + "\n" for r in rows
+        )
+        with open(path, "a") as fh:
+            fh.write(payload)
 
     def snapshots(self) -> list[dict[str, Any]]:
         out = []
@@ -175,19 +227,22 @@ class SnapshotTable:
         """
         m = self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
-        paths = [
-            os.path.join(self.root, f["path"])
-            for f in m["files"]
-            if buckets is None or f["bucket"] in buckets
+        entries = [
+            f for f in m["files"] if buckets is None or f["bucket"] in buckets
         ]
-        if not paths:
-            df = self.spark.createDataFrame([], schema)
-        else:
-            # explicit schema: old files lacking newly added columns → nulls
-            df = self.spark.read.schema(schema).parquet(*paths)
+        df = self._read_file_entries(entries, schema)
         if include_tombstones:
             return df
         return df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
+
+    def _read_file_entries(
+        self, entries: list[dict[str, Any]], schema: T.StructType
+    ) -> DataFrame:
+        paths = [os.path.join(self.root, f["path"]) for f in entries]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        # explicit schema: old files lacking newly added columns → nulls
+        return self.spark.read.schema(schema).parquet(*paths)
 
     # ---------------------------------------------------------------- write
     def _bucket_expr(self, key: str) -> F.Column:
@@ -260,9 +315,10 @@ class SnapshotTable:
         stats_df: DataFrame | None = None,
     ) -> CommitResult:
         m = self.manifest()
-        if batch_id is not None and str(batch_id) in m["ledger"]:
+        applied_snap = self._ledger_lookup(m, batch_id)
+        if applied_snap is not None:
             # exactly-once: epoch already applied → metadata no-op
-            return CommitResult(m["ledger"][str(batch_id)], m["version"], applied=False)
+            return CommitResult(applied_snap, m["version"], applied=False)
 
         key = m["key"]
         existing_schema = T.StructType.fromJson(m["schema"])
@@ -284,17 +340,21 @@ class SnapshotTable:
             [f for f in merged_schema.fields if f.name not in INTERNAL_COLS]
         )
         if merge:
-            # Two jobs per commit: lineage/buckets collect + the merge-write.
-            # ``stats_df`` lets callers pass the RAW (un-reduced) batch for
-            # the stats job — a 3-column projection with no reduce — so the
-            # expensive LWW reduce executes exactly once (in the write job).
-            # Recomputing beats caching: persisting array<int> payloads costs
-            # more in columnar cache serialization than the re-aggregation.
+            # Two jobs per commit: the single grouping-sets pre-pass
+            # (lineage + touched buckets + per-bucket key ranges + stats)
+            # and the merge-write. ``stats_df`` lets callers pass the RAW
+            # (un-reduced) batch for the pre-pass — a narrow projection with
+            # no reduce — so the expensive LWW reduce executes exactly once
+            # (in the write job). Recomputing beats caching: persisting
+            # array<int> payloads costs more in columnar cache
+            # serialization than the re-aggregation.
             src = updates.withColumn("_bucket", bucket)
             stats_src = (
                 stats_df.withColumn("_bucket", bucket) if stats_df is not None else src
             )
-            lineage_rows, touched, batch_stats = self._lineage_and_buckets(stats_src)
+            lineage_rows, bucket_ranges, batch_stats = self._batch_profile(
+                stats_src, key
+            )
             if batch_stats["n_events"] == 0:
                 # empty batch: no data files, no new snapshot (reference F4)
                 return CommitResult(
@@ -306,7 +366,15 @@ class SnapshotTable:
                 F.col(op_col).alias("_op"),
                 F.col("_bucket"),
             )
-            target = self.read(buckets=set(touched), include_tombstones=True)
+            # file-level pruning: only files whose key range can contain a
+            # batch key are read and rewritten; the rest carry forward
+            touched_entries, carried = _split_touched_files(
+                m["files"], bucket_ranges
+            )
+            est_rows = (
+                sum(f["rows"] for f in touched_entries) + batch_stats["n_events"]
+            )
+            target = self._read_file_entries(touched_entries, existing_schema)
             target = conform_to_schema(target, merged_schema).withColumn("_bucket", bucket)
 
             broadcast_batch = (
@@ -317,7 +385,9 @@ class SnapshotTable:
             )
         else:
             src = updates.withColumn("_bucket", bucket)
-            lineage_rows, touched, batch_stats = self._lineage_and_buckets(src)
+            lineage_rows, bucket_ranges, batch_stats = self._batch_profile(src, key)
+            carried = list(m["files"])
+            est_rows = batch_stats["n_events"]
             result = (
                 conform_to_schema(src, payload_schema)
                 .withColumn(
@@ -330,24 +400,30 @@ class SnapshotTable:
                 .withColumn("_bucket", bucket)
             )
 
+        # output fan-out ∝ rows being rewritten: a pruned merge that touches
+        # one file must not spray its few rows over n_buckets*fpb fragments.
+        # target file size derives from the steady-state table shape.
+        max_parts = m["n_buckets"] * m.get("files_per_bucket", 1)
+        table_rows = sum(f["rows"] for f in m["files"])
+        rows_per_file = max(1, -(-max(table_rows, est_rows) // max_parts))
+        n_parts = min(max_parts, max(1, -(-est_rows // rows_per_file)))
         (
-            # range-partition on the bucket id: each output partition holds
-            # exactly one bucket (hash-repartition maps 64 bucket values onto
-            # shuffle partitions with collisions → imbalanced write tasks)
-            result.repartitionByRange(m["n_buckets"], F.col("_bucket"))
-            .sortWithinPartitions(key)
+            # range-partition on (bucket, key): each output partition holds
+            # a contiguous (bucket, key) slice, so with files_per_bucket > 1
+            # each bucket splits into files with NON-overlapping key ranges
+            # — exactly what the min/max pruning needs. (Hash-repartition
+            # would collide bucket values onto partitions → imbalance.)
+            result.repartitionByRange(n_parts, F.col("_bucket"), F.col(key))
+            .sortWithinPartitions("_bucket", key)
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(snap_dir)
         )
 
-        new_files = _list_bucket_files(snap_dir, snap_rel)
-        if merge:
-            carried = [f for f in m["files"] if f["bucket"] not in set(touched)]
-        else:
-            carried = list(m["files"])
+        new_files = _list_bucket_files(snap_dir, snap_rel, key)
         rows_written = sum(f["rows"] for f in new_files)
 
+        ledger, evicted_below = self._advance_ledger(m, batch_id, snapshot_id)
         manifest = {
             "version": version,
             "snapshot_id": snapshot_id,
@@ -355,18 +431,16 @@ class SnapshotTable:
             "operation": operation + ("+evolve" if schema_evolved else ""),
             "key": key,
             "n_buckets": m["n_buckets"],
+            "files_per_bucket": m.get("files_per_bucket", 1),
             "schema": json.loads(merged_schema.json()),
             "files": carried + new_files,
-            "ledger": (
-                {**m["ledger"], str(batch_id): snapshot_id}
-                if batch_id is not None
-                else m["ledger"]
-            ),
-            "lineage": m["lineage"]
-            + [{**r, "snapshot_id": snapshot_id} for r in lineage_rows],
+            "ledger": ledger,
+            "ledger_evicted_below": evicted_below,
             "ts": time.time(),
         }
         self._write_manifest(manifest, expected_parent_version=m["version"])
+        # after the pointer swap: the commit is durable, lineage is O(1) append
+        self._append_lineage(snapshot_id, lineage_rows)
         return CommitResult(
             snapshot_id,
             version,
@@ -375,6 +449,43 @@ class SnapshotTable:
             n_events=batch_stats["n_events"],
             max_event_ts=batch_stats["max_event_ts"],
         )
+
+    # ------------------------------------------------------------- ledger
+    def _ledger_lookup(self, m: dict[str, Any], batch_id: int | None) -> str | None:
+        if batch_id is None:
+            return None
+        snap = m["ledger"].get(str(batch_id))
+        if snap is not None:
+            return snap
+        evicted_below = m.get("ledger_evicted_below")
+        if (
+            evicted_below is not None
+            and isinstance(batch_id, int)
+            and batch_id < evicted_below
+        ):
+            # older than the eviction watermark: streaming batch ids are
+            # monotone, so this is a replay of a long-committed epoch
+            return m["snapshot_id"]
+        return None
+
+    def _advance_ledger(
+        self, m: dict[str, Any], batch_id: int | None, snapshot_id: str
+    ) -> tuple[dict[str, str], int | None]:
+        evicted_below = m.get("ledger_evicted_below")
+        if batch_id is None:
+            return m["ledger"], evicted_below
+        ledger = {**m["ledger"], str(batch_id): snapshot_id}
+        if len(ledger) > self.ledger_window:
+            numeric = sorted(int(k) for k in ledger if k.lstrip("-").isdigit())
+            if numeric:
+                cutoff = numeric[-1] - self.ledger_window
+                ledger = {
+                    k: v
+                    for k, v in ledger.items()
+                    if not (k.lstrip("-").isdigit() and int(k) < cutoff)
+                }
+                evicted_below = max(evicted_below, cutoff) if evicted_below is not None else cutoff
+        return ledger, evicted_below
 
     # ------------------------------------------------------------ maintenance
     def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
@@ -424,13 +535,17 @@ class SnapshotTable:
         snap_dir = os.path.join(self.root, snap_rel)
         (
             live.withColumn("_bucket", self._bucket_expr(key))
-            .repartitionByRange(m["n_buckets"], F.col("_bucket"))
-            .sortWithinPartitions(key)
+            .repartitionByRange(
+                m["n_buckets"] * m.get("files_per_bucket", 1),
+                F.col("_bucket"),
+                F.col(key),
+            )
+            .sortWithinPartitions("_bucket", key)
             .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(snap_dir)
         )
-        new_files = _list_bucket_files(snap_dir, snap_rel)
+        new_files = _list_bucket_files(snap_dir, snap_rel, key)
         manifest = {
             **m,
             "version": version,
@@ -444,23 +559,37 @@ class SnapshotTable:
         return CommitResult(manifest["snapshot_id"], version, applied=True,
                             rows_written=sum(f["rows"] for f in new_files))
 
-    def _lineage_and_buckets(
-        self, src: DataFrame
-    ) -> tuple[list[dict[str, Any]], list[int], dict[str, Any]]:
-        """One aggregation job yields the per-source-file lineage rows, the
-        set of touched buckets (for file pruning), AND batch stats (event
-        count, max event time) — so streaming callers need no extra pass."""
+    def _batch_profile(
+        self, src: DataFrame, key: str
+    ) -> tuple[list[dict[str, Any]], dict[int, tuple[Any, Any]], dict[str, Any]]:
+        """ONE aggregation job per commit yields (a) per-source-file lineage
+        rows, (b) per-bucket batch key ranges — the input to the min/max
+        file pruning — and (c) batch stats (event count, max event time).
+
+        With lineage columns present this is a
+        ``GROUPING SETS ((source_file), (_bucket))`` aggregation: both
+        groupings in one shuffle; ``grouping(col)`` flags tell the rows
+        apart (NULL group values are ambiguous)."""
         has_ts = "event_ts" in src.columns
-        if "source_file" in src.columns and "offset" in src.columns:
-            aggs = [
+        has_lineage = "source_file" in src.columns and "offset" in src.columns
+        aggs = [
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(key).alias("kmin"),
+            F.max(key).alias("kmax"),
+            (F.max("event_ts") if has_ts else F.lit(None)).alias("max_ts"),
+        ]
+        if has_lineage:
+            aggs += [
                 F.min("offset").alias("offset_min"),
                 F.max("offset").alias("offset_max"),
-                F.count(F.lit(1)).alias("n_events"),
-                F.collect_set("_bucket").alias("buckets"),
             ]
-            if has_ts:
-                aggs.append(F.max("event_ts").alias("max_ts"))
-            rows = src.groupBy("source_file").agg(*aggs).collect()
+            rows = (
+                src.groupingSets([["source_file"], ["_bucket"]], "source_file", "_bucket")
+                .agg(F.grouping("_bucket").alias("_is_file_row"), *aggs)
+                .collect()
+            )
+            file_rows = [r for r in rows if r["_is_file_row"] == 1]
+            bucket_rows = [r for r in rows if r["_is_file_row"] == 0]
             lineage = [
                 {
                     "source_file": r["source_file"],
@@ -468,32 +597,20 @@ class SnapshotTable:
                     "offset_max": r["offset_max"],
                     "n_events": r["n_events"],
                 }
-                for r in rows
+                for r in file_rows
             ]
-            touched = sorted({b for r in rows for b in r["buckets"]})
-            stats = {
-                "n_events": sum(r["n_events"] for r in rows),
-                "max_event_ts": max(
-                    (r["max_ts"] for r in rows if r["max_ts"] is not None), default=None
-                )
-                if has_ts
-                else None,
-            }
-            return lineage, touched, stats
-        aggs = [F.count(F.lit(1)).alias("n")]
-        if has_ts:
-            aggs.append(F.max("event_ts").alias("max_ts"))
-        rows = src.groupBy("_bucket").agg(*aggs).collect()
-        touched = sorted(r["_bucket"] for r in rows)
+        else:
+            bucket_rows = src.groupBy("_bucket").agg(*aggs).collect()
+            lineage = []
+        bucket_ranges = {r["_bucket"]: (r["kmin"], r["kmax"]) for r in bucket_rows}
         stats = {
-            "n_events": sum(r["n"] for r in rows),
+            "n_events": sum(r["n_events"] for r in bucket_rows),
             "max_event_ts": max(
-                (r["max_ts"] for r in rows if r["max_ts"] is not None), default=None
-            )
-            if has_ts
-            else None,
+                (r["max_ts"] for r in bucket_rows if r["max_ts"] is not None),
+                default=None,
+            ),
         }
-        return [], touched, stats
+        return lineage, bucket_ranges, stats
 
     def _write_manifest(
         self, manifest: dict[str, Any], expected_parent_version: int | None = None
@@ -598,6 +715,33 @@ def _merge_rows(
     return merged.unionByName(inserts)
 
 
+def _split_touched_files(
+    files: list[dict[str, Any]], bucket_ranges: dict[int, tuple[Any, Any]]
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+    """(touched, carried): a file is touched iff its bucket is in the batch
+    AND its key min/max range intersects the batch's key range for that
+    bucket. Missing stats (old files, null-only stats) → touched (safe)."""
+    touched, carried = [], []
+    for f in files:
+        rng = bucket_ranges.get(f["bucket"])
+        if rng is None:
+            carried.append(f)
+            continue
+        kmin, kmax = f.get("key_min"), f.get("key_max")
+        try:
+            disjoint = (
+                kmin is not None
+                and kmax is not None
+                and rng[0] is not None
+                and rng[1] is not None
+                and (kmax < rng[0] or kmin > rng[1])
+            )
+        except TypeError:  # incomparable stat types → don't prune
+            disjoint = False
+        (carried if disjoint else touched).append(f)
+    return touched, carried
+
+
 def conform_col(df: DataFrame, field: T.StructField) -> F.Column:
     names = {f.name.lower(): f for f in df.schema.fields}
     src = names.get(field.name.lower())
@@ -614,7 +758,25 @@ def _find_field(schema: T.StructType, name: str) -> T.StructField | None:
     return None
 
 
-def _list_bucket_files(snap_dir: str, snap_rel: str) -> list[dict[str, Any]]:
+def _key_stats(md: Any, key: str) -> tuple[Any, Any]:
+    """(min, max) of ``key`` from the parquet footer row-group statistics;
+    (None, None) when any row group lacks stats. parquet-mr truncates long
+    binary stats but keeps them valid bounds, so pruning on them is safe."""
+    names = list(md.schema.names)
+    if key not in names:
+        return None, None
+    col_idx = names.index(key)
+    kmin = kmax = None
+    for rg in range(md.num_row_groups):
+        stats = md.row_group(rg).column(col_idx).statistics
+        if stats is None or not stats.has_min_max:
+            return None, None
+        kmin = stats.min if kmin is None else min(kmin, stats.min)
+        kmax = stats.max if kmax is None else max(kmax, stats.max)
+    return kmin, kmax
+
+
+def _list_bucket_files(snap_dir: str, snap_rel: str, key: str) -> list[dict[str, Any]]:
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
@@ -634,10 +796,14 @@ def _list_bucket_files(snap_dir: str, snap_rel: str) -> list[dict[str, Any]]:
     def stat(e: tuple[str, int, str]) -> dict[str, Any]:
         entry, bucket, fn = e
         fp = os.path.join(snap_dir, entry, fn)
+        md = pq.ParquetFile(fp).metadata
+        kmin, kmax = _key_stats(md, key)
         return {
             "path": os.path.join(snap_rel, entry, fn),
             "bucket": bucket,
-            "rows": pq.ParquetFile(fp).metadata.num_rows,
+            "rows": md.num_rows,
+            "key_min": kmin,
+            "key_max": kmax,
         }
 
     # footer reads are tiny but serial-latency-bound; thread them

@@ -113,3 +113,58 @@ def test_vacuum_keeps_rows_with_null_deleted_flag(spark, tmp_path, changelog_pdf
     n_live = table.read().count()  # read() coalesces NULL _deleted → live
     table.vacuum_tombstones(older_than_lsn=10**9)
     assert table.read().count() == n_live
+
+
+def test_ledger_eviction_bounds_manifest(spark, tmp_path, changelog_pdf):
+    """The manifest stays O(window): old ledger entries evict into the
+    evicted_below watermark; replays of evicted (monotone) epochs are
+    still exactly-once no-ops; lineage lives in the sidecar, not the
+    manifest."""
+    import json
+    import os
+
+    from data_hub_ejp_xml_pipeline_spark.generator import spark_changelog_from_pandas
+    from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
+
+    table = _build(spark, tmp_path, changelog_pdf, n_batches=1)
+    table.ledger_window = 4
+    sizes = []
+    n_epochs = 12
+    step = 40
+    for i in range(1, n_epochs + 1):
+        batch = spark_changelog_from_pandas(
+            spark, changelog_pdf.iloc[(i - 1) * step : i * step]
+        )
+        table.merge(reduce_latest(batch), batch_id=i)
+        mp = os.path.join(table.root, "meta", f"v{table.current_version():08d}.json")
+        sizes.append(os.path.getsize(mp))
+
+    m = table.manifest()
+    assert len(m["ledger"]) <= table.ledger_window + 1
+    assert m["ledger_evicted_below"] is not None
+    assert "lineage" not in m
+
+    # replay of an evicted epoch: recognized as applied via the watermark
+    replay = reduce_latest(spark_changelog_from_pandas(spark, changelog_pdf.iloc[:step]))
+    res = table.merge(replay, batch_id=1)
+    assert not res.applied
+
+    # manifest size flat-ish once the window is full (files list aside):
+    # the last manifest is not dramatically larger than the mid-loop one
+    assert sizes[-1] < sizes[n_epochs // 2] * 3
+
+    # lineage sidecar accumulated every epoch and is readable
+    lineage = table.lineage()
+    assert len({r["snapshot_id"] for r in lineage}) >= n_epochs
+
+
+def test_lineage_sidecar_skips_torn_line(spark, tmp_path, changelog_pdf):
+    import os
+
+    table = _build(spark, tmp_path, changelog_pdf, n_batches=2)
+    path = os.path.join(table.root, "meta", "lineage.jsonl")
+    n = len(table.lineage())
+    assert n > 0
+    with open(path, "a") as fh:
+        fh.write('{"snapshot_id": "snap-torn", "source_fi')  # crash mid-append
+    assert len(table.lineage()) == n  # torn line ignored
