@@ -167,7 +167,9 @@ def reduce_strategy_comparison(spark, changelog_dir: str, limit: int = 200_000) 
         "overwrite"
     ).save()
     out: dict[str, float] = {}
-    for strat in ("agg", "hybrid", "window", "applyinpandas"):
+    # "applyinpandas" is the GUARDED entry point (reroutes to salted above
+    # the size threshold); "applyinpandas!" would be the raw 50x shape
+    for strat in ("agg", "hybrid", "window", "salted", "applyinpandas"):
         t0 = time.time()
         reduce_latest(sl, strategy=strat).write.format("noop").mode("overwrite").save()
         out[strat] = round(time.time() - t0, 3)

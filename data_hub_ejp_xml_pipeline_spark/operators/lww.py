@@ -48,6 +48,12 @@ from pyspark.sql import functions as F
 _ORDER_COLS = ["lsn", "offset", "source_file"]
 
 
+# above this many rows the plain grouped-map strategy (no partial
+# aggregation, one pandas call per key) is a measured ~50x scale-killer;
+# reduce_latest reroutes it to the salted two-phase variant
+APPLYINPANDAS_MAX_ROWS = 100_000
+
+
 def reduce_latest(
     df: DataFrame,
     key: str = "doc_id",
@@ -55,18 +61,36 @@ def reduce_latest(
     strategy: str = "agg",
     n_salts: int = 16,
 ) -> DataFrame:
-    """Collapse a changelog to the latest event per key (schema preserved)."""
+    """Collapse a changelog to the latest event per key (schema preserved).
+
+    ``strategy='applyinpandas'`` is a parity shape, not a scale path: above
+    ``APPLYINPANDAS_MAX_ROWS`` (or on a streaming DataFrame, where the size
+    cannot be known) it routes through the ``salted`` two-phase variant,
+    which keeps the mandated grouped-map kernel but splits hot keys and
+    finishes JVM-side. Pass ``strategy='applyinpandas!'`` to force the raw
+    shape regardless of size (tests/benchmarks only).
+    """
     if strategy == "agg":
         return _reduce_agg(df, key, lsn_col)
     if strategy == "window":
         return _reduce_window(df, key, lsn_col)
+    if strategy == "applyinpandas!":
+        return _reduce_apply_in_pandas(df, key, lsn_col)
     if strategy == "applyinpandas":
+        if df.isStreaming or _count_rows(df) > APPLYINPANDAS_MAX_ROWS:
+            return _reduce_salted(df, key, lsn_col, n_salts)
         return _reduce_apply_in_pandas(df, key, lsn_col)
     if strategy == "salted":
         return _reduce_salted(df, key, lsn_col, n_salts)
     if strategy == "hybrid":
         return _reduce_hybrid(df, key, lsn_col)
     raise ValueError(f"unknown strategy: {strategy!r}")
+
+
+def _count_rows(df: DataFrame) -> int:
+    """One cheap count job guards a ~50x plan mistake; column-pruned to
+    nothing by Catalyst, so it reads no payload bytes from parquet."""
+    return df.count()
 
 
 def _order_struct(df: DataFrame, lsn_col: str) -> F.Column:

@@ -839,10 +839,25 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+_NEARDUP_MAX_VECS = 50_000
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold on rounded sim so both
-    engines cut identically)."""
+    engines cut identically).
+
+    VERIFY-ONLY: this is the O(n²) all-pairs oracle form, like its Jaccard
+    sibling — at scale route candidates through ann_lsh / simhash banding
+    first and rerank. Guarded: refuses to cross-join above
+    ``_NEARDUP_MAX_VECS`` vectors."""
     emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if n > _NEARDUP_MAX_VECS:
+        raise ValueError(
+            f"embedding_neardup is the quadratic verify-only form ({n} vectors "
+            f"> {_NEARDUP_MAX_VECS}); use ann_lsh bucketing for candidate "
+            "generation at scale"
+        )
     a = emb.alias("a")
     b = emb.alias("b")
     sim6 = F.round(_cosine(F.col("a.embedding"), F.col("b.embedding")), 6)

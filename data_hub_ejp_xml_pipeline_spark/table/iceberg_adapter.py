@@ -1,0 +1,155 @@
+"""Iceberg adapter: the SnapshotTable MERGE contract on a real lakehouse.
+
+On clusters with the Iceberg runtime (``iceberg-spark-runtime`` jar + a
+configured catalog), the from-scratch ``SnapshotTable`` is unnecessary —
+Iceberg provides the same commit model natively (manifest lists, snapshot
+isolation, file-level min/max pruning, optimistic CAS commits). This
+adapter exposes the SAME API surface and compiles the engine's LSN-guarded
+merge (SURVEY.md §2.5 J4; reference sink ``bq_data_service.py:17-52``
+append + warehouse latest-view) to a single ``MERGE INTO`` statement that
+Iceberg executes copy-on-write or merge-on-read per table config.
+
+Exactly-once: the LSN guard itself makes replays value-idempotent (a
+re-applied batch updates nothing because ``s.lsn > t._lsn`` is false), so
+the adapter needs no ledger for correctness — Structured Streaming's
+checkpoint provides the batch-id monotonicity, matching the semantics the
+local table pins with its ledger tests.
+
+The SQL generation is pure and unit-tested offline; execution paths are
+gated on ``is_available`` (this container has no Iceberg runtime).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+LSN_COL = "_lsn"
+
+_ICEBERG_EXTENSION = "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+
+
+def is_available(spark: SparkSession) -> bool:
+    """True when the Iceberg SQL extensions are on this session's classpath."""
+    try:
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+        if _ICEBERG_EXTENSION not in ext:
+            return False
+        # classpath probe: the extension string can be set without the jar
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.catalog.Catalog"
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def create_table_sql(
+    identifier: str,
+    schema: T.StructType,
+    key: str = "doc_id",
+    n_buckets: int = 16,
+) -> str:
+    """DDL matching SnapshotTable.create: payload schema + ``_lsn``, hash
+    bucketing on the key (Iceberg's bucket transform = the engine's
+    ``pmod(xxhash64(key), n)`` role)."""
+    fields = list(schema.fields)
+    if not any(f.name == LSN_COL for f in fields):
+        fields.append(T.StructField(LSN_COL, T.LongType(), True))
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
+    return (
+        f"CREATE TABLE IF NOT EXISTS {identifier} ({cols}) USING iceberg "
+        f"PARTITIONED BY (bucket({n_buckets}, {key}))"
+    )
+
+
+def merge_sql(
+    identifier: str,
+    payload_cols: list[str],
+    key: str = "doc_id",
+    op_col: str = "op",
+    lsn_col: str = "lsn",
+    source_view: str = "updates",
+) -> str:
+    """The engine's merge contract as one Iceberg MERGE INTO:
+
+    ``WHEN MATCHED AND s.lsn > t._lsn AND s.op = 'D' THEN DELETE``
+    ``WHEN MATCHED AND s.lsn > t._lsn THEN UPDATE SET *``
+    ``WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *``
+
+    Deletes are REAL deletes here (Iceberg handles cross-snapshot ordering
+    through its isolation level); the local SnapshotTable uses tombstones
+    instead because it replays batches itself.
+    """
+    sets = ", ".join(
+        [f"t.{c} = s.{c}" for c in payload_cols if c != key]
+        + [f"t.{LSN_COL} = s.{lsn_col}"]
+    )
+    ins_cols = ", ".join(payload_cols + [LSN_COL])
+    ins_vals = ", ".join([f"s.{c}" for c in payload_cols] + [f"s.{lsn_col}"])
+    return (
+        f"MERGE INTO {identifier} t USING {source_view} s ON t.{key} = s.{key} "
+        f"WHEN MATCHED AND s.{lsn_col} > t.{LSN_COL} AND s.{op_col} = 'D' THEN DELETE "
+        f"WHEN MATCHED AND s.{lsn_col} > t.{LSN_COL} THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED AND s.{op_col} != 'D' THEN "
+        f"INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+class IcebergSnapshotTable:
+    """Drop-in cluster-side replacement for ``SnapshotTable``.
+
+    Same constructor shape (identifier instead of a filesystem root) and the
+    same ``merge``/``append``/``read`` verbs; batches must be pre-reduced to
+    one row per key with ``operators.lww.reduce_latest``, exactly like the
+    local table.
+    """
+
+    def __init__(self, spark: SparkSession, identifier: str, key: str = "doc_id"):
+        if not is_available(spark):
+            raise RuntimeError(
+                "Iceberg runtime not on the classpath — use "
+                "table.SnapshotTable (the from-scratch local engine) or add "
+                "iceberg-spark-runtime + a catalog to spark.sql.extensions"
+            )
+        self.spark = spark
+        self.identifier = identifier
+        self.key = key
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        identifier: str,
+        schema: T.StructType,
+        key: str = "doc_id",
+        n_buckets: int = 16,
+    ) -> "IcebergSnapshotTable":
+        table = cls(spark, identifier, key)
+        spark.sql(create_table_sql(identifier, schema, key, n_buckets))
+        return table
+
+    def read(self, version: int | None = None) -> DataFrame:
+        if version is not None:  # Iceberg time travel
+            return self.spark.read.option("snapshot-id", version).table(self.identifier)
+        return self.spark.read.table(self.identifier)
+
+    def append(self, df: DataFrame) -> None:
+        df.writeTo(self.identifier).append()
+
+    def merge(
+        self,
+        updates: DataFrame,
+        op_col: str = "op",
+        lsn_col: str = "lsn",
+    ) -> None:
+        payload_cols = [
+            c for c in updates.columns if c not in (op_col, lsn_col, LSN_COL)
+        ]
+        view = f"updates_{abs(hash(self.identifier)) % 10**8}"
+        updates.createOrReplaceTempView(view)
+        self.spark.sql(
+            merge_sql(
+                self.identifier, payload_cols, self.key, op_col, lsn_col, view
+            )
+        )

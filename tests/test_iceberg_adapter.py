@@ -1,0 +1,45 @@
+"""Iceberg adapter: SQL generation pinned offline; execution gated on the
+runtime (absent in this container)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from data_hub_ejp_xml_pipeline_spark.table import iceberg_adapter as ia
+
+
+def test_create_table_sql_appends_lsn_and_buckets():
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    sql = ia.create_table_sql("cat.db.docs", schema, key="doc_id", n_buckets=64)
+    assert "USING iceberg" in sql
+    assert "PARTITIONED BY (bucket(64, doc_id))" in sql
+    assert "_lsn bigint" in sql
+    assert sql.index("doc_id string") < sql.index("_lsn bigint")
+
+
+def test_merge_sql_matches_snapshot_table_contract():
+    sql = ia.merge_sql(
+        "cat.db.docs", ["doc_id", "payload", "source"], key="doc_id"
+    )
+    # the three clauses of the engine's merge contract, LSN-guarded
+    assert "ON t.doc_id = s.doc_id" in sql
+    assert "WHEN MATCHED AND s.lsn > t._lsn AND s.op = 'D' THEN DELETE" in sql
+    assert "WHEN MATCHED AND s.lsn > t._lsn THEN UPDATE SET" in sql
+    assert "t.payload = s.payload" in sql and "t._lsn = s.lsn" in sql
+    assert "WHEN NOT MATCHED AND s.op != 'D' THEN INSERT" in sql
+    assert "(doc_id, payload, source, _lsn)" in sql
+    assert "(s.doc_id, s.payload, s.source, s.lsn)" in sql
+    # the key is never in the UPDATE SET list
+    assert "t.doc_id = s.doc_id," not in sql.split("UPDATE SET")[1]
+
+
+def test_runtime_gate(spark):
+    assert ia.is_available(spark) is False  # no Iceberg jar in this container
+    with pytest.raises(RuntimeError, match="SnapshotTable"):
+        ia.IcebergSnapshotTable(spark, "cat.db.docs")

@@ -37,3 +37,46 @@ def test_agg_plan_has_partial_aggregation(spark, changelog_df):
     partial combine) — the property that makes replays/hot keys cheap."""
     plan = reduce_latest(changelog_df, strategy="agg")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2, plan
+
+
+def test_applyinpandas_guard_routes_to_salted_above_threshold(spark):
+    """Plan gate: above APPLYINPANDAS_MAX_ROWS the guarded grouped-map
+    strategy must NOT plan a single-phase FlatMapGroupsInPandas on the raw
+    key (the 50x anti-pattern); it reroutes through the salted two-phase
+    variant whose final aggregate is JVM-side."""
+    import data_hub_ejp_xml_pipeline_spark.operators.lww as lww
+
+    df = spark.range(0, 2000).selectExpr(
+        "cast(id % 50 as string) doc_id", "id as lsn", "id as payload"
+    )
+    old = lww.APPLYINPANDAS_MAX_ROWS
+    lww.APPLYINPANDAS_MAX_ROWS = 1000  # force "above threshold" cheaply
+    try:
+        routed = lww.reduce_latest(df, strategy="applyinpandas")
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        # salted phase 1 still uses grouped-map (on key+salt), but the
+        # FINAL aggregate is a JVM max_by — assert the agg is present and
+        # the plan is the salted shape (groups on _salt)
+        assert "_salt" in plan
+        assert "max_by" in plan or "HashAggregate" in plan or "SortAggregate" in plan
+        # below threshold: raw grouped-map preserved
+        small = lww.reduce_latest(df.limit(100), strategy="applyinpandas")
+        small_plan = small._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" not in small_plan
+        assert "FlatMapGroupsInPandas" in small_plan
+    finally:
+        lww.APPLYINPANDAS_MAX_ROWS = old
+
+    # forced raw shape stays available for parity benchmarks
+    raw = lww.reduce_latest(df, strategy="applyinpandas!")
+    assert "FlatMapGroupsInPandas" in raw._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quadratic_neardup_guard(spark, monkeypatch):
+    """q_embedding_neardup refuses the O(n^2) cross-join above its vector
+    budget, pointing at the LSH path."""
+    import data_hub_ejp_xml_pipeline_spark.queries as q
+
+    monkeypatch.setattr(q, "_NEARDUP_MAX_VECS", 10)
+    with pytest.raises(ValueError, match="ann_lsh"):
+        q.q_embedding_neardup(spark, "/root/testdata/sf0.001")
