@@ -172,3 +172,32 @@ def test_fuzzy_parse_timestamp(spark):
     vals = [r.v for r in df.collect()]
     assert vals[0] == dt.datetime(2020, 1, 1, 17, 0)
     assert vals[1] is None
+
+
+def test_config_env_substitution():
+    """P20: {ENV} placeholder substitution, recursive through dicts/lists
+    (reference xml_config.py:115-150)."""
+    from data_hub_ejp_xml_pipeline_spark.config import (
+        PipelineConfig,
+        substitute_env_placeholder,
+    )
+
+    raw = {
+        "zipPath": "/data/{ENV}/zips",
+        "warehouseRoot": "/warehouse/{ENV}",
+        "dataPipelineId": "ejp-xml-{ENV}",
+        "fileNameExclusionRegexPattern": "",
+        "nested": {"list": ["a-{ENV}", {"deep": "{ENV}"}], "n": 7},
+    }
+    out = substitute_env_placeholder(raw, "staging")
+    assert out["nested"]["list"] == ["a-staging", {"deep": "staging"}]
+    assert out["nested"]["n"] == 7
+
+    cfg = PipelineConfig.from_dict(raw, "prod")
+    assert cfg.zip_path == "/data/prod/zips"
+    assert cfg.pipeline_id == "ejp-xml-prod"
+    assert cfg.exclusion_pattern is None  # '' → None
+    assert cfg.table_root("person_v2") == "/warehouse/prod/person_v2"
+    assert set(cfg.entity_tables) == {
+        "person", "person_v2", "manuscript", "manuscript_version"
+    }
