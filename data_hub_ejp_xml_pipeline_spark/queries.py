@@ -970,6 +970,71 @@ FROM documents
 """
 
 
+_PACK_MAX_TOKENS = 512  # power of two → fill_ratio rounds identically
+
+_SEQUENCE_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source AS grp, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), laid AS (
+  SELECT grp, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS g_start
+  FROM toks WHERE n_tok > 0
+), spans AS (
+  SELECT grp, doc_id, n_tok, g_start,
+         unnest(generate_series(
+           CAST(floor(g_start / {_PACK_MAX_TOKENS}) AS BIGINT),
+           CAST(floor((g_start + n_tok - 1) / {_PACK_MAX_TOKENS}) AS BIGINT)
+         )) AS chunk_id
+  FROM laid
+)
+SELECT grp AS "group", chunk_id, count(*) AS n_docs,
+       sum(least(chunk_id * {_PACK_MAX_TOKENS} + {_PACK_MAX_TOKENS}, g_start + n_tok)
+           - greatest(chunk_id * {_PACK_MAX_TOKENS}, g_start)) AS n_tokens,
+       round(sum(least(chunk_id * {_PACK_MAX_TOKENS} + {_PACK_MAX_TOKENS}, g_start + n_tok)
+           - greatest(chunk_id * {_PACK_MAX_TOKENS}, g_start)) / {_PACK_MAX_TOKENS}.0, 4)
+         AS fill_ratio
+FROM spans GROUP BY 1, 2
+"""
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat-then-chunk) of tokenized docs
+    into fixed {_PACK_MAX_TOKENS}-token training sequences: per-chunk doc
+    count, token count, fill ratio. Pure window+explode — one shuffle per
+    group, whole-stage codegen (operators.packing.pack_chunked)."""
+    from data_hub_ejp_xml_pipeline_spark.operators.packing import pack_chunked_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    return pack_chunked_stats(
+        docs, _PACK_MAX_TOKENS, id_col="doc_id", n_tok_col="n_tok",
+        group_col="source",
+    )
+
+
+def q_sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy next-fit packing of WHOLE documents (grouped-map pandas
+    kernel — the sequential recurrence is per group). No SQL oracle: the
+    recurrence is not window-expressible; pinned by pytest against a
+    python oracle instead (driver records the rows-only check)."""
+    from data_hub_ejp_xml_pipeline_spark.operators.packing import pack_greedy
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    packed = pack_greedy(
+        docs, _PACK_MAX_TOKENS, id_col="doc_id", n_tok_col="n_tok",
+        group_col="source",
+    )
+    return packed.groupBy("group", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("seq_used_tokens").alias("n_tokens"),
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload column + typed metadata
     (decode itself is stubbed — see operators.multimodal)."""
@@ -1071,6 +1136,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_lsh": (q_ann_lsh, _ann_lsh_oracle()),
     "embedding_neardup": (q_embedding_neardup, _NEARDUP_COS_ORACLE),
     "multimodal_meta": (q_multimodal_meta, _MULTIMODAL_ORACLE),
+    "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_ORACLE),
+    "sequence_pack_greedy": (q_sequence_pack_greedy, None),
 }
 
 
