@@ -4,10 +4,17 @@
   score every candidate with JVM higher-order functions (zip_with +
   aggregate — no Python), window top-k. Linear scan: right answer for
   small query sets or as the verifier.
-* random-hyperplane LSH — the scale path: H deterministic hyperplanes →
+* random-hyperplane LSH — a scale path: H deterministic hyperplanes →
   H-bit signature → candidates share the signature bucket (or a banded
   sub-signature) → exact rerank inside buckets. Recall < 1 by design;
   tune n_planes/bands for the recall/cost point.
+* IVF (inverted-file) — the other scale path: deterministic seed
+  centroids + one Lloyd refinement step, vectors partitioned into
+  inverted lists by nearest centroid; a query probes only its
+  ``n_probe`` nearest lists and reranks exactly. Everything is
+  DataFrame ops (the Lloyd step is a posexplode/avg/re-collect), so the
+  DuckDB oracle reproduces assignments bit-for-bit (similarities are
+  rounded before every argmin to absorb FP summation-order noise).
 """
 
 from __future__ import annotations
@@ -70,6 +77,108 @@ def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
         bit = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return sig.cast("long")
+
+
+def _argmin_centroid(
+    vecs: DataFrame, centroids: DataFrame, id_col: str, vec_expr: str
+) -> DataFrame:
+    """Assign each vector to its nearest centroid: broadcast the (small)
+    centroid table, cosine against every centroid, keep rank 1 (rounded
+    sim, centroid-id tiebreak — deterministic across engines)."""
+    scored = vecs.join(F.broadcast(centroids)).select(
+        id_col,
+        "cid",
+        F.round(cosine(F.col(vec_expr), F.col("centroid")), 6).alias("csim"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("csim").desc(), "cid")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cid")
+    )
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    seed_mod: int = 17,
+    seed_rem: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, centroid): deterministic seed vectors (``id % mod == rem``,
+    first ``n_centroids`` by id) refined by ONE Lloyd step — assign all
+    vectors to seeds, recompute elementwise means. At 100 TB you'd train
+    on a sample; the dataflow (broadcast-assign + posexplode/avg) is the
+    same shape either way."""
+    w_seed = W.orderBy(id_col)
+    seeds = (
+        emb.filter(F.pmod(F.col(id_col), F.lit(seed_mod)) == seed_rem)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            (F.row_number().over(w_seed) - 1).alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+        )
+    )
+    assigned = _argmin_centroid(
+        emb.select(id_col, F.col(vec_col).alias("_v")), seeds, id_col, "_v"
+    ).join(emb.select(id_col, vec_col), id_col)
+    # elementwise mean per cluster: posexplode → avg per (cid, pos) →
+    # re-collect in position order; dims rounded so both engines agree
+    dims = assigned.select(
+        "cid", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
+    )
+    per_dim = dims.groupBy("cid", "pos").agg(F.round(F.avg("x"), 9).alias("m"))
+    return per_dim.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def ann_ivf(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 8,
+    n_probe: int = 3,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: inverted lists on refined centroids; each query probes its
+    ``n_probe`` nearest lists and reranks exactly. The big side shuffles
+    once (on cid for the list join); centroids and queries broadcast.
+    Approximate (recall < 1 when the true neighbor lives in an unprobed
+    list)."""
+    cents = ivf_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    lists = _argmin_centroid(
+        emb.select(id_col, F.col(vec_col).alias("_v")), cents, id_col, "_v"
+    ).join(emb.select(id_col, vec_col), id_col)
+
+    probe_scored = queries.join(F.broadcast(cents)).select(
+        "query_id", "qe", "cid",
+        F.round(cosine(F.col("qe"), F.col("centroid")), 6).alias("csim"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("csim").desc(), "cid")
+    probes = (
+        probe_scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "qe", "cid")
+    )
+    scored = F.broadcast(probes).join(
+        lists, (probes["cid"] == lists["cid"]) & (F.col(id_col) != F.col("query_id"))
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(F.col("qe"), F.col(vec_col)), 6).alias("sim6"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim6").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim6", 4).alias("cosine"))
+    )
 
 
 def ann_lsh(emb: DataFrame, queries: DataFrame, planes: list[list[float]], k: int = 5,

@@ -950,6 +950,86 @@ FROM ranked WHERE rank <= {_ANN_K}
 """
 
 
+_IVF_K = 8
+_IVF_PROBE = 3
+_IVF_MOD, _IVF_REM = 17, 3
+
+
+def _ann_ivf_oracle() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS centroid
+  FROM (SELECT * FROM e WHERE vec_id % {_IVF_MOD} = {_IVF_REM}
+        ORDER BY vec_id LIMIT {_IVF_K})
+),
+a1x AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, s.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, s.centroid), 6) DESC, s.cid
+           ) AS rn
+    FROM e, seeds s) t WHERE rn = 1
+),
+dims AS (
+  SELECT a.cid, u.pos, e.v[u.pos + 1] AS x
+  FROM a1x a JOIN e USING (vec_id),
+       UNNEST(range(len(e.v))) AS u(pos)
+),
+cents AS (
+  SELECT cid, array_agg(m ORDER BY pos) AS centroid
+  FROM (SELECT cid, pos, round(avg(x), 9) AS m FROM dims GROUP BY 1, 2) d
+  GROUP BY cid
+),
+lists AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC, c.cid
+           ) AS rn
+    FROM e, cents c) t WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qe FROM e WHERE vec_id < {_ANN_NQ}),
+probes AS (
+  SELECT query_id, qe, cid FROM (
+    SELECT q.query_id, q.qe, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qe, c.centroid), 6) DESC, c.cid
+           ) AS rn
+    FROM q, cents c) t WHERE rn <= {_IVF_PROBE}
+),
+scored AS (
+  SELECT p.query_id, l.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qe, e.v), 6) AS sim6
+  FROM probes p JOIN lists l ON l.cid = p.cid AND l.vec_id <> p.query_id
+  JOIN e ON e.vec_id = l.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim6,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY sim6 DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(sim6, 4) AS cosine
+FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic seed centroids + one Lloyd step → inverted
+    lists; queries probe their n_probe nearest lists and rerank exactly.
+    The complement of the LSH path (operators.similarity.ann_ivf)."""
+    from data_hub_ejp_xml_pipeline_spark.operators.similarity import ann_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return ann_ivf(
+        emb, queries, n_centroids=_IVF_K, n_probe=_IVF_PROBE, k=_ANN_K
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: signature-bucket join + exact rerank —
     the scale path (one shuffle on the bucket instead of a cross product)."""
@@ -1134,6 +1214,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_simhash": (q_dedup_simhash, _simhash_oracle()),
     "ann_brute_force": (q_ann_brute_force, _ANN_ORACLE),
     "ann_lsh": (q_ann_lsh, _ann_lsh_oracle()),
+    "ann_ivf": (q_ann_ivf, _ann_ivf_oracle()),
     "embedding_neardup": (q_embedding_neardup, _NEARDUP_COS_ORACLE),
     "multimodal_meta": (q_multimodal_meta, _MULTIMODAL_ORACLE),
     "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_ORACLE),

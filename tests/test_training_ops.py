@@ -95,3 +95,22 @@ def test_text_operators(spark, docs):
     assert all(r.re_tokens >= r.ws_tokens for r in counts)
     fp = docs.select(text.fingerprint("text").alias("f")).collect()
     assert len({r.f for r in fp}) == 4  # docs 0,1 share a fingerprint
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """IVF is approximate; sanity-check recall@k against the exact scan."""
+    from data_hub_ejp_xml_pipeline_spark.queries import (
+        q_ann_brute_force,
+        q_ann_ivf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q_ann_brute_force(spark, sf).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in q_ann_ivf(spark, sf).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
