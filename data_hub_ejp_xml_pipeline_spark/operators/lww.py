@@ -65,10 +65,14 @@ def reduce_latest(
 
     ``strategy='applyinpandas'`` is a parity shape, not a scale path: above
     ``APPLYINPANDAS_MAX_ROWS`` (or on a streaming DataFrame, where the size
-    cannot be known) it routes through the ``salted`` two-phase variant,
-    which keeps the mandated grouped-map kernel but splits hot keys and
-    finishes JVM-side. Pass ``strategy='applyinpandas!'`` to force the raw
-    shape regardless of size (tests/benchmarks only).
+    cannot be known) it routes through the ``hybrid`` variant — the pandas
+    kernel survives (ONE vectorized call per Arrow batch) but the per-group
+    python-call overhead does not. Pass ``strategy='applyinpandas!'`` to
+    force the raw shape regardless of size (tests/benchmarks only).
+
+    ``salted`` is a SKEW tool, not a general path: its group count is
+    keys×salts, so on uniform key distributions it multiplies the per-group
+    pandas overhead — use it when few hot keys dominate the batch.
     """
     if strategy == "agg":
         return _reduce_agg(df, key, lsn_col)
@@ -78,7 +82,7 @@ def reduce_latest(
         return _reduce_apply_in_pandas(df, key, lsn_col)
     if strategy == "applyinpandas":
         if df.isStreaming or _count_rows(df) > APPLYINPANDAS_MAX_ROWS:
-            return _reduce_salted(df, key, lsn_col, n_salts)
+            return _reduce_hybrid(df, key, lsn_col)
         return _reduce_apply_in_pandas(df, key, lsn_col)
     if strategy == "salted":
         return _reduce_salted(df, key, lsn_col, n_salts)

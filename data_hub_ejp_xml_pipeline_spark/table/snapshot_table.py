@@ -246,8 +246,15 @@ class SnapshotTable:
 
     # ---------------------------------------------------------------- write
     def _bucket_expr(self, key: str) -> F.Column:
+        """bucket = pmod(murmur3(key), n) — deliberately THE SAME function
+        Spark's HashPartitioning uses, so a merge result that was shuffled
+        on the key into n_buckets*files_per_bucket partitions is already
+        bucket-aligned: each write task lands in exactly one bucket dir and
+        the final write needs NO extra exchange. (partitionBy routes rows
+        by VALUE, so a misalignment can only cost extra files, never
+        correctness.)"""
         n = self.manifest()["n_buckets"]
-        return F.pmod(F.xxhash64(F.col(key)), F.lit(n)).cast("int")
+        return F.pmod(F.hash(F.col(key)), F.lit(n)).cast("int")
 
     def add_columns(self, new_schema: T.StructType) -> CommitResult:
         """Add-only recursive schema evolution (metadata-only commit)."""
@@ -380,6 +387,17 @@ class SnapshotTable:
             broadcast_batch = (
                 batch_stats["n_events"] <= self.broadcast_merge_max_rows
             )
+            max_parts_pre = m["n_buckets"] * m.get("files_per_bucket", 1)
+            if not broadcast_batch:
+                # pre-shuffle both SMJ inputs on the key into exactly
+                # n_buckets*fpb partitions: the join reuses this exchange
+                # (ENSURE_REQUIREMENTS is satisfied) and — because the
+                # bucket function is the hash-partitioning function — the
+                # join output is bucket-aligned for the shuffle-free write
+                # below. REPARTITION_BY_NUM also stops AQE from coalescing
+                # the layout.
+                src_full = src_full.repartition(max_parts_pre, F.col(key))
+                target = target.repartition(max_parts_pre, F.col(key))
             result = _merge_rows(
                 target, src_full, key, payload_schema, broadcast_batch
             )
@@ -407,15 +425,24 @@ class SnapshotTable:
         table_rows = sum(f["rows"] for f in m["files"])
         rows_per_file = max(1, -(-max(table_rows, est_rows) // max_parts))
         n_parts = min(max_parts, max(1, -(-est_rows // rows_per_file)))
+        if merge and n_parts == max_parts and not broadcast_batch:
+            # FULL-fan-out merge (the streaming steady state): because the
+            # bucket function IS Spark's hash-partitioning function, a
+            # shuffle on the key into max_parts partitions is already
+            # bucket-aligned (partition p ↔ bucket p mod n_buckets) — the
+            # sort-merge join consumes it AND the write needs no third
+            # shuffle. Saves one full-data exchange per epoch.
+            writer = result.sortWithinPartitions("_bucket", key)
+        else:
+            # small pruned merges / appends: range-partition on
+            # (bucket, key) so the few rows stay in few, range-tight files
+            # (with files_per_bucket > 1 the sub-files get NON-overlapping
+            # key ranges — what the min/max pruning wants)
+            writer = result.repartitionByRange(
+                n_parts, F.col("_bucket"), F.col(key)
+            ).sortWithinPartitions("_bucket", key)
         (
-            # range-partition on (bucket, key): each output partition holds
-            # a contiguous (bucket, key) slice, so with files_per_bucket > 1
-            # each bucket splits into files with NON-overlapping key ranges
-            # — exactly what the min/max pruning needs. (Hash-repartition
-            # would collide bucket values onto partitions → imbalance.)
-            result.repartitionByRange(n_parts, F.col("_bucket"), F.col(key))
-            .sortWithinPartitions("_bucket", key)
-            .write.mode("overwrite")
+            writer.write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(snap_dir)
         )

@@ -54,15 +54,14 @@ def test_applyinpandas_guard_routes_to_salted_above_threshold(spark):
     try:
         routed = lww.reduce_latest(df, strategy="applyinpandas")
         plan = routed._jdf.queryExecution().executedPlan().toString()
-        # salted phase 1 still uses grouped-map (on key+salt), but the
-        # FINAL aggregate is a JVM max_by — assert the agg is present and
-        # the plan is the salted shape (groups on _salt)
-        assert "_salt" in plan
+        # hybrid shape: per-Arrow-batch MapInPandas partial + JVM final
+        # aggregate; NO per-group FlatMapGroupsInPandas exchange
+        assert "FlatMapGroupsInPandas" not in plan
+        assert "MapInPandas" in plan
         assert "max_by" in plan or "HashAggregate" in plan or "SortAggregate" in plan
         # below threshold: raw grouped-map preserved
         small = lww.reduce_latest(df.limit(100), strategy="applyinpandas")
         small_plan = small._jdf.queryExecution().executedPlan().toString()
-        assert "_salt" not in small_plan
         assert "FlatMapGroupsInPandas" in small_plan
     finally:
         lww.APPLYINPANDAS_MAX_ROWS = old
