@@ -11,6 +11,7 @@ in-query on both sides so value-hashes compare equal.
 
 from __future__ import annotations
 
+import os
 import tempfile
 from typing import Callable
 
@@ -148,7 +149,10 @@ def q_cdc_engine_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("final_value", T.DoubleType()),
         ]
     )
-    root = tempfile.mkdtemp(prefix="cdcq-") + "/tbl"
+    # tmpfs when present: the query measures the engine, not /tmp's
+    # virtual-disk write path
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="cdcq-", dir=scratch) + "/tbl"
     table = SnapshotTable.create(spark, root, payload, key="doc_id", n_buckets=8)
     bounds = changelog.agg(F.min("lsn"), F.max("lsn")).first()
     lo, hi = bounds[0], bounds[1]
