@@ -238,6 +238,24 @@ def q_missing_ratio_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped tumbling-window aggregation, batch-expressed:
+    F.window(ts, 1 hour) × event_type → count + sum. The same expression
+    runs under readStream + withWatermark (§2.9); batch form is what the
+    DuckDB oracle can check."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window("ts", "1 hour")
+    return ev.groupBy(win.alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via lag + cumulative gap count (streaming session
     window, batch-expressed)."""
@@ -1179,6 +1197,13 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         "coalesce(array_to_string((list_sort(list(event_id) FILTER (WHERE value < 1.0)))[1:3], "
         "','), '') AS examples "  # DuckDB array_to_string([]) is NULL; Spark concat_ws is ''
         "FROM events GROUP BY event_type",
+    ),
+    "tumbling_window_stats": (
+        q_tumbling_window_stats,
+        "SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')"
+        " AS window_start, event_type, count(*) AS n_events,"
+        " round(sum(value), 4) AS sum_value"
+        " FROM events GROUP BY 1, 2",
     ),
     "sessionize": (
         q_sessionize,

@@ -95,6 +95,19 @@ class SnapshotTable:
     # target side stops being shuffled+sorted every epoch.
     broadcast_merge_max_rows: int = 0
 
+    # "smj" (default): sort-merge full-outer join — both sides shuffle on
+    # the key. "bucket_local": batch rows shuffle ONCE on the bucket id;
+    # each task reads its bucket's data files DIRECTLY via pyarrow and
+    # merges in pandas — the 100 TB target side never enters a Spark
+    # shuffle at all. Storage-aware: only possible because the table owns
+    # its bucketed layout. Semantically pinned equal to smj by tests.
+    # Measured in THIS sandbox (single JVM, tmpfs shuffle) smj wins
+    # (5.3s vs 6.1s best-of at 1M events/4 batches): the local shuffle is
+    # nearly free while the kernel pays Arrow→pandas→Arrow. On a cluster
+    # the trade reverses — the target side is the 100 TB term and it never
+    # crosses the network here.
+    merge_strategy: str = "smj"
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
@@ -387,8 +400,16 @@ class SnapshotTable:
             broadcast_batch = (
                 batch_stats["n_events"] <= self.broadcast_merge_max_rows
             )
+            bucket_local = (
+                self.merge_strategy == "bucket_local" and not broadcast_batch
+            )
             max_parts_pre = m["n_buckets"] * m.get("files_per_bucket", 1)
-            if not broadcast_batch:
+            if bucket_local:
+                result = self._merge_rows_bucket_local(
+                    src_full, key, payload_schema, touched_entries,
+                    m["n_buckets"],
+                )
+            elif not broadcast_batch:
                 # pre-shuffle both SMJ inputs on the key into exactly
                 # n_buckets*fpb partitions: the join reuses this exchange
                 # (ENSURE_REQUIREMENTS is satisfied) and — because the
@@ -398,9 +419,10 @@ class SnapshotTable:
                 # the layout.
                 src_full = src_full.repartition(max_parts_pre, F.col(key))
                 target = target.repartition(max_parts_pre, F.col(key))
-            result = _merge_rows(
-                target, src_full, key, payload_schema, broadcast_batch
-            )
+            if not bucket_local:
+                result = _merge_rows(
+                    target, src_full, key, payload_schema, broadcast_batch
+                )
         else:
             src = updates.withColumn("_bucket", bucket)
             lineage_rows, bucket_ranges, batch_stats = self._batch_profile(src, key)
@@ -425,7 +447,7 @@ class SnapshotTable:
         table_rows = sum(f["rows"] for f in m["files"])
         rows_per_file = max(1, -(-max(table_rows, est_rows) // max_parts))
         n_parts = min(max_parts, max(1, -(-est_rows // rows_per_file)))
-        if merge and n_parts == max_parts and not broadcast_batch:
+        if merge and not broadcast_batch and (bucket_local or n_parts == max_parts):
             # FULL-fan-out merge (the streaming steady state): because the
             # bucket function IS Spark's hash-partitioning function, a
             # shuffle on the key into max_parts partitions is already
@@ -476,6 +498,94 @@ class SnapshotTable:
             n_events=batch_stats["n_events"],
             max_event_ts=batch_stats["max_event_ts"],
         )
+
+    def _merge_rows_bucket_local(
+        self,
+        src_full: DataFrame,
+        key: str,
+        payload_schema: T.StructType,
+        touched_entries: list[dict[str, Any]],
+        n_buckets: int,
+    ) -> DataFrame:
+        """Zero-target-shuffle merge: shuffle the (small) batch ONCE on the
+        bucket id so each task owns whole buckets, then read that bucket's
+        data files directly with pyarrow inside the task and merge in
+        pandas. The 100 TB target side moves node-local storage → task,
+        never through a Spark exchange. Memory: one task buffers its
+        buckets' batch rows + touched files (size buckets/files
+        accordingly).
+
+        Semantics identical to ``_merge_rows`` (pinned by tests): LSN
+        guard, delete tombstones, inserts.
+        """
+        files_by_bucket: dict[int, list[str]] = {}
+        for f in touched_entries:
+            files_by_bucket.setdefault(int(f["bucket"]), []).append(
+                os.path.join(self.root, f["path"])
+            )
+        payload_cols = [f.name for f in payload_schema.fields]
+        out_schema = T.StructType(
+            list(payload_schema.fields)
+            + [
+                T.StructField(LSN_COL, T.LongType()),
+                T.StructField(DELETED_COL, T.BooleanType()),
+                T.StructField("_bucket", T.IntegerType()),
+            ]
+        )
+        tgt_cols = payload_cols + [LSN_COL, DELETED_COL]
+
+        def merge_partition(it):
+            import numpy as np
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            # a partition's rows can span several Arrow batches — buffer
+            # them, else a bucket would be merged (and its files re-read)
+            # once per chunk
+            chunks = list(it)
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True)
+            for b, src in pdf.groupby("_bucket", sort=False):
+                frames = []
+                for p in files_by_bucket.get(int(b), []):
+                    t = pq.read_table(p).to_pandas()
+                    for c in tgt_cols:  # schema evolution: old files → nulls
+                        if c not in t.columns:
+                            t[c] = None
+                    frames.append(t[tgt_cols])
+                tgt = (
+                    pd.concat(frames, ignore_index=True)
+                    if frames
+                    else pd.DataFrame(columns=tgt_cols)
+                )
+                m = tgt.merge(
+                    src, on=key, how="outer", suffixes=("__t", "__s"),
+                    indicator=True,
+                )
+                has_s = (m["_merge"] != "left_only").to_numpy()
+                has_t = (m["_merge"] != "right_only").to_numpy()
+                lsn_t = pd.to_numeric(m[LSN_COL + "__t"], errors="coerce").fillna(-1).to_numpy()
+                lsn_s = pd.to_numeric(m[LSN_COL + "__s"], errors="coerce").fillna(-1).to_numpy()
+                s_wins = has_s & (~has_t | (lsn_s > lsn_t))
+                out = {key: m[key]}
+                for c in payload_cols:
+                    if c == key:
+                        continue
+                    out[c] = np.where(s_wins, m[c + "__s"], m[c + "__t"])
+                out[LSN_COL] = np.where(s_wins, lsn_s, lsn_t).astype("int64")
+                deleted_t = m[DELETED_COL].fillna(False).to_numpy(dtype=bool)
+                is_delete = (m["_op"] == "D").fillna(False).to_numpy(dtype=bool)
+                out[DELETED_COL] = np.where(s_wins, is_delete, deleted_t)
+                res = pd.DataFrame(out)
+                res["_bucket"] = np.int32(b)
+                yield res[[f.name for f in out_schema.fields]]
+
+        # ONE shuffle, on the bucket value: every bucket lands wholly in
+        # one task (hash collisions merge buckets into a task — handled by
+        # the groupby); the write below needs no further repartition
+        shuffled = src_full.repartition(n_buckets, F.col("_bucket"))
+        return shuffled.mapInPandas(merge_partition, schema=out_schema)
 
     # ------------------------------------------------------------- ledger
     def _ledger_lookup(self, m: dict[str, Any], batch_id: int | None) -> str | None:

@@ -74,3 +74,63 @@ def test_broadcast_plan_has_no_smj(spark, tmp_path, changelog_pdf):
     )
     assert "SortMergeJoin" not in plan, plan[:1200]
     assert plan.count("BroadcastHashJoin") >= 2  # left-outer + anti
+
+
+def test_bucket_local_and_smj_merge_agree(spark, tmp_path, changelog_pdf):
+    """The zero-target-shuffle kernel must produce byte-identical state."""
+    def apply_all(name, strategy):
+        table = SnapshotTable.create(
+            spark, str(tmp_path / name), PAYLOAD_SCHEMA, n_buckets=8
+        )
+        table.merge_strategy = strategy
+        n = len(changelog_pdf)
+        edges = [0, n // 3, 2 * n // 3, n]
+        for i in range(3):
+            batch = spark_changelog_from_pandas(
+                spark, changelog_pdf.iloc[edges[i] : edges[i + 1]]
+            )
+            table.merge(reduce_latest(batch), batch_id=i, stats_df=batch)
+        return table
+
+    bl = apply_all("bl", "bucket_local")
+    smj = apply_all("smj2", "smj")
+    expected = expected_final_state_pandas(changelog_pdf)
+    for table in (bl, smj):
+        actual = (
+            table.read()
+            .selectExpr("doc_id", "tokens", "n_tok", "source", "_lsn")
+            .toPandas()
+        )
+        assert_final_state_equal(actual, expected)
+    assert _hash(bl) == _hash(smj)
+    # tombstones agree too (deletes must not resurrect under either path)
+    tomb_bl = sorted(r.doc_id for r in bl.read(include_tombstones=True).filter("_deleted").collect())
+    tomb_smj = sorted(r.doc_id for r in smj.read(include_tombstones=True).filter("_deleted").collect())
+    assert tomb_bl == tomb_smj
+
+
+def test_bucket_local_plan_never_scans_target_in_spark(spark, tmp_path, changelog_pdf):
+    """The bucket_local merge's Spark plan contains NO parquet scan of the
+    table and only the one batch-side exchange."""
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "plan_bl"), PAYLOAD_SCHEMA, n_buckets=8
+    )
+    table.merge_strategy = "bucket_local"
+    table.merge(
+        reduce_latest(spark_changelog_from_pandas(spark, changelog_pdf.iloc[:1000])),
+        batch_id=0,
+    )
+    src = reduce_latest(spark_changelog_from_pandas(spark, changelog_pdf.iloc[1000:1500]))
+    from pyspark.sql import functions as F
+    src_full = src.select(
+        "doc_id", "tokens", "n_tok", "source",
+        F.col("lsn").alias("_lsn"), F.col("op").alias("_op"),
+        F.pmod(F.hash("doc_id"), F.lit(8)).cast("int").alias("_bucket"),
+    )
+    result = table._merge_rows_bucket_local(
+        src_full, "doc_id", PAYLOAD_SCHEMA,
+        table.manifest()["files"], 8,
+    )
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" not in plan, plan[:1500]
+    assert "MapInPandas" in plan
