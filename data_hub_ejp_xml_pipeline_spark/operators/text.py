@@ -70,3 +70,67 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(text_col: str = "text") -> Column:
     """Whitespace-normalized content hash (rolling-hash analog)."""
     return F.md5(F.regexp_replace(F.lower(text_col), r"\s+", " "))
+
+
+# deliberately simple, engine-portable patterns (same regex dialect subset
+# in Spark/ICU and DuckDB/RE2): the point is the scrubbing DATAFLOW shape
+PII_EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+PII_NUMBER_PATTERN = "[0-9]{9,}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact email addresses and long digit runs; emit per-doc counts and
+    the redacted-text fingerprint. Pure JVM regex — one pass, no shuffle."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(text_col, PII_EMAIL_PATTERN, "<EMAIL>"),
+        PII_NUMBER_PATTERN,
+        "<NUM>",
+    )
+    return df.withColumns(
+        {
+            "n_emails": F.size(
+                F.regexp_extract_all(text_col, F.lit(PII_EMAIL_PATTERN), F.lit(0))
+            ),
+            "n_long_numbers": F.size(
+                F.regexp_extract_all(text_col, F.lit(PII_NUMBER_PATTERN), F.lit(0))
+            ),
+            "redacted_fp": F.md5(redacted),
+        }
+    )
+
+
+def train_val_split(
+    df: DataFrame, id_col: str = "doc_id", val_pct: int = 10
+) -> Column:
+    """Deterministic, engine-portable split assignment: md5(id) → 28-bit
+    int → mod 100. Stable across runs/engines (the property a training
+    pipeline needs so a document never migrates between splits)."""
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10)
+    return F.when(
+        F.pmod(h.cast("long"), F.lit(100)) < val_pct, F.lit("val")
+    ).otherwise(F.lit("train"))
+
+
+def contaminated_docs(
+    df: DataFrame,
+    probe_shingles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: documents sharing ≥1 k-gram with the
+    probe set (e.g. eval-set shingles). probe_shingles: a 1-column ``s``
+    DataFrame, broadcast — the corpus side is the big one and it never
+    shuffles more than its own exploded shingles."""
+    from data_hub_ejp_xml_pipeline_spark.operators.dedup import shingles
+
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = df.repartition(par).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.split(text_col, " "), k)).alias("s"),
+    )
+    return (
+        sh.join(F.broadcast(probe_shingles), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

@@ -1064,6 +1064,75 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh(emb, queries, _lsh_planes(), k=_ANN_K)
 
 
+_PII_ORACLE = """
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_emails,
+  len(regexp_extract_all(text, '[0-9]{9,}')) AS n_long_numbers,
+  md5(regexp_replace(
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        '[0-9]{9,}', '<NUM>', 'g')) AS redacted_fp
+FROM documents
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: per-doc email / long-number counts + redacted
+    fingerprint (operators.text.pii_scrub — single JVM regex pass)."""
+    from data_hub_ejp_xml_pipeline_spark.operators.text import pii_scrub
+
+    return pii_scrub(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_emails", "n_long_numbers", "redacted_fp"
+    )
+
+
+_SPLIT_ORACLE = """
+SELECT doc_id,
+  CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 100 < 10
+       THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-hash split assignment — a document never migrates
+    between train/val across runs or engines."""
+    from data_hub_ejp_xml_pipeline_spark.operators.text import train_val_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", train_val_split(docs).alias("split"))
+
+
+_DECONTAMINATE_ORACLE = (
+    _SHINGLE_CTE
+    + """,
+probe AS (
+  SELECT DISTINCT s FROM sh
+  WHERE doc_id = (SELECT min(doc_id) FROM documents)
+)
+SELECT sh.doc_id, count(*) AS n_hits
+FROM sh JOIN probe USING (s)
+GROUP BY 1
+"""
+)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: documents sharing ≥1 3-gram with the
+    probe set (here: the lowest-id document's shingles, standing in for an
+    eval set). Probe broadcast; corpus side shuffles only its own
+    exploded shingles."""
+    from data_hub_ejp_xml_pipeline_spark.operators.text import contaminated_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    min_id = docs.agg(F.min("doc_id")).first()[0]
+    probe = (
+        docs.filter(F.col("doc_id") == min_id)
+        .select(F.explode(_shingles(F.split("text", " "))).alias("s"))
+        .distinct()
+    )
+    return contaminated_docs(docs, probe)
+
+
 _MULTIMODAL_ORACLE = """
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
@@ -1248,6 +1317,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_meta": (q_multimodal_meta, _MULTIMODAL_ORACLE),
     "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_ORACLE),
     "sequence_pack_greedy": (q_sequence_pack_greedy, None),
+    "pii_scrub": (q_pii_scrub, _PII_ORACLE),
+    "train_val_split": (q_train_val_split, _SPLIT_ORACLE),
+    "decontaminate": (q_decontaminate, _DECONTAMINATE_ORACLE),
 }
 
 
