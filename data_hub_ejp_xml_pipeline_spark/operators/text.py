@@ -99,12 +99,12 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def train_val_split(
-    df: DataFrame, id_col: str = "doc_id", val_pct: int = 10
-) -> Column:
+def train_val_split(id_col: str = "doc_id", val_pct: int = 10) -> Column:
     """Deterministic, engine-portable split assignment: md5(id) → 28-bit
     int → mod 100. Stable across runs/engines (the property a training
-    pipeline needs so a document never migrates between splits)."""
+    pipeline needs so a document never migrates between splits).
+    Column-valued, like ``fingerprint`` — bound to whatever DataFrame it
+    is selected from."""
     h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10)
     return F.when(
         F.pmod(h.cast("long"), F.lit(100)) < val_pct, F.lit("val")

@@ -150,8 +150,16 @@ def q_cdc_engine_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     # tmpfs when present: the query measures the engine, not /tmp's
-    # virtual-disk write path
-    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    # virtual-disk write path. The returned DataFrame stays lazy over the
+    # table files, so THIS run's dir cannot be removed here — instead each
+    # invocation sweeps the PREVIOUS runs' dirs (already collected), so
+    # repeated runs never accumulate RAM-backed garbage.
+    import glob
+    import shutil
+
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    for stale in glob.glob(os.path.join(scratch, "cdcq-*")):
+        shutil.rmtree(stale, ignore_errors=True)
     root = tempfile.mkdtemp(prefix="cdcq-", dir=scratch) + "/tbl"
     table = SnapshotTable.create(spark, root, payload, key="doc_id", n_buckets=8)
     bounds = changelog.agg(F.min("lsn"), F.max("lsn")).first()
@@ -1099,7 +1107,7 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_hub_ejp_xml_pipeline_spark.operators.text import train_val_split
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", train_val_split(docs).alias("split"))
+    return docs.select("doc_id", train_val_split("doc_id").alias("split"))
 
 
 _DECONTAMINATE_ORACLE = (

@@ -71,6 +71,16 @@ def format_optional_iso(timestr: str | None) -> str | None:
     return format_iso(timestr) if timestr else None
 
 
+def format_iso_with_fallback(primary: str | None, fallback: str | None) -> str | None:
+    """``format_iso(primary or fallback)``, but a fully-absent timestamp
+    yields None instead of raising: the reference can assume go.xml's
+    create_date always exists (ejp_zip.py:57-58 hard-requires it); this
+    engine also ingests manifest-less zips, where quarantining every
+    person for a missing document timestamp would be wrong."""
+    value = primary or fallback
+    return format_iso(value) if value else None
+
+
 # ------------------------------------------------------- text extraction
 
 
@@ -217,8 +227,8 @@ def person_v2_dict(
             "node_index": node_index,
         },
         "person_id": person_id,
-        "modified_timestamp": format_iso(
-            child_text(node, "profile-modify-date") or modified_timestamp_str
+        "modified_timestamp": format_iso_with_fallback(
+            child_text(node, "profile-modify-date"), modified_timestamp_str
         ),
         "status": child_text(node, "status"),
         "title": child_text(node, "title"),
@@ -301,8 +311,8 @@ def manuscript_person_dict(
     return {
         "provenance": {"source_filename": source_filename},
         "person_id": child_text(node, "person-id"),
-        "modified_timestamp": format_iso(
-            child_text(node, "profile-modify-date") or modified_timestamp_str
+        "modified_timestamp": format_iso_with_fallback(
+            child_text(node, "profile-modify-date"), modified_timestamp_str
         ),
         "title": child_text(node, "title"),
         "first_name": child_text(node, "first-name"),

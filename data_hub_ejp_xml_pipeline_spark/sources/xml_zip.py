@@ -160,27 +160,38 @@ def parse_zip_bytes(
             }
             continue
         try:
-            for row in rows:
-                payload = remove_empty_keys(row["payload"])
-                yield {
+            # materialize the WHOLE document before yielding anything:
+            # the reference's ParseDocumentError is all-or-nothing
+            # (ejp_xml.py:24-42) — yielding lazily would half-ingest a
+            # document whose later entity then fails and quarantines
+            doc_rows = [
+                {
                     "zip_file": zip_name,
                     "xml_file": member,
                     "entity_type": row["entity_type"],
                     "doc_id": row["doc_id"],
                     "modified_timestamp": row["modified_timestamp"] or None,
-                    "payload": json.dumps(payload, sort_keys=True, ensure_ascii=False),
+                    "payload": json.dumps(
+                        remove_empty_keys(row["payload"]),
+                        sort_keys=True,
+                        ensure_ascii=False,
+                    ),
                     "node_index": row["node_index"],
                     "error": None,
                 }
+                for row in rows
+            ]
         except Exception as exc:  # noqa: BLE001 — ParseDocumentError analog
-            # the reference wraps any transform failure with provenance
-            # (ejp_xml.py:24-42); here it becomes a quarantine row so one
-            # bad document cannot fail the distributed batch
+            # transform failure becomes ONE quarantine row (with
+            # provenance) so a bad document cannot fail the distributed
+            # batch — and contributes no partial entities
             yield {
                 "zip_file": zip_name, "xml_file": member, "entity_type": "error",
                 "doc_id": None, "modified_timestamp": None, "payload": None,
                 "node_index": None, "error": f"transform: {exc}",
             }
+            continue
+        yield from doc_rows
 
 
 # ------------------------------------------------------------- Spark layer

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 LSN_COL = "_lsn"
+DELETED_COL = "_deleted"
 
 _ICEBERG_EXTENSION = "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
 
@@ -50,12 +51,15 @@ def create_table_sql(
     key: str = "doc_id",
     n_buckets: int = 16,
 ) -> str:
-    """DDL matching SnapshotTable.create: payload schema + ``_lsn``, hash
-    bucketing on the key (Iceberg's bucket transform = the engine's
-    ``pmod(xxhash64(key), n)`` role)."""
+    """DDL matching SnapshotTable.create: payload schema + ``_lsn`` +
+    ``_deleted`` tombstone flag, hash bucketing on the key (Iceberg's
+    bucket transform plays the role of the engine's manifest-recorded
+    bucket hash)."""
     fields = list(schema.fields)
     if not any(f.name == LSN_COL for f in fields):
         fields.append(T.StructField(LSN_COL, T.LongType(), True))
+    if not any(f.name == DELETED_COL for f in fields):
+        fields.append(T.StructField(DELETED_COL, T.BooleanType(), True))
     cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fields)
     return (
         f"CREATE TABLE IF NOT EXISTS {identifier} ({cols}) USING iceberg "
@@ -71,28 +75,43 @@ def merge_sql(
     lsn_col: str = "lsn",
     source_view: str = "updates",
 ) -> str:
-    """The engine's merge contract as one Iceberg MERGE INTO:
+    """The engine's merge contract as one Iceberg MERGE INTO, with the
+    SAME tombstone semantics as the local SnapshotTable:
 
-    ``WHEN MATCHED AND s.lsn > t._lsn AND s.op = 'D' THEN DELETE``
-    ``WHEN MATCHED AND s.lsn > t._lsn THEN UPDATE SET *``
-    ``WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *``
+    ``WHEN MATCHED AND s.lsn > t._lsn THEN UPDATE SET *, _deleted = (op='D')``
+    ``WHEN NOT MATCHED THEN INSERT *, _deleted = (op='D')``
 
-    Deletes are REAL deletes here (Iceberg handles cross-snapshot ordering
-    through its isolation level); the local SnapshotTable uses tombstones
-    instead because it replays batches itself.
+    Deletes become tombstone rows rather than physical DELETEs: a
+    physically deleted key would be NOT MATCHED for a later out-of-order
+    OLDER update, whose insert has nothing to compare its LSN against —
+    the stale row would resurrect. The tombstone keeps the max LSN in
+    place so the guard keeps working across batches; physical removal is
+    a separate vacuum pass (DELETE WHERE _deleted AND _lsn <= watermark),
+    exactly like the local table's ``vacuum_tombstones``.
     """
     sets = ", ".join(
         [f"t.{c} = s.{c}" for c in payload_cols if c != key]
-        + [f"t.{LSN_COL} = s.{lsn_col}"]
+        + [f"t.{LSN_COL} = s.{lsn_col}",
+           f"t.{DELETED_COL} = (s.{op_col} = 'D')"]
     )
-    ins_cols = ", ".join(payload_cols + [LSN_COL])
-    ins_vals = ", ".join([f"s.{c}" for c in payload_cols] + [f"s.{lsn_col}"])
+    ins_cols = ", ".join(payload_cols + [LSN_COL, DELETED_COL])
+    ins_vals = ", ".join(
+        [f"s.{c}" for c in payload_cols]
+        + [f"s.{lsn_col}", f"(s.{op_col} = 'D')"]
+    )
     return (
         f"MERGE INTO {identifier} t USING {source_view} s ON t.{key} = s.{key} "
-        f"WHEN MATCHED AND s.{lsn_col} > t.{LSN_COL} AND s.{op_col} = 'D' THEN DELETE "
         f"WHEN MATCHED AND s.{lsn_col} > t.{LSN_COL} THEN UPDATE SET {sets} "
-        f"WHEN NOT MATCHED AND s.{op_col} != 'D' THEN "
-        f"INSERT ({ins_cols}) VALUES ({ins_vals})"
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+    )
+
+
+def vacuum_sql(identifier: str, older_than_lsn: int) -> str:
+    """Physical tombstone removal once the stream has provably passed the
+    watermark (no event with lsn <= watermark can still arrive)."""
+    return (
+        f"DELETE FROM {identifier} "
+        f"WHERE {DELETED_COL} AND {LSN_COL} <= {older_than_lsn}"
     )
 
 
@@ -129,10 +148,20 @@ class IcebergSnapshotTable:
         spark.sql(create_table_sql(identifier, schema, key, n_buckets))
         return table
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, include_tombstones: bool = False
+    ) -> DataFrame:
         if version is not None:  # Iceberg time travel
-            return self.spark.read.option("snapshot-id", version).table(self.identifier)
-        return self.spark.read.table(self.identifier)
+            df = self.spark.read.option("snapshot-id", version).table(self.identifier)
+        else:
+            df = self.spark.read.table(self.identifier)
+        if include_tombstones:
+            return df
+        from pyspark.sql import functions as F
+
+        return df.filter(
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        ).drop(DELETED_COL)
 
     def append(self, df: DataFrame) -> None:
         df.writeTo(self.identifier).append()
@@ -144,7 +173,9 @@ class IcebergSnapshotTable:
         lsn_col: str = "lsn",
     ) -> None:
         payload_cols = [
-            c for c in updates.columns if c not in (op_col, lsn_col, LSN_COL)
+            c
+            for c in updates.columns
+            if c not in (op_col, lsn_col, LSN_COL, DELETED_COL)
         ]
         view = f"updates_{abs(hash(self.identifier)) % 10**8}"
         updates.createOrReplaceTempView(view)

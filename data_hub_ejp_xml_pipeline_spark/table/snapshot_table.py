@@ -10,7 +10,9 @@ hole at ``etl.py:190-195``).
 Design for 100 TB:
 
 * **Bucketed copy-on-write with file-level pruning.** Every data file
-  belongs to a hash bucket ``pmod(xxhash64(key), n_buckets)`` and carries
+  belongs to a hash bucket ``pmod(murmur3(key), n_buckets)`` (the hash
+  function is recorded in the manifest — it is part of the on-disk
+  format) and carries
   its key min/max (from the parquet footer statistics — parquet-mr keeps
   truncated binary stats as valid bounds) in the manifest. A merge reads
   and rewrites only the files whose key range intersects the batch's
@@ -148,6 +150,7 @@ class SnapshotTable:
             "key": key,
             "n_buckets": n_buckets,
             "files_per_bucket": files_per_bucket,
+            "bucket_hash": "murmur3",
             "schema": json.loads(schema.json()),
             "files": [],
             "ledger": {},
@@ -265,9 +268,18 @@ class SnapshotTable:
         bucket-aligned: each write task lands in exactly one bucket dir and
         the final write needs NO extra exchange. (partitionBy routes rows
         by VALUE, so a misalignment can only cost extra files, never
-        correctness.)"""
-        n = self.manifest()["n_buckets"]
-        return F.pmod(F.hash(F.col(key)), F.lit(n)).cast("int")
+        correctness.)
+
+        The hash function is RECORDED IN THE MANIFEST: a table's bucket
+        assignment is part of its on-disk format, and silently changing it
+        would make existing files invisible to the pruning (stale rows
+        resurface as phantom inserts). Tables written before the function
+        was recorded keep the original xxhash64."""
+        m = self.manifest()
+        n = m["n_buckets"]
+        fn = m.get("bucket_hash", "xxhash64")
+        hashed = F.hash(F.col(key)) if fn == "murmur3" else F.xxhash64(F.col(key))
+        return F.pmod(hashed, F.lit(n)).cast("int")
 
     def add_columns(self, new_schema: T.StructType) -> CommitResult:
         """Add-only recursive schema evolution (metadata-only commit)."""
@@ -447,7 +459,10 @@ class SnapshotTable:
         table_rows = sum(f["rows"] for f in m["files"])
         rows_per_file = max(1, -(-max(table_rows, est_rows) // max_parts))
         n_parts = min(max_parts, max(1, -(-est_rows // rows_per_file)))
-        if merge and not broadcast_batch and (bucket_local or n_parts == max_parts):
+        aligned_hash = m.get("bucket_hash") == "murmur3"
+        if merge and not broadcast_batch and (
+            bucket_local or (n_parts == max_parts and aligned_hash)
+        ):
             # FULL-fan-out merge (the streaming steady state): because the
             # bucket function IS Spark's hash-partitioning function, a
             # shuffle on the key into max_parts partitions is already
@@ -481,6 +496,7 @@ class SnapshotTable:
             "key": key,
             "n_buckets": m["n_buckets"],
             "files_per_bucket": m.get("files_per_bucket", 1),
+            "bucket_hash": m.get("bucket_hash", "xxhash64"),
             "schema": json.loads(merged_schema.json()),
             "files": carried + new_files,
             "ledger": ledger,
@@ -547,17 +563,27 @@ class SnapshotTable:
                 return
             pdf = pd.concat(chunks, ignore_index=True)
             for b, src in pdf.groupby("_bucket", sort=False):
+                # nullable Int64 for LSNs BEFORE the outer merge: a float64
+                # round-trip would corrupt LSNs above 2^53 (the engine's
+                # mtime-major LSNs are ~7.5e18) by up to the float ulp
+                src = src.copy()
+                src[LSN_COL] = src[LSN_COL].astype("Int64")
                 frames = []
                 for p in files_by_bucket.get(int(b), []):
                     t = pq.read_table(p).to_pandas()
                     for c in tgt_cols:  # schema evolution: old files → nulls
                         if c not in t.columns:
                             t[c] = None
-                    frames.append(t[tgt_cols])
+                    t = t[tgt_cols].copy()
+                    t[LSN_COL] = t[LSN_COL].astype("Int64")
+                    frames.append(t)
                 tgt = (
                     pd.concat(frames, ignore_index=True)
                     if frames
-                    else pd.DataFrame(columns=tgt_cols)
+                    else pd.DataFrame(
+                        {c: pd.Series(dtype="Int64" if c == LSN_COL else "object")
+                         for c in tgt_cols}
+                    )
                 )
                 m = tgt.merge(
                     src, on=key, how="outer", suffixes=("__t", "__s"),
@@ -565,15 +591,23 @@ class SnapshotTable:
                 )
                 has_s = (m["_merge"] != "left_only").to_numpy()
                 has_t = (m["_merge"] != "right_only").to_numpy()
-                lsn_t = pd.to_numeric(m[LSN_COL + "__t"], errors="coerce").fillna(-1).to_numpy()
-                lsn_s = pd.to_numeric(m[LSN_COL + "__s"], errors="coerce").fillna(-1).to_numpy()
-                s_wins = has_s & (~has_t | (lsn_s > lsn_t))
+                lsn_t = m[LSN_COL + "__t"]
+                lsn_s = m[LSN_COL + "__s"]
+                # exact _merge_rows semantics: s wins iff target absent OR
+                # s.lsn > t._lsn — a NULL target LSN makes the predicate
+                # NULL, so the TARGET wins (matches the SQL three-valued
+                # logic of the smj path)
+                gt = (lsn_s > lsn_t).fillna(False).to_numpy(dtype=bool)
+                s_wins = has_s & (~has_t | gt)
+                win = pd.Series(s_wins, index=m.index)
                 out = {key: m[key]}
                 for c in payload_cols:
                     if c == key:
                         continue
                     out[c] = np.where(s_wins, m[c + "__s"], m[c + "__t"])
-                out[LSN_COL] = np.where(s_wins, lsn_s, lsn_t).astype("int64")
+                out[LSN_COL] = (
+                    lsn_s.where(win, lsn_t).astype("Int64")
+                )
                 deleted_t = m[DELETED_COL].fillna(False).to_numpy(dtype=bool)
                 is_delete = (m["_op"] == "D").fillna(False).to_numpy(dtype=bool)
                 out[DELETED_COL] = np.where(s_wins, is_delete, deleted_t)

@@ -19,7 +19,7 @@ def test_create_table_sql_appends_lsn_and_buckets():
     sql = ia.create_table_sql("cat.db.docs", schema, key="doc_id", n_buckets=64)
     assert "USING iceberg" in sql
     assert "PARTITIONED BY (bucket(64, doc_id))" in sql
-    assert "_lsn bigint" in sql
+    assert "_lsn bigint" in sql and "_deleted boolean" in sql
     assert sql.index("doc_id string") < sql.index("_lsn bigint")
 
 
@@ -27,16 +27,24 @@ def test_merge_sql_matches_snapshot_table_contract():
     sql = ia.merge_sql(
         "cat.db.docs", ["doc_id", "payload", "source"], key="doc_id"
     )
-    # the three clauses of the engine's merge contract, LSN-guarded
+    # LSN-guarded upsert with TOMBSTONE deletes (same semantics as the
+    # local table: a physical DELETE would let a later out-of-order older
+    # update resurrect the key via the unguardable NOT MATCHED branch)
     assert "ON t.doc_id = s.doc_id" in sql
-    assert "WHEN MATCHED AND s.lsn > t._lsn AND s.op = 'D' THEN DELETE" in sql
+    assert "THEN DELETE" not in sql
     assert "WHEN MATCHED AND s.lsn > t._lsn THEN UPDATE SET" in sql
     assert "t.payload = s.payload" in sql and "t._lsn = s.lsn" in sql
-    assert "WHEN NOT MATCHED AND s.op != 'D' THEN INSERT" in sql
-    assert "(doc_id, payload, source, _lsn)" in sql
-    assert "(s.doc_id, s.payload, s.source, s.lsn)" in sql
+    assert "t._deleted = (s.op = 'D')" in sql
+    assert "WHEN NOT MATCHED THEN INSERT" in sql
+    assert "(doc_id, payload, source, _lsn, _deleted)" in sql
+    assert "(s.doc_id, s.payload, s.source, s.lsn, (s.op = 'D'))" in sql
     # the key is never in the UPDATE SET list
     assert "t.doc_id = s.doc_id," not in sql.split("UPDATE SET")[1]
+
+
+def test_vacuum_sql():
+    sql = ia.vacuum_sql("cat.db.docs", 12345)
+    assert sql == "DELETE FROM cat.db.docs WHERE _deleted AND _lsn <= 12345"
 
 
 def test_runtime_gate(spark):

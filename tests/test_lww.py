@@ -39,11 +39,11 @@ def test_agg_plan_has_partial_aggregation(spark, changelog_df):
     assert plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2, plan
 
 
-def test_applyinpandas_guard_routes_to_salted_above_threshold(spark):
+def test_applyinpandas_guard_routes_to_hybrid_above_threshold(spark):
     """Plan gate: above APPLYINPANDAS_MAX_ROWS the guarded grouped-map
     strategy must NOT plan a single-phase FlatMapGroupsInPandas on the raw
-    key (the 50x anti-pattern); it reroutes through the salted two-phase
-    variant whose final aggregate is JVM-side."""
+    key (the 50x anti-pattern); it reroutes through the hybrid variant
+    (vectorized MapInPandas partial + JVM final aggregate)."""
     import data_hub_ejp_xml_pipeline_spark.operators.lww as lww
 
     df = spark.range(0, 2000).selectExpr(

@@ -134,3 +134,66 @@ def test_bucket_local_plan_never_scans_target_in_spark(spark, tmp_path, changelo
     plan = result._jdf.queryExecution().executedPlan().toString()
     assert "FileScan parquet" not in plan, plan[:1500]
     assert "MapInPandas" in plan
+
+
+def test_legacy_xxhash_table_still_merges(spark, tmp_path, changelog_pdf):
+    """A table whose manifest predates the bucket_hash field (round-1
+    format, xxhash64 buckets) must keep merging correctly — the hash
+    function is part of the on-disk format and is read from the manifest."""
+    import json
+    import os
+
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "legacy"), PAYLOAD_SCHEMA, n_buckets=8
+    )
+    v0 = os.path.join(table.root, "meta", "v00000000.json")
+    with open(v0) as fh:
+        m = json.load(fh)
+    del m["bucket_hash"]  # simulate the old manifest format
+    with open(v0, "w") as fh:
+        json.dump(m, fh)
+
+    n = len(changelog_pdf)
+    for i, (lo, hi) in enumerate([(0, n // 2), (n // 2, n)]):
+        batch = spark_changelog_from_pandas(spark, changelog_pdf.iloc[lo:hi])
+        table.merge(reduce_latest(batch), batch_id=i)
+    assert table.manifest()["bucket_hash"] == "xxhash64"  # carried forward
+    actual = (
+        table.read().selectExpr("doc_id", "tokens", "n_tok", "source", "_lsn").toPandas()
+    )
+    assert_final_state_equal(actual, expected_final_state_pandas(changelog_pdf))
+    # no duplicate keys (the failure mode of a silent hash change)
+    assert table.read().count() == table.read().select("doc_id").distinct().count()
+
+
+def test_bucket_local_preserves_lsns_above_2_53(spark, tmp_path):
+    """The pandas kernel must not round-trip LSNs through float64: the
+    engine's mtime-major LSNs (~7.5e18) exceed 2^53 and would be corrupted
+    by up to the float ulp (~1024)."""
+    from pyspark.sql import types as T
+
+    payload = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("v", T.StringType())]
+    )
+    table = SnapshotTable.create(spark, str(tmp_path / "big"), payload, n_buckets=2)
+    table.merge_strategy = "bucket_local"
+    base = 7_500_000_000_000_000_001  # > 2^53, odd (not float-representable)
+    b1 = spark.createDataFrame(
+        [(base, "U", "k1", "old"), (base + 1, "U", "k2", "x")],
+        "lsn long, op string, doc_id string, v string",
+    )
+    table.merge(b1, batch_id=0)
+    # update k1 with lsn base+2; a float64 path could see base == base+2
+    b2 = spark.createDataFrame(
+        [(base + 2, "U", "k1", "new")], "lsn long, op string, doc_id string, v string"
+    )
+    table.merge(b2, batch_id=1)
+    rows = {r.doc_id: r for r in table.read().collect()}
+    assert rows["k1"].v == "new"
+    assert rows["k1"]._lsn == base + 2  # exact, not rounded
+    assert rows["k2"]._lsn == base + 1
+    # and a REPLAY with the stored lsn must be a no-op, not a flip-flop
+    table.merge(b2, batch_id=2)
+    assert {r.doc_id: r._lsn for r in table.read().collect()} == {
+        "k1": base + 2, "k2": base + 1
+    }

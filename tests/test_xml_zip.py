@@ -269,3 +269,22 @@ def test_streaming_zip_source(spark, tmp_path):
     out = spark.sql("SELECT * FROM zip_entities").collect()
     assert len(out) == 2
     assert {r.entity_type for r in out} == {"person_v2"}
+
+
+def test_transform_failure_is_all_or_nothing():
+    """A document whose LATER entity fails to transform must contribute NO
+    partial entities — one quarantine row only (the reference's
+    ParseDocumentError wraps the whole document, ejp_xml.py:24-42)."""
+    broken_version = b"""<xml>
+      <people><person><person-id>a1</person-id>
+        <first-name>Alan</first-name></person></people>
+      <manuscript><version>
+        <manuscript-number>05-02-2020-RA-eLife-12345</manuscript-number>
+        <manuscript-type>Research Article</manuscript-type>
+        <history><stage><stage-name>S</stage-name>
+          <start-date></start-date></stage></history>
+      </version></manuscript></xml>"""
+    go = b'<go create_date="2020-03-03 00:00:00"><file_nm>m.xml</file_nm></go>'
+    rows = list(parse_zip_bytes(make_zip({"go.xml": go, "m.xml": broken_version}), "z.zip"))
+    assert [r["entity_type"] for r in rows] == ["error"]
+    assert "transform:" in rows[0]["error"]
