@@ -104,3 +104,101 @@ def extract_features(media: DataFrame, dim: int = 16,
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _require_decoder(decode_mode: str) -> None:
+    if decode_mode not in ("fake", "strict"):
+        raise ValueError(f"unknown decode_mode: {decode_mode!r}")
+    if decode_mode == "strict":
+        raise NotImplementedError(
+            "real media decode requires image/audio libraries not present "
+            "in this container; use decode_mode='fake'"
+        )
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, decode_mode: str = "fake"
+) -> DataFrame:
+    """Arrow-batched resize: binary in → binary out with updated metadata.
+
+    Fake mode emits a deterministic digest-seeded ``width*height`` byte
+    payload (so the plumbing — schema, meta update, batch shape — is real
+    and replay-stable); a real pipeline swaps the kernel for PIL/libvips.
+    Partition-local, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            _require_decoder(decode_mode)
+            out_payloads = []
+            for p in pdf["payload"]:
+                digest = hashlib.md5(bytes(p)).digest()
+                seed = int.from_bytes(digest[:8], "big") % (2**32)
+                rng = np.random.default_rng(seed)
+                out_payloads.append(
+                    rng.integers(0, 256, width * height, dtype=np.uint8).tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "payload": out_payloads,
+                    "meta": [
+                        {
+                            "n_bytes": width * height,
+                            "format": "raw-resized",
+                            "width": width,
+                            "height": height,
+                        }
+                        for _ in out_payloads
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, frame_interval_ms: int = 1000, decode_mode: str = "fake"
+) -> DataFrame:
+    """Video frame sampling: one input row → N frame rows (the exploding
+    shape a video pipeline needs — done inside the Arrow batch, so the
+    blow-up never passes through a Python-row boundary).
+
+    Fake mode derives a deterministic frame count from the payload digest
+    and digest-chains the frame payloads; a real pipeline swaps the kernel
+    for pyav/ffmpeg."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            _require_decoder(decode_mode)
+            ids, nos, tss, payloads = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                digest = hashlib.md5(bytes(p)).digest()
+                n_frames = digest[0] % 6 + 2  # deterministic 2..7
+                frame = digest
+                for i in range(n_frames):
+                    frame = hashlib.md5(frame).digest()
+                    ids.append(mid)
+                    nos.append(i)
+                    tss.append(i * frame_interval_ms)
+                    payloads.append(frame)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_no": pd.Series(nos, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "payload": payloads,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

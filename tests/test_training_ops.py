@@ -114,3 +114,44 @@ def test_ann_ivf_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    """Resize and frame-sample plumbing: schema, meta update, deterministic
+    replay, in-batch explode."""
+    import pytest
+
+    from data_hub_ejp_xml_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    media = attach_binary_payload(docs, "doc_id", "text", media_type="video")
+
+    resized = resize_images(media, width=4, height=3).collect()
+    assert len(resized) == 3
+    for r in resized:
+        assert r.meta.width == 4 and r.meta.height == 3
+        assert r.meta.format == "raw-resized"
+        assert len(bytes(r.payload)) == 12
+    # deterministic across runs (replay-stable)
+    again = resize_images(media, width=4, height=3).collect()
+    assert {r.media_id: bytes(r.payload) for r in resized} == {
+        r.media_id: bytes(r.payload) for r in again
+    }
+
+    frames = sample_frames(media, frame_interval_ms=40).toPandas()
+    per = frames.groupby("media_id").size()
+    assert (per >= 2).all() and (per <= 7).all()
+    f0 = frames[frames.media_id == "1"].sort_values("frame_no")
+    assert list(f0["frame_ts_ms"]) == [i * 40 for i in range(len(f0))]
+    # frame payloads digest-chained → all distinct
+    assert frames["payload"].map(bytes).nunique() == len(frames)
+
+    # strict mode refuses (no media libs in this container)
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        resize_images(media, 2, 2, decode_mode="strict").collect()
