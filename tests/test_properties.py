@@ -174,3 +174,73 @@ def test_lww_reduce_matches_oracle_property(spark, events):
     )
     exp = {r.doc_id: (r.lsn, r.op) for r in expected.itertuples()}
     assert got == exp
+
+
+# ------------------------------------------- snapshot table vs pandas oracle
+
+_table_events = st.lists(
+    st.tuples(
+        st.sampled_from([f"k{i}" for i in range(12)]),  # small key pool
+        st.sampled_from("UUD"),                         # deletes common
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(events=_table_events, batch_seed=st.integers(0, 10**6))
+@settings(max_examples=8, deadline=None)
+def test_snapshot_table_random_batches_any_order(
+    spark, tmp_path_factory, events, batch_seed
+):
+    """CDC order-insensitivity as a property: random op sequences, random
+    batch boundaries, batches applied in a RANDOM ORDER — the final state
+    must equal the sequential pandas oracle (tombstones + LSN guard)."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+    pdf = pd.DataFrame(
+        {
+            "lsn": range(1, len(events) + 1),
+            "doc_id": [k for k, _ in events],
+            "op": [o for _, o in events],
+            "v": [f"v{i}" for i in range(len(events))],
+        }
+    )
+    rng = random.Random(batch_seed)
+    n_batches = rng.randint(1, 4)
+    bounds = sorted(rng.sample(range(1, len(pdf) + 1), k=min(n_batches - 1, len(pdf) - 1))) if len(pdf) > 1 else []
+    edges = [0] + bounds + [len(pdf)]
+    batches = [pdf.iloc[edges[i]:edges[i + 1]] for i in range(len(edges) - 1)]
+    order = list(range(len(batches)))
+    rng.shuffle(order)
+
+    payload = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("v", T.StringType())]
+    )
+    root = tmp_path_factory.mktemp("prop_tbl")
+    table = SnapshotTable.create(spark, str(root / "t"), payload, n_buckets=4)
+    for i in order:
+        b = batches[i]
+        if b.empty:
+            continue
+        sdf = spark.createDataFrame(b)
+        # per-batch LWW reduce (the pipeline contract: one row per key)
+        reduced = sdf.groupBy("doc_id").agg(
+            *[F.max_by(c, "lsn").alias(c) for c in ("lsn", "op", "v")]
+        )
+        table.merge(reduced, batch_id=i)
+
+    # sequential pandas oracle
+    latest = pdf.sort_values("lsn").drop_duplicates("doc_id", keep="last")
+    expected = latest[latest["op"] != "D"][["doc_id", "v", "lsn"]]
+    got = table.read().selectExpr("doc_id", "v", "_lsn as lsn").toPandas()
+    g = got.sort_values("doc_id").reset_index(drop=True)
+    e = expected.sort_values("doc_id").reset_index(drop=True)
+    assert list(g["doc_id"]) == list(e["doc_id"])
+    assert list(g["v"]) == list(e["v"])
+    assert list(g["lsn"]) == list(e["lsn"])
