@@ -106,6 +106,14 @@ def merge_sql(
     )
 
 
+def add_columns_sql(identifier: str, new_fields: list[T.StructField]) -> str:
+    """Add-only schema evolution (SnapshotTable.add_columns analog):
+    Iceberg ALTER TABLE ADD COLUMNS — new columns read as NULL in old
+    files, exactly like the local table's explicit-schema reads."""
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in new_fields)
+    return f"ALTER TABLE {identifier} ADD COLUMNS ({cols})"
+
+
 def vacuum_sql(identifier: str, older_than_lsn: int) -> str:
     """Physical tombstone removal once the stream has provably passed the
     watermark (no event with lsn <= watermark can still arrive)."""
@@ -165,6 +173,12 @@ class IcebergSnapshotTable:
 
     def append(self, df: DataFrame) -> None:
         df.writeTo(self.identifier).append()
+
+    def add_columns(self, new_schema: T.StructType) -> None:
+        existing = {f.name.lower() for f in self.read(include_tombstones=True).schema.fields}
+        new_fields = [f for f in new_schema.fields if f.name.lower() not in existing]
+        if new_fields:
+            self.spark.sql(add_columns_sql(self.identifier, new_fields))
 
     def merge(
         self,

@@ -206,6 +206,23 @@ class SnapshotTable:
                 out.append(row)
         return out
 
+    def compact_lineage(self, keep_snapshots: set[str] | None = None) -> dict[str, int]:
+        """Rewrite the append-only lineage sidecar keeping only the given
+        snapshot ids (default: snapshots still in the retained manifest
+        history). The sidecar is O(1) per commit to WRITE, but append-only
+        forever — run this with expire_snapshots as part of retention."""
+        if keep_snapshots is None:
+            keep_snapshots = {s["snapshot_id"] for s in self.snapshots()}
+        rows = self.lineage()
+        kept = [r for r in rows if r.get("snapshot_id") in keep_snapshots]
+        path = os.path.join(self.root, "meta", "lineage.jsonl")
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as fh:
+            for r in kept:
+                fh.write(json.dumps(r) + "\n")
+        os.replace(tmp, path)
+        return {"kept": len(kept), "removed": len(rows) - len(kept)}
+
     def _append_lineage(self, snapshot_id: str, rows: list[dict[str, Any]]) -> None:
         if not rows:
             return

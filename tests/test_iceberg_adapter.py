@@ -51,3 +51,13 @@ def test_runtime_gate(spark):
     assert ia.is_available(spark) is False  # no Iceberg jar in this container
     with pytest.raises(RuntimeError, match="SnapshotTable"):
         ia.IcebergSnapshotTable(spark, "cat.db.docs")
+
+
+def test_add_columns_sql():
+    fields = [
+        T.StructField("new_col", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+    assert ia.add_columns_sql("cat.db.docs", fields) == (
+        "ALTER TABLE cat.db.docs ADD COLUMNS (new_col string, n bigint)"
+    )

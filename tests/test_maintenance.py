@@ -168,3 +168,20 @@ def test_lineage_sidecar_skips_torn_line(spark, tmp_path, changelog_pdf):
     with open(path, "a") as fh:
         fh.write('{"snapshot_id": "snap-torn", "source_fi')  # crash mid-append
     assert len(table.lineage()) == n  # torn line ignored
+
+
+def test_compact_lineage_follows_retention(spark, tmp_path, changelog_pdf):
+    """Lineage compaction keeps only retained snapshots' rows; the
+    retained rows survive byte-identically."""
+    table = _build(spark, tmp_path, changelog_pdf, n_batches=4)
+    all_rows = table.lineage()
+    assert len({r["snapshot_id"] for r in all_rows}) == 4
+    table.expire_snapshots(keep_last=2)
+    stats = table.compact_lineage()
+    assert stats["removed"] > 0
+    kept = table.lineage()
+    retained_snaps = {s["snapshot_id"] for s in table.snapshots()}
+    assert {r["snapshot_id"] for r in kept} <= retained_snaps
+    # the surviving rows are exactly the originals for those snapshots
+    orig = [r for r in all_rows if r["snapshot_id"] in retained_snaps]
+    assert kept == orig
