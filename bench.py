@@ -46,6 +46,10 @@ HEADLINE = [
     "text_quality",
     "token_count",
     "ann_brute_force",
+    "ann_ivf",
+    "sequence_pack",
+    "pii_scrub",
+    "decontaminate",
 ]
 
 
@@ -200,7 +204,7 @@ def main() -> None:
     queries = run_headline_queries(spark)
     apply_main = min(
         (cdc_apply(spark, gen_dir, N_EVENTS, n_buckets=32, warmup=(i == 0))
-         for i in range(2)),
+         for i in range(3)),
         key=lambda r: r["elapsed_sec"],
     )
     result = {
