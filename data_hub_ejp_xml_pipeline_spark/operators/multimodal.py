@@ -116,9 +116,16 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def _require_decoder(decode_mode: str) -> None:
+def _validate_mode(decode_mode: str) -> None:
+    """Driver-side, eager: a typo'd mode must fail at call time, not as a
+    serialized executor exception at action time (or never, on empty
+    input)."""
     if decode_mode not in ("fake", "strict"):
         raise ValueError(f"unknown decode_mode: {decode_mode!r}")
+
+
+def _require_decoder(decode_mode: str) -> None:
+    _validate_mode(decode_mode)
     if decode_mode == "strict":
         raise NotImplementedError(
             "real media decode requires image/audio libraries not present "
@@ -135,6 +142,7 @@ def resize_images(
     payload (so the plumbing — schema, meta update, batch shape — is real
     and replay-stable); a real pipeline swaps the kernel for PIL/libvips.
     Partition-local, no shuffle."""
+    _validate_mode(decode_mode)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -177,6 +185,7 @@ def sample_frames(
     Fake mode derives a deterministic frame count from the payload digest
     and digest-chains the frame payloads; a real pipeline swaps the kernel
     for pyav/ffmpeg."""
+    _validate_mode(decode_mode)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

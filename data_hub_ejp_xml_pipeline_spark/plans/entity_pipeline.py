@@ -65,9 +65,13 @@ class EntityPipeline:
                 "lsn", "op", "doc_id", "payload", "modified_timestamp",
                 "source_file", "offset",
             )
-            res = table.merge(
-                reduce_latest(slice_df), batch_id=batch_id, stats_df=slice_df
-            )
+            # reduce WITH the lineage cols (they are the deterministic
+            # tie-break), then drop them from the written payload — they
+            # feed the lineage/stats pre-pass via stats_df only, so the
+            # table keeps exactly ENTITY_PAYLOAD_SCHEMA (no surprise
+            # schema-evolution commit, smaller files)
+            reduced = reduce_latest(slice_df).drop("source_file", "offset")
+            res = table.merge(reduced, batch_id=batch_id, stats_df=slice_df)
             applied[entity] = res.n_events
         return applied
 

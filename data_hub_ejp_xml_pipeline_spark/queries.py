@@ -152,15 +152,23 @@ def q_cdc_engine_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tmpfs when present: the query measures the engine, not /tmp's
     # virtual-disk write path. The returned DataFrame stays lazy over the
     # table files, so THIS run's dir cannot be removed here — instead each
-    # invocation sweeps the PREVIOUS runs' dirs (already collected), so
-    # repeated runs never accumulate RAM-backed garbage.
+    # invocation sweeps dirs from DEAD processes plus this process's own
+    # previous runs (the driver materializes each query before the next),
+    # never a LIVE concurrent process's.
     import glob
+    import re
     import shutil
 
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     for stale in glob.glob(os.path.join(scratch, "cdcq-*")):
-        shutil.rmtree(stale, ignore_errors=True)
-    root = tempfile.mkdtemp(prefix="cdcq-", dir=scratch) + "/tbl"
+        m = re.search(r"cdcq-(\d+)-", os.path.basename(stale))
+        owner = int(m.group(1)) if m else None
+        owner_alive = owner is not None and owner != os.getpid() and os.path.exists(
+            f"/proc/{owner}"
+        )
+        if not owner_alive:
+            shutil.rmtree(stale, ignore_errors=True)
+    root = tempfile.mkdtemp(prefix=f"cdcq-{os.getpid()}-", dir=scratch) + "/tbl"
     table = SnapshotTable.create(spark, root, payload, key="doc_id", n_buckets=8)
     bounds = changelog.agg(F.min("lsn"), F.max("lsn")).first()
     lo, hi = bounds[0], bounds[1]

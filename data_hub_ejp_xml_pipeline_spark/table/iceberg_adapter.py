@@ -165,6 +165,10 @@ class IcebergSnapshotTable:
             df = self.spark.read.table(self.identifier)
         if include_tombstones:
             return df
+        if DELETED_COL not in df.columns:
+            # pre-tombstone table (created before the column existed):
+            # every row is live; merge() requires add_columns first
+            return df
         from pyspark.sql import functions as F
 
         return df.filter(

@@ -210,7 +210,13 @@ class SnapshotTable:
         """Rewrite the append-only lineage sidecar keeping only the given
         snapshot ids (default: snapshots still in the retained manifest
         history). The sidecar is O(1) per commit to WRITE, but append-only
-        forever — run this with expire_snapshots as part of retention."""
+        forever — run this with expire_snapshots as part of retention.
+
+        Like ``expire_snapshots``, this is a SINGLE-OWNER maintenance op:
+        run it from the maintenance job, not concurrently with a committer
+        (an append landing between the read and the replace would be lost —
+        the same discipline Iceberg documents for its maintenance actions).
+        """
         if keep_snapshots is None:
             keep_snapshots = {s["snapshot_id"] for s in self.snapshots()}
         rows = self.lineage()
@@ -290,8 +296,11 @@ class SnapshotTable:
         The hash function is RECORDED IN THE MANIFEST: a table's bucket
         assignment is part of its on-disk format, and silently changing it
         would make existing files invisible to the pruning (stale rows
-        resurface as phantom inserts). Tables written before the function
-        was recorded keep the original xxhash64."""
+        resurface as phantom inserts). Manifests without the field are
+        round-1-format tables, which used xxhash64. (Tables written by the
+        few intermediate development commits that used murmur3 unrecorded
+        were never persisted across a release — the fallback targets the
+        released round-1 format.)"""
         m = self.manifest()
         n = m["n_buckets"]
         fn = m.get("bucket_hash", "xxhash64")
@@ -557,6 +566,14 @@ class SnapshotTable:
                 os.path.join(self.root, f["path"])
             )
         payload_cols = [f.name for f in payload_schema.fields]
+        # every integer column must survive the outer merge in a NULLABLE
+        # integer dtype: pandas promotes int64-with-NaN to float64, which
+        # corrupts values above 2^53 by up to the ulp (~1024 at 7.5e18)
+        int_cols = [LSN_COL] + [
+            f.name
+            for f in payload_schema.fields
+            if isinstance(f.dataType, (T.LongType, T.IntegerType))
+        ]
         out_schema = T.StructType(
             list(payload_schema.fields)
             + [
@@ -580,11 +597,9 @@ class SnapshotTable:
                 return
             pdf = pd.concat(chunks, ignore_index=True)
             for b, src in pdf.groupby("_bucket", sort=False):
-                # nullable Int64 for LSNs BEFORE the outer merge: a float64
-                # round-trip would corrupt LSNs above 2^53 (the engine's
-                # mtime-major LSNs are ~7.5e18) by up to the float ulp
                 src = src.copy()
-                src[LSN_COL] = src[LSN_COL].astype("Int64")
+                for c in int_cols:
+                    src[c] = src[c].astype("Int64")
                 frames = []
                 for p in files_by_bucket.get(int(b), []):
                     t = pq.read_table(p).to_pandas()
@@ -592,13 +607,14 @@ class SnapshotTable:
                         if c not in t.columns:
                             t[c] = None
                     t = t[tgt_cols].copy()
-                    t[LSN_COL] = t[LSN_COL].astype("Int64")
+                    for c in int_cols:
+                        t[c] = t[c].astype("Int64")
                     frames.append(t)
                 tgt = (
                     pd.concat(frames, ignore_index=True)
                     if frames
                     else pd.DataFrame(
-                        {c: pd.Series(dtype="Int64" if c == LSN_COL else "object")
+                        {c: pd.Series(dtype="Int64" if c in int_cols else "object")
                          for c in tgt_cols}
                     )
                 )
@@ -621,7 +637,11 @@ class SnapshotTable:
                 for c in payload_cols:
                     if c == key:
                         continue
-                    out[c] = np.where(s_wins, m[c + "__s"], m[c + "__t"])
+                    if c in int_cols:
+                        # Series.where keeps the nullable-Int64 dtype exact
+                        out[c] = m[c + "__s"].where(win, m[c + "__t"])
+                    else:
+                        out[c] = np.where(s_wins, m[c + "__s"], m[c + "__t"])
                 out[LSN_COL] = (
                     lsn_s.where(win, lsn_t).astype("Int64")
                 )

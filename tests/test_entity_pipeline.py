@@ -89,3 +89,29 @@ def test_entity_fanout_end_to_end(spark, tmp_path):
     )
     q2.awaitTermination()
     assert {e: pipe.read(e).count() for e in ENTITY_TYPES} == before
+
+
+def test_entity_tables_keep_declared_schema(spark, tmp_path):
+    """Lineage columns must not leak into the written entity tables — the
+    first merge is NOT a surprise schema-evolution commit."""
+    import os
+    import time
+
+    zips = tmp_path / "zips"
+    zips.mkdir()
+    f = zips / "b0.zip"
+    f.write_bytes(_zip())
+    os.utime(f, (time.time() - 50, time.time() - 50))
+    cfg = PipelineConfig.from_dict(
+        {"zipPath": str(zips), "warehouseRoot": str(tmp_path / "wh")}, "x"
+    )
+    pipe = EntityPipeline(spark, cfg, n_buckets=2)
+    changelog = entities_to_changelog(read_zip_entities(spark, str(zips)))
+    pipe.apply(changelog, batch_id=0)
+    t = pipe.tables["person_v2"]
+    assert "+evolve" not in t.manifest()["operation"]
+    assert [x.name for x in t.schema().fields] == [
+        "doc_id", "payload", "modified_timestamp", "_lsn", "_deleted"
+    ]
+    # lineage was still recorded from the raw slice
+    assert t.lineage()
