@@ -155,3 +155,19 @@ def test_multimodal_resize_and_frame_sample(spark):
     # strict mode refuses (no media libs in this container)
     with pytest.raises(Exception, match="NotImplementedError|media decode"):
         resize_images(media, 2, 2, decode_mode="strict").collect()
+
+
+def test_ann_lsh_multiprobe_dominates_single_probe(spark):
+    """Multiprobe candidates are a superset of single-probe candidates
+    (the exact bucket is one of the probes) → recall can only improve."""
+    from data_hub_ejp_xml_pipeline_spark.queries import (
+        q_ann_brute_force,
+        q_ann_lsh,
+        q_ann_lsh_multiprobe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = {(r.query_id, r.neighbor_id) for r in q_ann_brute_force(spark, sf).collect()}
+    single = {(r.query_id, r.neighbor_id) for r in q_ann_lsh(spark, sf).collect()}
+    multi = {(r.query_id, r.neighbor_id) for r in q_ann_lsh_multiprobe(spark, sf).collect()}
+    assert len(exact & multi) >= len(exact & single)
