@@ -115,3 +115,50 @@ def test_entity_tables_keep_declared_schema(spark, tmp_path):
     ]
     # lineage was still recorded from the raw slice
     assert t.lineage()
+
+
+def test_partial_epoch_converges_on_retry(spark, tmp_path):
+    """A crash BETWEEN table commits leaves a partial epoch; retrying the
+    same batch_id no-ops the committed tables (their ledgers) and applies
+    only the missing ones — the epoch converges without cross-table
+    coordination."""
+    import os
+    import time
+
+    import pytest
+
+    zips = tmp_path / "zips"
+    zips.mkdir()
+    f = zips / "b0.zip"
+    f.write_bytes(_zip())
+    os.utime(f, (time.time() - 50, time.time() - 50))
+    cfg = PipelineConfig.from_dict(
+        {"zipPath": str(zips), "warehouseRoot": str(tmp_path / "wh")}, "x"
+    )
+    pipe = EntityPipeline(spark, cfg, n_buckets=2)
+    changelog = entities_to_changelog(read_zip_entities(spark, str(zips)))
+
+    # crash injection: manuscript_version's merge dies AFTER the others
+    victim = pipe.tables["manuscript_version"]
+    original_merge = victim.merge
+
+    def exploding_merge(*args, **kwargs):
+        raise RuntimeError("simulated crash between table commits")
+
+    victim.merge = exploding_merge
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipe.apply(changelog, batch_id=0)
+    victim.merge = original_merge
+
+    # partial epoch: earlier tables committed, victim did not
+    assert pipe.read("person_v2").count() == 1
+    assert pipe.read("manuscript_version").count() == 0
+
+    # retry the SAME epoch: committed tables no-op via their ledgers
+    applied = pipe.apply(changelog, batch_id=0)
+    assert pipe.read("manuscript_version").count() == 1
+    assert pipe.read("person_v2").count() == 1
+    # ledgers: exactly one entry per table for batch 0
+    for e in ENTITY_TYPES:
+        assert "0" in pipe.tables[e].ledger()
+    del applied
