@@ -206,6 +206,58 @@ class SnapshotTable:
                 out.append(row)
         return out
 
+    def diff(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Row-level changes between two snapshots (Iceberg changelog-scan
+        analog): full outer join of the two snapshots on the key, classified
+        as insert / update / delete.
+
+        File-pruned on both sides: files carried UNCHANGED between the two
+        manifests (same path) cancel out exactly — only files added or
+        removed between the versions are read. Returns
+        ``(key..., _change_type, _from_lsn, _to_lsn)`` plus the to-side
+        payload columns (from-side payload for deletes)."""
+        m_from = self.manifest(from_version)
+        m_to = self.manifest(to_version)
+        key = m_to["key"]
+        from_paths = {f["path"] for f in m_from["files"]}
+        to_paths = {f["path"] for f in m_to["files"]}
+        only_from = [f for f in m_from["files"] if f["path"] not in to_paths]
+        only_to = [f for f in m_to["files"] if f["path"] not in from_paths]
+        schema_from = T.StructType.fromJson(m_from["schema"])
+        schema_to = T.StructType.fromJson(m_to["schema"])
+        a = self._read_file_entries(only_from, schema_from)
+        b = self._read_file_entries(only_to, schema_to)
+        payload_cols = [
+            f.name for f in schema_to.fields if f.name not in INTERNAL_COLS
+        ]
+        live = lambda df: df.filter(  # noqa: E731
+            ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        )
+        j = live(a).alias("a").join(
+            live(b).alias("b"),
+            on=F.col(f"a.{key}") == F.col(f"b.{key}"),
+            how="full_outer",
+        )
+        change = (
+            F.when(F.col(f"a.{key}").isNull(), F.lit("insert"))
+            .when(F.col(f"b.{key}").isNull(), F.lit("delete"))
+            .when(F.col(f"a.{LSN_COL}") != F.col(f"b.{LSN_COL}"), F.lit("update"))
+        )
+        out_cols = [
+            F.coalesce(F.col(f"b.{c}") if c in b.columns else F.lit(None),
+                       F.col(f"a.{c}") if c in a.columns else F.lit(None)).alias(c)
+            for c in payload_cols
+        ]
+        return (
+            j.select(
+                *out_cols,
+                change.alias("_change_type"),
+                F.col(f"a.{LSN_COL}").alias("_from_lsn"),
+                F.col(f"b.{LSN_COL}").alias("_to_lsn"),
+            )
+            .filter(F.col("_change_type").isNotNull())
+        )
+
     def compact_lineage(self, keep_snapshots: set[str] | None = None) -> dict[str, int]:
         """Rewrite the append-only lineage sidecar keeping only the given
         snapshot ids (default: snapshots still in the retained manifest

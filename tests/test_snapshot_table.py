@@ -247,3 +247,32 @@ def test_bucket_counts(spark, tmp_path, changelog_pdf, n_buckets):
     expected = expected_final_state_pandas(changelog_pdf)
     assert table.read().count() == len(expected)
     assert int(np.max([f["bucket"] for f in table.manifest()["files"]])) <= n_buckets - 1
+
+
+def test_snapshot_diff_classifies_changes(spark, tmp_path):
+    """diff(v1, v2) — the Iceberg changelog-scan analog: inserts, updates,
+    deletes classified; rows untouched between snapshots don't appear."""
+    from pyspark.sql import types as T
+
+    payload = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("v", T.StringType())]
+    )
+    table = SnapshotTable.create(spark, str(tmp_path / "difft"), payload, n_buckets=2)
+    b1 = spark.createDataFrame(
+        [(1, "U", "a", "a1"), (2, "U", "b", "b1"), (3, "U", "c", "c1")],
+        "lsn long, op string, doc_id string, v string",
+    )
+    table.merge(b1, batch_id=0)
+    v1 = table.current_version()
+    b2 = spark.createDataFrame(
+        [(4, "U", "b", "b2"), (5, "D", "c", None), (6, "U", "d", "d1")],
+        "lsn long, op string, doc_id string, v string",
+    )
+    table.merge(b2, batch_id=1)
+
+    changes = {r.doc_id: r for r in table.diff(v1).collect()}
+    assert changes["d"]._change_type == "insert" and changes["d"].v == "d1"
+    assert changes["b"]._change_type == "update" and changes["b"].v == "b2"
+    assert changes["c"]._change_type == "delete" and changes["c"].v == "c1"
+    assert "a" not in changes or changes["a"]._change_type is None  # untouched
+    assert changes["b"]._from_lsn == 2 and changes["b"]._to_lsn == 4
