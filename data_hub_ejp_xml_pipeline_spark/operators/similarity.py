@@ -181,73 +181,43 @@ def ann_ivf(
     )
 
 
-def ann_lsh_multiprobe(
+def ann_lsh(
     emb: DataFrame,
     queries: DataFrame,
     planes: list[list[float]],
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: bool = False,
 ) -> DataFrame:
-    """Multiprobe LSH: each query probes its own bucket PLUS every 1-bit
-    flip of its signature (H+1 probes). Near-boundary neighbors whose
-    signature differs by one hyperplane are recovered — the standard
-    recall fix that costs H extra broadcast-side rows per query instead of
-    more tables. The big (candidate) side still shuffles once on the
-    bucket."""
-    n_planes = len(planes)
-    sig = lsh_signature(F.col(vec_col), planes)
-    cand = emb.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce"),
-        sig.alias("bucket"),
-    )
-    qs = queries.select(
-        "query_id", "qe", lsh_signature(F.col("qe"), planes).alias("bucket")
-    )
-    probes = qs.select(
-        "query_id",
-        "qe",
-        F.explode(
-            F.array(
-                F.col("bucket"),
-                *[
-                    F.col("bucket").bitwiseXOR(F.lit(1 << j))
-                    for j in range(n_planes)
-                ],
-            )
-        ).alias("bucket"),
-    )
-    scored = (
-        F.broadcast(probes).alias("q")
-        .join(
-            cand.alias("c"),
-            (F.col("q.bucket") == F.col("c.bucket"))
-            & (F.col("c.neighbor_id") != F.col("q.query_id")),
-        )
-        .select(
-            F.col("q.query_id").alias("query_id"),
-            F.col("c.neighbor_id").alias("neighbor_id"),
-            F.round(cosine(F.col("q.qe"), F.col("c.ce")), 6).alias("sim6"),
-        )
-        .distinct()  # a neighbor can arrive via several probes
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("sim6").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim6", 4).alias("cosine"))
-    )
-
-
-def ann_lsh(emb: DataFrame, queries: DataFrame, planes: list[list[float]], k: int = 5,
-            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """LSH-bucketed ANN: equi-join on the signature bucket, exact rerank
     within the bucket. One shuffle on the bucket key instead of a full
-    cross product — the 100 TB shape. Approximate (recall < 1)."""
+    cross product — the 100 TB shape. Approximate (recall < 1).
+
+    ``multiprobe=True``: each query ALSO probes every 1-bit flip of its
+    signature (H+1 probes total), recovering near-boundary neighbors whose
+    signature differs by one hyperplane — the standard recall fix, costing
+    H extra broadcast-side rows per query. The probe buckets are pairwise
+    distinct and each candidate lives in exactly one bucket, so a
+    (query, neighbor) pair matches at most one probe — no dedup needed."""
     sig = lsh_signature(F.col(vec_col), planes)
     cand = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ce"),
                       sig.alias("bucket"))
     qs = queries.select("query_id", "qe", lsh_signature(F.col("qe"), planes).alias("bucket"))
+    if multiprobe:
+        qs = qs.select(
+            "query_id",
+            "qe",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                        for j in range(len(planes))
+                    ],
+                )
+            ).alias("bucket"),
+        )
     qs2 = F.broadcast(qs).alias("q")
     cand2 = cand.alias("c")
     scored = qs2.join(
@@ -264,3 +234,15 @@ def ann_lsh(emb: DataFrame, queries: DataFrame, planes: list[list[float]], k: in
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim6", 4).alias("cosine"))
     )
+
+
+def ann_lsh_multiprobe(
+    emb: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Convenience alias: ``ann_lsh(..., multiprobe=True)``."""
+    return ann_lsh(emb, queries, planes, k, id_col, vec_col, multiprobe=True)

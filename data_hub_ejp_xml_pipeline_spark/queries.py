@@ -961,18 +961,36 @@ def _lsh_planes() -> list[list[float]]:
     return hyperplanes(_ANN_LSH_PLANES, _ANN_LSH_DIM, seed=42)
 
 
-def _ann_lsh_oracle() -> str:
+def _ann_lsh_oracle(multiprobe: bool = False) -> str:
+    """One generator for both probe modes — the Spark side is likewise one
+    implementation (similarity.ann_lsh(multiprobe=...)), so the dataflows
+    cannot drift apart."""
     planes = _lsh_planes()
     bucket = " + ".join(
         f"(CASE WHEN list_dot_product(e, {p!r}::DOUBLE[]) > 0 THEN {1 << j} ELSE 0 END)"
         for j, p in enumerate(planes)
     )
+    if multiprobe:
+        flips = ", ".join(["-1"] + [str(j) for j in range(len(planes))])
+        q_cte = f"""q AS (
+  SELECT query_id, qe,
+         CASE WHEN j = -1 THEN bucket ELSE xor(bucket, CAST(1 << j AS BIGINT)) END
+           AS bucket
+  FROM (SELECT vec_id AS query_id, e AS qe, bucket FROM sig
+        WHERE vec_id < {_ANN_NQ}) base,
+       (SELECT unnest([{flips}]) AS j) flips
+)"""
+    else:
+        q_cte = (
+            f"q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM sig "
+            f"WHERE vec_id < {_ANN_NQ})"
+        )
     return f"""
 WITH sig AS (
   SELECT vec_id, embedding::DOUBLE[] AS e, CAST({bucket} AS BIGINT) AS bucket
   FROM embeddings
 ),
-q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM sig WHERE vec_id < {_ANN_NQ}),
+{q_cte},
 scored AS (
   SELECT q.query_id, s.vec_id AS neighbor_id,
          round(list_cosine_similarity(q.qe, s.e), 6) AS sim6
@@ -1080,54 +1098,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh(emb, queries, _lsh_planes(), k=_ANN_K)
 
 
-def _ann_lsh_multiprobe_oracle() -> str:
-    planes = _lsh_planes()
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(e, {p!r}::DOUBLE[]) > 0 THEN {1 << j} ELSE 0 END)"
-        for j, p in enumerate(planes)
-    )
-    flips = ", ".join(["-1"] + [str(j) for j in range(len(planes))])
-    return f"""
-WITH sig AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e, CAST({bucket} AS BIGINT) AS bucket
-  FROM embeddings
-),
-q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM sig WHERE vec_id < {_ANN_NQ}),
-probes AS (
-  SELECT query_id, qe,
-         CASE WHEN j = -1 THEN bucket ELSE xor(bucket, CAST(1 << j AS BIGINT)) END
-           AS bucket
-  FROM q, (SELECT unnest([{flips}]) AS j) flips
-),
-scored AS (
-  SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id,
-         round(list_cosine_similarity(p.qe, s.e), 6) AS sim6
-  FROM probes p JOIN sig s ON s.bucket = p.bucket AND s.vec_id <> p.query_id
-),
-ranked AS (
-  SELECT query_id, neighbor_id, sim6,
-         row_number() OVER (PARTITION BY query_id ORDER BY sim6 DESC, neighbor_id) AS rank
-  FROM scored
-)
-SELECT query_id, neighbor_id, rank, round(sim6, 4) AS cosine
-FROM ranked WHERE rank <= {_ANN_K}
-"""
-
-
 def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiprobe LSH ANN: the query also probes every 1-bit flip of its
     signature (H+1 probes), recovering near-boundary neighbors — the
     standard recall fix over single-bucket LSH at the cost of H extra
     broadcast rows per query."""
-    from data_hub_ejp_xml_pipeline_spark.operators.similarity import (
-        ann_lsh_multiprobe,
-    )
+    from data_hub_ejp_xml_pipeline_spark.operators.similarity import ann_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _ANN_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    return ann_lsh_multiprobe(emb, queries, _lsh_planes(), k=_ANN_K)
+    return ann_lsh(emb, queries, _lsh_planes(), k=_ANN_K, multiprobe=True)
 
 
 _PII_ORACLE = """
@@ -1378,7 +1360,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_simhash": (q_dedup_simhash, _simhash_oracle()),
     "ann_brute_force": (q_ann_brute_force, _ANN_ORACLE),
     "ann_lsh": (q_ann_lsh, _ann_lsh_oracle()),
-    "ann_lsh_multiprobe": (q_ann_lsh_multiprobe, _ann_lsh_multiprobe_oracle()),
+    "ann_lsh_multiprobe": (q_ann_lsh_multiprobe, _ann_lsh_oracle(multiprobe=True)),
     "ann_ivf": (q_ann_ivf, _ann_ivf_oracle()),
     "embedding_neardup": (q_embedding_neardup, _NEARDUP_COS_ORACLE),
     "multimodal_meta": (q_multimodal_meta, _MULTIMODAL_ORACLE),

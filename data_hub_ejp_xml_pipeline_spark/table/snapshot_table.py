@@ -243,9 +243,14 @@ class SnapshotTable:
             .when(F.col(f"b.{key}").isNull(), F.lit("delete"))
             .when(F.col(f"a.{LSN_COL}") != F.col(f"b.{LSN_COL}"), F.lit("update"))
         )
+        # pick the to-side row WHOLESALE when it exists (per-column coalesce
+        # would resurrect a stale value for an update that legitimately sets
+        # a column to NULL); from-side only for deletes
+        b_exists = F.col(f"b.{key}").isNotNull()
         out_cols = [
-            F.coalesce(F.col(f"b.{c}") if c in b.columns else F.lit(None),
-                       F.col(f"a.{c}") if c in a.columns else F.lit(None)).alias(c)
+            F.when(b_exists, F.col(f"b.{c}") if c in b.columns else F.lit(None))
+            .otherwise(F.col(f"a.{c}") if c in a.columns else F.lit(None))
+            .alias(c)
             for c in payload_cols
         ]
         return (

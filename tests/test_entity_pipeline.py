@@ -155,10 +155,9 @@ def test_partial_epoch_converges_on_retry(spark, tmp_path):
     assert pipe.read("manuscript_version").count() == 0
 
     # retry the SAME epoch: committed tables no-op via their ledgers
-    applied = pipe.apply(changelog, batch_id=0)
+    pipe.apply(changelog, batch_id=0)
     assert pipe.read("manuscript_version").count() == 1
     assert pipe.read("person_v2").count() == 1
     # ledgers: exactly one entry per table for batch 0
     for e in ENTITY_TYPES:
         assert "0" in pipe.tables[e].ledger()
-    del applied
