@@ -276,3 +276,28 @@ def test_snapshot_diff_classifies_changes(spark, tmp_path):
     assert changes["c"]._change_type == "delete" and changes["c"].v == "c1"
     assert "a" not in changes or changes["a"]._change_type is None  # untouched
     assert changes["b"]._from_lsn == 2 and changes["b"]._to_lsn == 4
+
+
+def test_snapshot_diff_reports_null_update_faithfully(spark, tmp_path):
+    """An update that legitimately sets a payload column to NULL must show
+    NULL in the diff, not the resurrected pre-update value."""
+    from pyspark.sql import types as T
+
+    payload = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("v", T.StringType())]
+    )
+    table = SnapshotTable.create(spark, str(tmp_path / "dn"), payload, n_buckets=2)
+    table.merge(
+        spark.createDataFrame([(1, "U", "b", "b1")],
+                              "lsn long, op string, doc_id string, v string"),
+        batch_id=0,
+    )
+    v1 = table.current_version()
+    table.merge(
+        spark.createDataFrame([(4, "U", "b", None)],
+                              "lsn long, op string, doc_id string, v string"),
+        batch_id=1,
+    )
+    row = {r.doc_id: r for r in table.diff(v1).collect()}["b"]
+    assert row._change_type == "update"
+    assert row.v is None
