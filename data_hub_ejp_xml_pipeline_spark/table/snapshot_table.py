@@ -782,6 +782,62 @@ class SnapshotTable:
         return {"removed_files": removed_files, "removed_manifests": removed_manifests,
                 "oldest_retained_version": cutoff}
 
+    def compact_files(self, max_files_per_bucket: int | None = None) -> CommitResult:
+        """Iceberg rewrite_data_files (binpack) analog: pruned merges add
+        files over time; buckets holding more than ``max_files_per_bucket``
+        (default: the table's files_per_bucket) are rewritten into their
+        target fan-out, everything else carries forward by reference.
+        Content-preserving (tombstones included) — state is byte-identical
+        before and after. Single-owner maintenance op, like
+        expire_snapshots."""
+        m = self.manifest()
+        key = m["key"]
+        fpb = max_files_per_bucket or m.get("files_per_bucket", 1)
+        counts: dict[int, int] = {}
+        for f in m["files"]:
+            counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
+        # steady state after a rewrite is fpb (+1 when a range partition
+        # straddles a bucket boundary) — only rewrite above that, so
+        # compact → compact is a no-op
+        victims = {b for b, n in counts.items() if n > fpb + 1}
+        if not victims:
+            return CommitResult(m["snapshot_id"], m["version"], applied=False)
+        victim_entries = [f for f in m["files"] if f["bucket"] in victims]
+        carried = [f for f in m["files"] if f["bucket"] not in victims]
+        schema = T.StructType.fromJson(m["schema"])
+        df = self._read_file_entries(victim_entries, schema).withColumn(
+            "_bucket", self._bucket_expr(key)
+        )
+        version = m["version"] + 1
+        snap_rel = os.path.join("data", f"snap-v{version:08d}")
+        snap_dir = os.path.join(self.root, snap_rel)
+        (
+            df.repartitionByRange(
+                max(len(victims) * m.get("files_per_bucket", 1), 1),
+                F.col("_bucket"),
+                F.col(key),
+            )
+            .sortWithinPartitions("_bucket", key)
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(snap_dir)
+        )
+        new_files = _list_bucket_files(snap_dir, snap_rel, key)
+        manifest = {
+            **m,
+            "version": version,
+            "snapshot_id": f"snap-{version:08d}-compact",
+            "parent": m["snapshot_id"],
+            "operation": "compact_files",
+            "files": carried + new_files,
+            "ts": time.time(),
+        }
+        self._write_manifest(manifest, expected_parent_version=m["version"])
+        return CommitResult(
+            manifest["snapshot_id"], version, applied=True,
+            rows_written=sum(f["rows"] for f in new_files),
+        )
+
     def vacuum_tombstones(self, older_than_lsn: int) -> CommitResult:
         """Drop delete tombstones whose LSN is at or below a watermark the
         stream has provably passed (no event with lsn ≤ watermark can still

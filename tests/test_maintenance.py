@@ -185,3 +185,40 @@ def test_compact_lineage_follows_retention(spark, tmp_path, changelog_pdf):
     # the surviving rows are exactly the originals for those snapshots
     orig = [r for r in all_rows if r["snapshot_id"] in retained_snaps]
     assert kept == orig
+
+
+def test_compact_files_binpacks_grown_buckets(spark, tmp_path, changelog_pdf):
+    """Many pruned merges accumulate small files; compaction rewrites only
+    the overgrown buckets and preserves state byte-identically."""
+    from data_hub_ejp_xml_pipeline_spark.plans.pipeline import PAYLOAD_SCHEMA
+
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "cf"), PAYLOAD_SCHEMA, n_buckets=2, files_per_bucket=1
+    )
+    table.merge(reduce_latest(spark_changelog_from_pandas(spark, changelog_pdf)), batch_id=0)
+    # many tiny single-key merges → file growth in touched buckets
+    for i in range(6):
+        one = changelog_pdf.iloc[[i * 7]].copy()
+        one["lsn"] = changelog_pdf["lsn"].max() + 1 + i
+        one["op"] = "U"
+        table.merge(reduce_latest(spark_changelog_from_pandas(spark, one)), batch_id=i + 1)
+    counts_before = {}
+    for f in table.manifest()["files"]:
+        counts_before[f["bucket"]] = counts_before.get(f["bucket"], 0) + 1
+    assert max(counts_before.values()) > 2, "merges should have grown a bucket"  # fpb=1 → threshold 2
+    state_before = (
+        table.read().selectExpr("doc_id", "tokens", "n_tok", "source", "_lsn").toPandas()
+    )
+
+    res = table.compact_files()
+    assert res.applied
+    counts_after = {}
+    for f in table.manifest()["files"]:
+        counts_after[f["bucket"]] = counts_after.get(f["bucket"], 0) + 1
+    assert max(counts_after.values()) <= 2  # fpb + straddle allowance
+    assert_final_state_equal(
+        table.read().selectExpr("doc_id", "tokens", "n_tok", "source", "_lsn").toPandas(),
+        state_before.rename(columns={}),
+    )
+    # compacting again is a no-op
+    assert not table.compact_files().applied
