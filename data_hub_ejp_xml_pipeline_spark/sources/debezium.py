@@ -62,24 +62,38 @@ def decode_envelopes(
     payload_schema: T.StructType,
     key: str = "doc_id",
     json_col: str = "value",
+    lsn_source: str = "lsn",
 ) -> DataFrame:
     """JSON envelope column → engine changelog rows.
 
     Output: ``lsn, op, <payload columns>`` with the key taken from
-    ``after`` (or ``before`` for deletes). Unparseable envelopes and
-    unknown ops are dropped into a quarantine-able ``_error`` column
-    rather than failing the stream — filter ``_error IS NULL`` for the
-    clean changelog (``sources.xml_zip.quarantine`` pattern)."""
+    ``after`` (or ``before`` for deletes). Unparseable envelopes, unknown
+    ops, null keys and missing ordering values are dropped into a
+    quarantine-able ``_error`` column rather than failing the stream —
+    filter ``_error IS NULL`` for the clean changelog
+    (``sources.xml_zip.quarantine`` pattern).
+
+    ``lsn_source`` picks ONE ordering domain — ``'lsn'`` (``source.lsn``,
+    the WAL position) or ``'ts_ms'``. They are deliberately NOT coalesced:
+    a ts_ms value (≈1.7e12) mixed into a stream of small WAL positions
+    would out-rank every real LSN and make the merge guard silently drop
+    all later genuine updates for that key. An envelope missing its chosen
+    ordering value is quarantined instead."""
+    if lsn_source not in ("lsn", "ts_ms"):
+        raise ValueError(f"lsn_source must be 'lsn' or 'ts_ms', got {lsn_source!r}")
     env = F.from_json(F.col(json_col).cast("string"), envelope_schema(payload_schema))
     parsed = df.select(env.alias("e"), F.col(json_col).cast("string").alias("_raw"))
     op = _map_op(F.col("e.op"))
     row = F.when(F.col("e.op") == "d", F.col("e.before")).otherwise(F.col("e.after"))
-    lsn = F.coalesce(F.col("e.source.lsn"), F.col("e.ts_ms")).cast("long")
+    lsn = (
+        F.col("e.source.lsn") if lsn_source == "lsn" else F.col("e.ts_ms")
+    ).cast("long")
     error = (
         F.when(F.col("e").isNull(), F.lit("unparseable envelope"))
         .when(op.isNull(), F.concat(F.lit("unknown op: "), F.coalesce(F.col("e.op"), F.lit("<null>"))))
         .when(row.isNull(), F.lit("missing payload (before/after)"))
-        .when(lsn.isNull(), F.lit("missing lsn/ts_ms"))
+        .when(row.getField(key).isNull(), F.lit(f"null key ({key})"))
+        .when(lsn.isNull(), F.lit(f"missing ordering value ({lsn_source})"))
     )
     out_payload = [row.getField(f.name).alias(f.name) for f in payload_schema.fields]
     return parsed.select(

@@ -46,6 +46,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import time
@@ -70,6 +71,19 @@ INTERNAL_COLS = (LSN_COL, DELETED_COL)
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer advanced the table while this commit was in flight."""
+
+
+_DIR_SEQ = itertools.count()
+
+
+def _snap_dir_name(version: int) -> str:
+    """Data dirs are WRITER-UNIQUE (pid + per-process sequence), not just
+    version-unique: two racers targeting the same next version must not
+    overwrite each other's files — the loser's manifest CAS fails cleanly
+    and its orphan dir is swept by expire_snapshots, while the winner's
+    committed files are untouched. The manifest references files by path,
+    so the dir name carries no semantics."""
+    return os.path.join("data", f"snap-v{version:08d}-{os.getpid()}-{next(_DIR_SEQ)}")
 
 
 @dataclass
@@ -447,7 +461,7 @@ class SnapshotTable:
 
         version = m["version"] + 1
         snapshot_id = f"snap-{version:08d}-b{batch_id if batch_id is not None else 'x'}"
-        snap_rel = os.path.join("data", f"snap-v{version:08d}")
+        snap_rel = _snap_dir_name(version)
         snap_dir = os.path.join(self.root, snap_rel)
 
         bucket = self._bucket_expr(key)
@@ -755,10 +769,13 @@ class SnapshotTable:
     # ------------------------------------------------------------ maintenance
     def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
         """Iceberg-style snapshot expiry: drop manifests older than the
-        ``keep_last`` most recent versions and delete data files referenced
+        ``keep_last`` most recent versions, delete data files referenced
         ONLY by expired snapshots (the reference's consumed-temp-object
         cleanup, ``etl.py:202-213``/K5, done safely: current state and the
-        retained time-travel window are untouched)."""
+        retained time-travel window are untouched), and sweep ORPHAN files
+        left by crashed/lost-the-CAS commits (referenced by no manifest at
+        all). Single-owner maintenance op: must not run concurrently with
+        a committer, whose not-yet-committed data dir would look orphaned."""
         current = self.current_version()
         cutoff = max(current - keep_last + 1, 0)
         retained_files: set[str] = set()
@@ -779,6 +796,24 @@ class SnapshotTable:
                         removed_files += 1
             os.remove(os.path.join(self.root, "meta", f"v{v:08d}.json"))
             removed_manifests += 1
+        # orphan sweep: anything under data/ that no retained manifest
+        # references (expired-manifest files were just handled above)
+        data_root = os.path.join(self.root, "data")
+        for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
+            for fn in filenames:
+                fp = os.path.join(dirpath, fn)
+                rel = os.path.relpath(fp, self.root)
+                if fn.endswith(".parquet") and rel not in retained_files:
+                    os.remove(fp)
+                    removed_files += 1
+                elif fn == "_SUCCESS":
+                    os.remove(fp)  # write-completion marker, never referenced
+                elif fn.startswith(".") and not os.path.exists(
+                    os.path.join(dirpath, fn.lstrip(".").rsplit(".crc", 1)[0])
+                ):
+                    os.remove(fp)  # stale Hadoop .crc sidecar
+            if not os.listdir(dirpath) and dirpath != data_root:
+                os.rmdir(dirpath)
         return {"removed_files": removed_files, "removed_manifests": removed_manifests,
                 "oldest_retained_version": cutoff}
 
@@ -792,7 +827,13 @@ class SnapshotTable:
         expire_snapshots."""
         m = self.manifest()
         key = m["key"]
-        fpb = max_files_per_bucket or m.get("files_per_bucket", 1)
+        fpb = (
+            max_files_per_bucket
+            if max_files_per_bucket is not None
+            else m.get("files_per_bucket", 1)
+        )
+        if fpb < 1:
+            raise ValueError(f"max_files_per_bucket must be >= 1, got {fpb}")
         counts: dict[int, int] = {}
         for f in m["files"]:
             counts[f["bucket"]] = counts.get(f["bucket"], 0) + 1
@@ -809,11 +850,13 @@ class SnapshotTable:
             "_bucket", self._bucket_expr(key)
         )
         version = m["version"] + 1
-        snap_rel = os.path.join("data", f"snap-v{version:08d}")
+        snap_rel = _snap_dir_name(version)
         snap_dir = os.path.join(self.root, snap_rel)
         (
+            # fan out to the EFFECTIVE threshold (the override, when given)
+            # so a caller-requested tighter file count actually converges
             df.repartitionByRange(
-                max(len(victims) * m.get("files_per_bucket", 1), 1),
+                max(len(victims) * fpb, 1),
                 F.col("_bucket"),
                 F.col(key),
             )
@@ -852,7 +895,7 @@ class SnapshotTable:
         m = self.manifest()
         key = m["key"]
         version = m["version"] + 1
-        snap_rel = os.path.join("data", f"snap-v{version:08d}")
+        snap_rel = _snap_dir_name(version)
         snap_dir = os.path.join(self.root, snap_rel)
         (
             live.withColumn("_bucket", self._bucket_expr(key))

@@ -30,7 +30,8 @@ def test_decode_envelopes(spark):
         (_env("r", after={"doc_id": "b", "v": "b1"}, lsn=2),),   # snapshot read → I
         (_env("u", after={"doc_id": "a", "v": "a2"}, lsn=3),),
         (_env("d", before={"doc_id": "b", "v": "b1"}, lsn=4),),  # delete payload = before
-        (_env("u", after={"doc_id": "c", "v": "c1"}, ts_ms=99),),  # no lsn → ts_ms
+        (_env("u", after={"doc_id": "c", "v": "c1"}, ts_ms=99),),  # NO lsn → quarantined
+        (_env("c", after={"doc_id": None, "v": "n"}, lsn=5),),     # null key → quarantined
         (_env("x", after={"doc_id": "z", "v": "z"}, lsn=9),),    # unknown op
         ("{not json",),
     ]
@@ -42,12 +43,27 @@ def test_decode_envelopes(spark):
         (2, "I", "b", "b1"),
         (3, "U", "a", "a2"),
         (4, "D", "b", "b1"),
-        (99, "U", "c", "c1"),
     }
     bad = {r._error for r in dbz.quarantine(decoded).collect()}
     assert any("unknown op" in e for e in bad)
-    # from_json gives a null struct for broken JSON → missing payload/op
-    assert len(bad) == 2
+    assert any("null key" in e for e in bad)
+    # ts_ms and source.lsn are different ordering domains — never coalesced
+    assert any("missing ordering value (lsn)" in e for e in bad)
+    assert len(bad) == 4  # + the unparseable envelope
+
+
+def test_decode_envelopes_ts_ms_domain(spark):
+    """A connector without WAL positions orders by ts_ms — explicitly."""
+    rows = [
+        (_env("c", after={"doc_id": "a", "v": "a1"}, ts_ms=100),),
+        (_env("u", after={"doc_id": "a", "v": "a2"}, ts_ms=200),),
+        (_env("u", after={"doc_id": "b", "v": "b1"}, lsn=7),),  # no ts_ms → quarantined
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    decoded = dbz.decode_envelopes(df, PAYLOAD, lsn_source="ts_ms")
+    clean = {(r.lsn, r.doc_id, r.v) for r in dbz.changelog(decoded).collect()}
+    assert clean == {(100, "a", "a1"), (200, "a", "a2")}
+    assert dbz.quarantine(decoded).count() == 1
 
 
 def test_debezium_stream_to_snapshot_table(spark, tmp_path):

@@ -15,16 +15,24 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     src = tmp_path / "docs"
     src.mkdir()
 
-    def write_batch(name: str, rows: list[dict]) -> None:
+    import os
+    import time
+
+    base = time.time() - 100
+
+    def write_batch(name: str, rows: list[dict], order: int = 0) -> None:
         p = src / f"{name}.json"
         p.write_text("\n".join(json.dumps(r) for r in rows))
+        # explicit distinct mtimes: the file source orders by modification
+        # time, and back-to-back writes can tie on coarse-mtime filesystems
+        os.utime(p, (base + order, base + order))
 
     # batch 1: d1, d2; batch 2 (arrives later): d2 duplicate + d3
-    write_batch("b1", [
+    write_batch("b1", order=0, rows=[
         {"doc_id": "d1", "fp": "aaa", "ts": "2024-01-01T00:00:00"},
         {"doc_id": "d2", "fp": "bbb", "ts": "2024-01-01T00:01:00"},
     ])
-    write_batch("b2", [
+    write_batch("b2", order=10, rows=[
         {"doc_id": "d2-dup", "fp": "bbb", "ts": "2024-01-01T00:02:00"},
         {"doc_id": "d3", "fp": "ccc", "ts": "2024-01-01T00:03:00"},
     ])
