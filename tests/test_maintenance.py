@@ -222,3 +222,26 @@ def test_compact_files_binpacks_grown_buckets(spark, tmp_path, changelog_pdf):
     )
     # compacting again is a no-op
     assert not table.compact_files().applied
+
+
+def test_expire_sweeps_orphans_from_failed_commits(spark, tmp_path, changelog_pdf):
+    """A commit that lost the CAS (or crashed pre-swap) leaves a data dir
+    referenced by no manifest; expire_snapshots sweeps it without touching
+    retained files."""
+    import glob
+
+    table = _build(spark, tmp_path, changelog_pdf, n_batches=2)
+    # simulate a loser: data files written, manifest never swapped
+    orphan = os.path.join(table.root, "data", "snap-v00000099-777-0")
+    os.makedirs(os.path.join(orphan, "_bucket=0"), exist_ok=True)
+    with open(os.path.join(orphan, "_bucket=0", "part-orphan.parquet"), "wb") as fh:
+        fh.write(b"not really parquet")
+    with open(os.path.join(orphan, "_SUCCESS"), "w") as fh:
+        fh.write("")
+
+    state = table.read().count()
+    table.expire_snapshots(keep_last=1)
+    assert not os.path.exists(orphan), "orphan dir swept"
+    assert table.read().count() == state  # retained files untouched
+    assert not glob.glob(os.path.join(table.root, "data", "**", "_SUCCESS"),
+                         recursive=True)
