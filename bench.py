@@ -104,6 +104,22 @@ def run_headline_queries(spark) -> dict[str, float]:
     for t in ("events", "documents", "embeddings", "lineitem", "orders"):
         spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
     spark.range(1000).groupBy("id").count().count()
+    # merge-path codegen (cdc_engine_final_state runs 3 real merges)
+    from pyspark.sql import functions as F
+
+    from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
+
+    wroot = os.path.join(_bench_tmpdir(), "warm-tbl")
+    shutil.rmtree(wroot, ignore_errors=True)
+    wpipe = MergePipeline(spark, wroot + "/t", n_buckets=4)
+    warm_batch = spark.range(0, 2000).select(
+        F.col("id").alias("lsn"), F.lit("U").alias("op"),
+        F.col("id").cast("string").alias("doc_id"),
+        F.array(F.lit(1)).alias("tokens"), F.lit(1).alias("n_tok"),
+        F.lit("w").alias("source"),
+    )
+    wpipe.apply(warm_batch, batch_id=0)
+    shutil.rmtree(wroot, ignore_errors=True)
 
     times: dict[str, float] = {}
     for name in HEADLINE:
