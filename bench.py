@@ -212,6 +212,37 @@ def reduce_strategy_comparison(spark, changelog_dir: str, limit: int = 200_000) 
     return out
 
 
+def streaming_apply(spark, changelog_dir: str, n_events: int,
+                    files_per_trigger: int = 16, n_buckets: int = 32) -> dict:
+    """The north star measured AS A STREAM: ChangelogTailer drains the
+    changelog directory through readStream + foreachBatch into a fresh
+    snapshot table (exactly-once ledger active), availableNow. Reports
+    end-to-end events/sec including checkpoint + commit overhead.
+    Env-gated (SPARK_GRAFT_BENCH_STREAMING=1): the batch cdc_apply above
+    measures the same merge path without streaming machinery."""
+    from data_hub_ejp_xml_pipeline_spark.streaming.tailer import ChangelogTailer
+    from data_hub_ejp_xml_pipeline_spark.table.snapshot_table import SnapshotTable
+    from data_hub_ejp_xml_pipeline_spark.plans.pipeline import PAYLOAD_SCHEMA
+
+    root = tempfile.mkdtemp(prefix="bench-stream-", dir=_bench_tmpdir())
+    table = SnapshotTable.create(spark, root + "/tbl", PAYLOAD_SCHEMA,
+                                 n_buckets=n_buckets)
+    tailer = ChangelogTailer(spark, table)
+    t0 = time.time()
+    q = tailer.start(changelog_dir, root + "/ckpt", available_now=True,
+                     max_files_per_trigger=files_per_trigger)
+    q.awaitTermination()
+    elapsed = time.time() - t0
+    out = {
+        "elapsed_sec": round(elapsed, 3),
+        "events_per_sec": round(n_events / elapsed, 1),
+        "n_epochs": len(tailer.metrics),
+        "final_rows": table.read().count(),
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     gen_dir = os.path.join(_bench_tmpdir(), f"changelog_{N_EVENTS}")
 
@@ -234,6 +265,11 @@ def main() -> None:
         "final_rows": apply_main["final_rows"],
         "reduce_strategies_sec": reduce_strategy_comparison(spark, gen_dir),
     }
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "0") == "1":
+        result["streaming"] = min(
+            (streaming_apply(spark, gen_dir, N_EVENTS) for _ in range(2)),
+            key=lambda r: r["elapsed_sec"],
+        )
     spark.stop()
 
     if DO_SCALING:
