@@ -301,3 +301,24 @@ def test_snapshot_diff_reports_null_update_faithfully(spark, tmp_path):
     row = {r.doc_id: r for r in table.diff(v1).collect()}["b"]
     assert row._change_type == "update"
     assert row.v is None
+
+
+def test_diff_across_compaction_is_empty(spark, tmp_path, changelog_pdf):
+    """compact_files rewrites every victim file, so diff must read them all
+    — and report NOTHING, because same-LSN rows are identity (the
+    content-preservation invariant, checked through the diff lens)."""
+    from data_hub_ejp_xml_pipeline_spark.plans.pipeline import PAYLOAD_SCHEMA
+
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "dc"), PAYLOAD_SCHEMA, n_buckets=2, files_per_bucket=1
+    )
+    table.merge(reduce_latest(spark_changelog_from_pandas(spark, changelog_pdf)), batch_id=0)
+    for i in range(5):
+        one = changelog_pdf.iloc[[i * 11]].copy()
+        one["lsn"] = changelog_pdf["lsn"].max() + 1 + i
+        one["op"] = "U"
+        table.merge(reduce_latest(spark_changelog_from_pandas(spark, one)), batch_id=i + 1)
+    v_before = table.current_version()
+    res = table.compact_files()
+    assert res.applied
+    assert table.diff(v_before).count() == 0
