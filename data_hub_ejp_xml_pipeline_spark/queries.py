@@ -23,6 +23,28 @@ from data_hub_ejp_xml_pipeline_spark.operators import dedup as D
 from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
 
 
+def _swept_scratch_dir(prefix: str) -> str:
+    """Fresh scratch dir on tmpfs, sweeping dirs from DEAD processes plus
+    this process's own previous runs (the driver materializes each query
+    before the next), never a LIVE concurrent process's."""
+    import glob
+    import re
+    import shutil
+
+    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    for stale in glob.glob(os.path.join(scratch, f"{prefix}-*")):
+        m = re.search(rf"{prefix}-(\d+)-", os.path.basename(stale))
+        owner = int(m.group(1)) if m else None
+        owner_alive = (
+            owner is not None
+            and owner != os.getpid()
+            and os.path.exists(f"/proc/{owner}")
+        )
+        if not owner_alive:
+            shutil.rmtree(stale, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=f"{prefix}-{os.getpid()}-", dir=scratch)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -125,6 +147,89 @@ FROM (
 """
 
 
+_CDC_DIFF_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(floor((min(event_id) + max(event_id)) / 2.0) AS BIGINT) AS mid
+  FROM events
+),
+ch AS (
+  SELECT event_id AS lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CAST(user_id AS VARCHAR) AS doc_id,
+         event_type AS final_event_type,
+         round(value, 4) AS final_value
+  FROM events
+),
+s1 AS (
+  SELECT * FROM (
+    SELECT ch.*, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rn
+    FROM ch, bounds WHERE lsn <= mid
+  ) t WHERE rn = 1 AND op <> 'D'
+),
+s2 AS (
+  SELECT * FROM (
+    SELECT ch.*, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rn
+    FROM ch
+  ) t WHERE rn = 1 AND op <> 'D'
+)
+SELECT coalesce(s2.doc_id, s1.doc_id) AS doc_id,
+       CASE WHEN s1.doc_id IS NULL THEN 'insert'
+            WHEN s2.doc_id IS NULL THEN 'delete'
+            WHEN s1.lsn <> s2.lsn THEN 'update' END AS change_type,
+       CASE WHEN s2.doc_id IS NOT NULL THEN s2.final_event_type
+            ELSE s1.final_event_type END AS final_event_type,
+       CASE WHEN s2.doc_id IS NOT NULL THEN s2.final_value
+            ELSE s1.final_value END AS final_value,
+       s1.lsn AS from_lsn, s2.lsn AS to_lsn
+FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id
+WHERE (CASE WHEN s1.doc_id IS NULL THEN 'insert'
+            WHEN s2.doc_id IS NULL THEN 'delete'
+            WHEN s1.lsn <> s2.lsn THEN 'update' END) IS NOT NULL
+"""
+
+
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-scan end-to-end: events split at the median LSN into two
+    REAL merges (v1, v2); ``SnapshotTable.diff(v1, v2)`` must equal the
+    change set an independent SQL oracle derives from the raw events —
+    inserts, LSN-guarded updates, tombstoned deletes, untouched rows
+    absent."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("final_event_type"),
+        F.round("value", 4).alias("final_value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("final_event_type", T.StringType()),
+            T.StructField("final_value", T.DoubleType()),
+        ]
+    )
+    root = _swept_scratch_dir("cdcdiff") + "/tbl"
+    table = SnapshotTable.create(spark, root, payload, key="doc_id", n_buckets=8)
+    lo, hi = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    table.merge(reduce_latest(changelog.filter(F.col("lsn") <= mid)), batch_id=0)
+    v1 = table.current_version()
+    table.merge(reduce_latest(changelog.filter(F.col("lsn") > mid)), batch_id=1)
+    return table.diff(v1).select(
+        "doc_id",
+        F.col("_change_type").alias("change_type"),
+        "final_event_type",
+        "final_value",
+        F.col("_from_lsn").alias("from_lsn"),
+        F.col("_to_lsn").alias("to_lsn"),
+    )
+
+
 def q_cdc_engine_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end engine check: events → changelog (error ⇒ delete) applied
     through the REAL snapshot table in 3 incremental merges; final state
@@ -155,20 +260,7 @@ def q_cdc_engine_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invocation sweeps dirs from DEAD processes plus this process's own
     # previous runs (the driver materializes each query before the next),
     # never a LIVE concurrent process's.
-    import glob
-    import re
-    import shutil
-
-    scratch = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    for stale in glob.glob(os.path.join(scratch, "cdcq-*")):
-        m = re.search(r"cdcq-(\d+)-", os.path.basename(stale))
-        owner = int(m.group(1)) if m else None
-        owner_alive = owner is not None and owner != os.getpid() and os.path.exists(
-            f"/proc/{owner}"
-        )
-        if not owner_alive:
-            shutil.rmtree(stale, ignore_errors=True)
-    root = tempfile.mkdtemp(prefix=f"cdcq-{os.getpid()}-", dir=scratch) + "/tbl"
+    root = _swept_scratch_dir("cdcq") + "/tbl"
     table = SnapshotTable.create(spark, root, payload, key="doc_id", n_buckets=8)
     bounds = changelog.agg(F.min("lsn"), F.max("lsn")).first()
     lo, hi = bounds[0], bounds[1]
@@ -1276,6 +1368,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lww_applyinpandas": (q_lww_applyinpandas, _LWW_ORACLE),
     "lww_salted": (q_lww_salted, _LWW_ORACLE),
     "cdc_engine_final_state": (q_cdc_engine_final_state, _CDC_FINAL_ORACLE),
+    "cdc_snapshot_diff": (q_cdc_snapshot_diff, _CDC_DIFF_ORACLE),
     "watermark_per_source": (
         q_watermark_per_source,
         "SELECT event_type, max(event_id) AS watermark_lsn, count(*) AS n_events "
