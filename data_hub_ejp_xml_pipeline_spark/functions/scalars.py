@@ -61,17 +61,25 @@ def parse_timestamp_utc(c: Column | str, naive_tz: str = "US/Eastern") -> Column
     tz-presence is detected structurally (trailing Z or ±hh[:]mm offset);
     fixed formats stay JVM-side. Fuzzy formats → fuzzy_parse_timestamp."""
     c = F.col(c) if isinstance(c, str) else c
-    has_tz = c.rlike(r"(Z|[+-]\d{2}:?\d{2})$")
+    # offsets may be hh, hhmm or hh:mm (ISO-8601 allows all three)
+    has_tz = c.rlike(r"(Z|[+-]\d{2}(:?\d{2})?)$")
     aware = F.try_to_timestamp(c)  # session tz = UTC → absolute instant
     naive = F.to_utc_timestamp(F.try_to_timestamp(c), naive_tz)
     return F.when(has_tz, aware).otherwise(naive)
 
 
 def format_iso_utc(c: Column | str) -> Column:
-    """Render ISO-8601 with 'Z' (timestamp.py:28-31, P9): the reference
-    replaces '+00:00' with 'Z'."""
+    """Render ISO-8601 with 'Z' (timestamp.py:28-31, P9): the reference's
+    ``isoformat()`` prints microseconds IFF they are non-zero, and these
+    strings feed version-id keys — render identically."""
     c = F.col(c) if isinstance(c, str) else c
-    return F.regexp_replace(F.date_format(c, _ISO_FMT), r"\+00:00$", "Z")
+    base = F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+    frac = F.date_format(c, "SSSSSS")
+    rendered = F.when(frac == "000000", base).otherwise(
+        F.concat(base, F.lit("."), frac)
+    )
+    tz = F.date_format(c, "XXX")
+    return F.concat(rendered, F.regexp_replace(tz, r"^\+00:00$", "Z"))
 
 
 def coalesce_timestamp(primary: Column | str, fallback: Column | str) -> Column:
@@ -84,12 +92,34 @@ def coalesce_timestamp(primary: Column | str, fallback: Column | str) -> Column:
 
 @F.pandas_udf(T.TimestampType())
 def fuzzy_parse_timestamp(s: pd.Series) -> pd.Series:
-    """dateutil-style fuzzy parse for non-fixed formats (timestamp.py:8-17).
-    Vectorized via pandas; only for columns that defeat try_to_timestamp."""
-    out = pd.to_datetime(s, errors="coerce", utc=False, format="mixed")
-    if getattr(out.dt, "tz", None) is None:
-        out = out.dt.tz_localize("US/Eastern", ambiguous="NaT", nonexistent="NaT")
-    return out.dt.tz_convert("UTC").dt.tz_localize(None)
+    """dateutil fuzzy parse for non-fixed formats (timestamp.py:8-17) —
+    the reference's EXACT library, applied per element so a batch mixing
+    tz-aware and tz-naive values (or mixed offsets across DST) cannot
+    poison the whole column the way a vectorized pd.to_datetime does
+    (object-dtype result → .dt raises → task dies). Arrow-batched; the
+    slow path by design — fixed formats stay in parse_timestamp_utc."""
+    import datetime as _dt
+
+    import dateutil.parser
+    import pytz
+
+    eastern = pytz.timezone("US/Eastern")
+
+    def one(x):
+        if x is None:
+            return None
+        try:
+            dt = dateutil.parser.parse(str(x))
+        except (ValueError, OverflowError):
+            return None
+        if dt.tzinfo is None:
+            try:
+                dt = eastern.localize(dt)
+            except Exception:  # noqa: BLE001 — nonexistent/ambiguous wall time
+                return None
+        return dt.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+
+    return s.map(one)
 
 
 # ------------------------------------------------------------------- keys
@@ -99,21 +129,34 @@ MANUSCRIPT_NO_PATTERN = r".*e[Ll]ife.*-(\d{5,6})"
 
 def extract_manuscript_id(number: Column | str, filename: Column | str) -> Column:
     """Regex key extract with fallback chain (ejp_manuscript_xml.py:56,71-89,
-    232-250, P11): eLife-number regex → raw number → filename stem."""
+    232-250, P11): eLife-number regex → raw number → filename STEM
+    RE-EXTRACTED through the same regex → raw stem. Whitespace-only numbers
+    count as missing (the reference strips before testing)."""
     num = F.col(number) if isinstance(number, str) else number
     fn = F.col(filename) if isinstance(filename, str) else filename
-    rex = F.nullif(F.regexp_extract(num, MANUSCRIPT_NO_PATTERN, 1), F.lit(""))
-    return F.coalesce(rex, F.nullif(num, F.lit("")), filename_stem(fn))
+    num_t = F.nullif(F.trim(num), F.lit(""))
+    rex = F.nullif(
+        F.regexp_extract(F.coalesce(num_t, F.lit("")), MANUSCRIPT_NO_PATTERN, 1),
+        F.lit(""),
+    )
+    stem = filename_stem(fn)
+    stem_rex = F.nullif(F.regexp_extract(stem, MANUSCRIPT_NO_PATTERN, 1), F.lit(""))
+    return F.coalesce(rex, num_t, stem_rex, stem)
 
 
 def version_id(manuscript_id: Column | str, created_ts: Column | str) -> Column:
-    """`{id}/{created}` with NotAcceptable sentinel when created missing
-    (ejp_manuscript_xml.py:425-431, P13)."""
+    """``{id}/{created}`` with the reference's EXACT sentinel rendering for
+    a missing created timestamp (ejp_manuscript_xml.py:425-431, P13):
+    ``'NotAcceptable {id}/None'`` for NULL, ``'NotAcceptable {id}/'`` for
+    '' — the reference f-string interpolates the falsy value as-is, and
+    these strings ARE the doc keys, so rendering must match byte-for-byte
+    (cf. sources/xml_entities.py derive_version_id)."""
     mid = F.col(manuscript_id) if isinstance(manuscript_id, str) else manuscript_id
     ts = F.col(created_ts) if isinstance(created_ts, str) else created_ts
-    ts = F.nullif(ts, F.lit(""))
-    return F.when(ts.isNull(), F.concat(F.lit("NotAcceptable/"), mid)).otherwise(
-        F.concat_ws("/", mid, ts)
+    return (
+        F.when(ts.isNull(), F.concat(F.lit("NotAcceptable "), mid, F.lit("/None")))
+        .when(ts == "", F.concat(F.lit("NotAcceptable "), mid, F.lit("/")))
+        .otherwise(F.concat_ws("/", mid, ts))
     )
 
 

@@ -45,12 +45,17 @@ def _update(
     else:
         max_lsn, seen, late = -1, 0, 0
     for pdf in pdf_iter:
-        lsns = pdf["lsn"]
+        # nullable Int64: a NULL lsn must neither crash int(max()) on an
+        # all-null group nor promote the column to float64 (which corrupts
+        # LSNs above 2^53 — same hazard the merge kernel guards against)
+        lsns = pdf["lsn"].astype("Int64").dropna()
+        seen += len(pdf)
+        if lsns.empty:
+            continue
         # events at or below the current high-water mark are replays/late
         late += int((lsns <= max_lsn).sum())
         # intra-batch duplicates beyond the first occurrence
         late += int(lsns[lsns > max_lsn].duplicated().sum())
-        seen += len(pdf)
         batch_max = int(lsns.max())
         if batch_max > max_lsn:
             max_lsn = batch_max
@@ -70,7 +75,16 @@ def high_water_mark_monitor(changelog_stream: DataFrame) -> DataFrame:
 
     Emits one row per key per microbatch with the running high-water LSN,
     total events seen, and the count of late/duplicate deliveries — state
-    survives restarts via the query checkpoint."""
+    survives restarts via the query checkpoint.
+
+    State bound: one entry PER DISTINCT KEY for the life of the query
+    (``GroupStateTimeout.NoTimeout`` — a high-water mark is only
+    meaningful if it is never forgotten). At billions-of-keys scale run
+    the monitor on a keyspace you can afford to hold (e.g. per
+    source_file or per key-prefix, not per document), or fold the check
+    into the merge path, which already keeps max-LSN per key IN THE TABLE
+    at zero extra state. This operator is the observability pattern, not
+    a mandatory stage."""
     return (
         changelog_stream.select("doc_id", "lsn")
         .groupBy("doc_id")

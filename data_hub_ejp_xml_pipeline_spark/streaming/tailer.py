@@ -60,8 +60,14 @@ class ChangelogTailer:
         self._batches_seen += 1
 
         t0 = time.time()
+        # reduce on the TABLE's key (from its manifest), not a hard-coded
+        # column: a table keyed on anything else would otherwise receive an
+        # un-reduced batch and fan out duplicate rows through the merge
         reduced = reduce_latest(
-            batch_df, strategy=self.reduce_strategy, n_salts=self.n_salts
+            batch_df,
+            key=self.table.manifest()["key"],
+            strategy=self.reduce_strategy,
+            n_salts=self.n_salts,
         )
         # batch stats (count, max event time) come back from the merge's own
         # stats job — no extra persist/count/max actions per microbatch
@@ -80,6 +86,10 @@ class ChangelogTailer:
             else None,
         }
         self.metrics.append(row)
+        if len(self.metrics) > 10_000:
+            # metrics.jsonl is the durable record; the in-memory list is a
+            # convenience tail and must not grow for the query's lifetime
+            del self.metrics[: -5_000]
         with open(self.metrics_path, "a") as fh:
             fh.write(json.dumps(row) + "\n")
 
@@ -124,10 +134,13 @@ class ChangelogTailer:
         writer = stream.writeStream.foreachBatch(self.apply_epoch).option(
             "checkpointLocation", checkpoint_dir
         )
-        if available_now:
-            writer = writer.trigger(availableNow=True)
-        elif processing_time:
+        # an EXPLICIT processing_time means "tail continuously" and must
+        # win over the available_now default — otherwise the query would
+        # silently drain once and stop
+        if processing_time:
             writer = writer.trigger(processingTime=processing_time)
+        elif available_now:
+            writer = writer.trigger(availableNow=True)
         return writer.start()
 
     def run_to_completion(

@@ -82,6 +82,9 @@ def test_coalesce_timestamp(spark):
         ("elife-123456-x", "f.xml", "123456"),
         ("OTHER-99", "f.xml", "OTHER-99"),  # fallback to full number
         ("", "dir/stem-name.xml", "stem-name"),  # fallback to filename stem
+        # stem fallback re-runs the eLife regex (ejp_manuscript_xml.py:242-250)
+        ("", "x/05-02-2020-RA-eLife-12345.xml", "12345"),
+        ("   ", "dir/stem-name.xml", "stem-name"),  # whitespace = missing
     ],
 )
 def test_extract_manuscript_id(spark, number, filename, expected):
@@ -95,10 +98,12 @@ def test_version_id(spark):
     df = spark.createDataFrame(
         [("m1", "2020-01-01T00:00:00Z"), ("m2", ""), ("m3", None)], ["m", "t"]
     ).select(S.version_id("m", "t").alias("v"))
+    # sentinel rendering is byte-exact with the reference f-string
+    # (ejp_manuscript_xml.py:429): '' interpolates as '', None as 'None'
     assert [r.v for r in df.collect()] == [
         "m1/2020-01-01T00:00:00Z",
-        "NotAcceptable/m2",
-        "NotAcceptable/m3",
+        "NotAcceptable m2/",
+        "NotAcceptable m3/None",
     ]
 
 
