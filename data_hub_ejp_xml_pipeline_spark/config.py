@@ -74,4 +74,8 @@ class PipelineConfig:
         )
 
     def table_root(self, entity_type: str) -> str:
-        return self.entity_tables[entity_type]
+        # plain-constructor configs have no entity_tables map: fall back to
+        # the same warehouse layout from_dict defaults to
+        return self.entity_tables.get(
+            entity_type, f"{self.warehouse_root}/{entity_type}"
+        )

@@ -159,16 +159,19 @@ def write_changelog_files(
     step = (len(pdf) + n_files - 1) // n_files
     schema = changelog_arrow_schema()
     extra = [c for c in pdf.columns if c not in schema.names]
+    # infer extra-column types ONCE over the whole frame: a per-slice
+    # inference on an all-null slice yields pa.null() and the directory's
+    # files disagree on the column type
+    full_schema = schema
+    for c in extra:
+        full_schema = full_schema.append(
+            pa.field(c, pa.Table.from_pandas(pdf[[c]], preserve_index=False).schema[0].type)
+        )
     paths = []
     for i in range(n_files):
         part = pdf.iloc[i * step : (i + 1) * step]
         if part.empty:
             continue
-        full_schema = schema
-        for c in extra:
-            full_schema = full_schema.append(
-                pa.field(c, pa.Table.from_pandas(part[[c]], preserve_index=False).schema[0].type)
-            )
         tbl = pa.Table.from_pandas(part, schema=full_schema, preserve_index=False)
         path = os.path.join(out_dir, f"{prefix}-{start_index + i:04d}.parquet")
         pq.write_table(tbl, path)

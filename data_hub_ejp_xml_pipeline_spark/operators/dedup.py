@@ -84,7 +84,13 @@ def jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFram
 
 def jaccard_pairs(df: DataFrame, threshold: float = 0.8, k: int = 3,
                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (quadratic candidate gen)."""
+    """Exact n-gram Jaccard near-dup pairs (quadratic candidate gen).
+
+    The shingle table is persisted for the session (it feeds candidate gen
+    AND verify; the returned DataFrame stays lazy over it, so it cannot be
+    unpersisted here). Spark's storage memory is LRU-evictable; callers
+    running many corpora through one session can ``spark.catalog.clearCache()``
+    between them."""
     sh = shingle_table(df, id_col, text_col, k).persist()
     a = sh.alias("a")
     b = sh.alias("b")
@@ -205,7 +211,15 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 3,
                           id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """SimHash near-dup: candidates share ≥1 of 4 nibble-bands (pigeonhole
-    guarantees recall for hamming ≤ 3), verified via bit_count(xor)."""
+    guarantees recall for hamming ≤ 3), verified via bit_count(xor).
+
+    max_hamming > 3 is REJECTED: 4 differing bits can land one per nibble,
+    sharing no band — such pairs would silently vanish from the output."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4-nibble banding is only recall-complete for max_hamming <= 3; "
+            f"got {max_hamming} — use more/wider bands for larger radii"
+        )
     sig = simhash(df, id_col, text_col)
     nibbles = sig.select(
         "doc_id",

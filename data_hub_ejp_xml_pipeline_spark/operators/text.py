@@ -80,19 +80,21 @@ PII_NUMBER_PATTERN = "[0-9]{9,}"
 
 def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact email addresses and long digit runs; emit per-doc counts and
-    the redacted-text fingerprint. Pure JVM regex — one pass, no shuffle."""
-    redacted = F.regexp_replace(
-        F.regexp_replace(text_col, PII_EMAIL_PATTERN, "<EMAIL>"),
-        PII_NUMBER_PATTERN,
-        "<NUM>",
-    )
+    the redacted-text fingerprint. Pure JVM regex — one pass, no shuffle.
+
+    Counts reconcile with the redactions: n_long_numbers is counted AFTER
+    email redaction (a digit run inside an email is one <EMAIL>, not also
+    a <NUM>), so summing <EMAIL>/<NUM> tokens in the output always matches
+    the reported counts."""
+    after_email = F.regexp_replace(text_col, PII_EMAIL_PATTERN, "<EMAIL>")
+    redacted = F.regexp_replace(after_email, PII_NUMBER_PATTERN, "<NUM>")
     return df.withColumns(
         {
             "n_emails": F.size(
                 F.regexp_extract_all(text_col, F.lit(PII_EMAIL_PATTERN), F.lit(0))
             ),
             "n_long_numbers": F.size(
-                F.regexp_extract_all(text_col, F.lit(PII_NUMBER_PATTERN), F.lit(0))
+                F.regexp_extract_all(after_email, F.lit(PII_NUMBER_PATTERN), F.lit(0))
             ),
             "redacted_fp": F.md5(redacted),
         }
@@ -122,13 +124,9 @@ def contaminated_docs(
     probe set (e.g. eval-set shingles). probe_shingles: a 1-column ``s``
     DataFrame, broadcast — the corpus side is the big one and it never
     shuffles more than its own exploded shingles."""
-    from data_hub_ejp_xml_pipeline_spark.operators.dedup import shingles
+    from data_hub_ejp_xml_pipeline_spark.operators.dedup import shingle_table
 
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sh = df.repartition(par).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.split(text_col, " "), k)).alias("s"),
-    )
+    sh = shingle_table(df, id_col=id_col, text_col=text_col, k=k)
     return (
         sh.join(F.broadcast(probe_shingles), "s")
         .groupBy("doc_id")

@@ -59,6 +59,10 @@ class EntityPipeline:
         """One epoch: reduce + merge each entity slice. The slice filter is
         pushed into the shared scan; entity types absent from the batch are
         empty-batch no-ops (F4)."""
+        # the shared batch feeds 4 tables × 2 jobs each — without a persist
+        # the upstream plan (e.g. the zip parse mapInPandas) would re-execute
+        # 8 times per epoch
+        changelog = changelog.persist()
         applied = {}
         for entity, table in self.tables.items():
             slice_df = changelog.filter(F.col("source") == entity).select(
@@ -73,6 +77,7 @@ class EntityPipeline:
             reduced = reduce_latest(slice_df).drop("source_file", "offset")
             res = table.merge(reduced, batch_id=batch_id, stats_df=slice_df)
             applied[entity] = res.n_events
+        changelog.unpersist()
         return applied
 
     def attach(self, changelog_stream: DataFrame, checkpoint: str,

@@ -1205,13 +1205,17 @@ def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PII_ORACLE = """
+WITH r AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g')
+           AS after_email
+  FROM documents
+)
 SELECT doc_id,
   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_emails,
-  len(regexp_extract_all(text, '[0-9]{9,}')) AS n_long_numbers,
-  md5(regexp_replace(
-        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
-        '[0-9]{9,}', '<NUM>', 'g')) AS redacted_fp
-FROM documents
+  len(regexp_extract_all(after_email, '[0-9]{9,}')) AS n_long_numbers,
+  md5(regexp_replace(after_email, '[0-9]{9,}', '<NUM>', 'g')) AS redacted_fp
+FROM r
 """
 
 

@@ -8,14 +8,23 @@ Reproduces the semantics of the reference's ``get_new_merged_schema``
   existing one are appended (as nullable);
 * **existing-wins** — on a name collision the existing field definition
   (type, casing) is kept; incoming data is cast to it;
-* **recursive** — struct fields merge field-by-field, nested arbitrarily;
+* **recursive** — struct fields merge field-by-field, nested arbitrarily,
+  INCLUDING structs inside arrays (the reference's RECORD fields merge
+  regardless of REPEATED mode);
 * **case-insensitive** name matching (reference lowercases names at
   ``bq_data_service.py:147-153``).
+
+``conform_to_schema`` is the data-side counterpart: it reshapes a
+DataFrame onto a merged schema FIELD BY NAME. A plain ``cast`` cannot do
+this for structs — Spark rejects casts that add fields and maps
+equal-count casts positionally (silently crossing differently-named
+fields) — so struct conformance is rebuilt with ``F.struct`` and array
+elements via ``F.transform``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -26,20 +35,28 @@ def merge_schemas(existing: T.StructType, incoming: T.StructType) -> T.StructTyp
     out: list[T.StructField] = []
     for f in existing.fields:
         inc = _find(incoming, f.name)
-        if (
-            inc is not None
-            and isinstance(f.dataType, T.StructType)
-            and isinstance(inc.dataType, T.StructType)
-        ):
-            out.append(
-                T.StructField(f.name, merge_schemas(f.dataType, inc.dataType), f.nullable, f.metadata)
-            )
-        else:
-            out.append(f)
+        merged_type = (
+            _merge_types(f.dataType, inc.dataType) if inc is not None else f.dataType
+        )
+        out.append(T.StructField(f.name, merged_type, f.nullable, f.metadata))
     for f in incoming.fields:
         if f.name.lower() not in by_lower:
             out.append(T.StructField(f.name, f.dataType, True, f.metadata))
     return T.StructType(out)
+
+
+def _merge_types(existing: T.DataType, incoming: T.DataType) -> T.DataType:
+    """Existing-wins type merge that recurses through structs AND array
+    element structs (new nested fields must not be silently dropped just
+    because they sit inside array<struct>)."""
+    if isinstance(existing, T.StructType) and isinstance(incoming, T.StructType):
+        return merge_schemas(existing, incoming)
+    if isinstance(existing, T.ArrayType) and isinstance(incoming, T.ArrayType):
+        return T.ArrayType(
+            _merge_types(existing.elementType, incoming.elementType),
+            existing.containsNull,
+        )
+    return existing  # scalar or shape mismatch: existing wins wholesale
 
 
 def _find(schema: T.StructType, name: str) -> T.StructField | None:
@@ -53,7 +70,8 @@ def _find(schema: T.StructType, name: str) -> T.StructField | None:
 def conform_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
     """Project ``df`` onto ``target``: missing columns → null, extra columns
     dropped (callers merge schemas first if they must be kept), conflicting
-    types cast to the existing definition (existing-wins)."""
+    types conformed to the existing definition (existing-wins), structs
+    matched FIELD BY NAME at every nesting level."""
     cols = []
     df_fields = {f.name.lower(): f for f in df.schema.fields}
     for f in target.fields:
@@ -61,8 +79,40 @@ def conform_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
         if src is None:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         else:
-            col = F.col(src.name)
-            if src.dataType != f.dataType:
-                col = col.cast(f.dataType)
-            cols.append(col.alias(f.name))
+            cols.append(
+                _conform_expr(F.col(src.name), src.dataType, f.dataType).alias(f.name)
+            )
     return df.select(*cols)
+
+
+def _conform_expr(col: Column, src: T.DataType, dst: T.DataType) -> Column:
+    if src == dst:
+        return col
+    if isinstance(dst, T.StructType):
+        if not isinstance(src, T.StructType):
+            return F.lit(None).cast(dst)
+        src_map = {f.name.lower(): f for f in src.fields}
+        fields = []
+        for f in dst.fields:
+            sf = src_map.get(f.name.lower())
+            if sf is None:
+                fields.append(F.lit(None).cast(f.dataType).alias(f.name))
+            else:
+                fields.append(
+                    _conform_expr(
+                        col.getField(sf.name), sf.dataType, f.dataType
+                    ).alias(f.name)
+                )
+        # a NULL input struct must stay NULL, not become a struct of nulls
+        return F.when(col.isNull(), F.lit(None).cast(dst)).otherwise(
+            F.struct(*fields)
+        )
+    if isinstance(dst, T.ArrayType):
+        if not isinstance(src, T.ArrayType):
+            return F.lit(None).cast(dst)
+        if src.elementType == dst.elementType:
+            return col
+        return F.transform(
+            col, lambda x: _conform_expr(x, src.elementType, dst.elementType)
+        )
+    return col.cast(dst)

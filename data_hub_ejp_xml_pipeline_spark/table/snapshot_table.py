@@ -1107,12 +1107,16 @@ def _split_touched_files(
 
 
 def conform_col(df: DataFrame, field: T.StructField) -> F.Column:
+    """Source-side single-column conform: same field-by-name struct/array
+    semantics as conform_to_schema (a plain cast cannot add struct fields
+    and maps equal-count structs positionally)."""
+    from data_hub_ejp_xml_pipeline_spark.table.schema_evolution import _conform_expr
+
     names = {f.name.lower(): f for f in df.schema.fields}
     src = names.get(field.name.lower())
     if src is None:
         return F.lit(None).cast(field.dataType)
-    col = F.col(src.name)
-    return col.cast(field.dataType) if src.dataType != field.dataType else col
+    return _conform_expr(F.col(src.name), src.dataType, field.dataType)
 
 
 def _find_field(schema: T.StructType, name: str) -> T.StructField | None:

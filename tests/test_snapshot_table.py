@@ -322,3 +322,58 @@ def test_diff_across_compaction_is_empty(spark, tmp_path, changelog_pdf):
     res = table.compact_files()
     assert res.applied
     assert table.diff(v_before).count() == 0
+
+
+def test_nested_struct_schema_evolution_end_to_end(spark, tmp_path):
+    """A new field NESTED inside a struct (and inside array<struct>) must
+    merge into the table schema, old rows read NULL for it, and the merge
+    must not crash on the struct conform (a plain cast cannot add fields
+    and maps equal-count structs positionally)."""
+    from pyspark.sql import types as T
+
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("meta", T.StructType([T.StructField("a", T.IntegerType())])),
+            T.StructField(
+                "tags",
+                T.ArrayType(T.StructType([T.StructField("name", T.StringType())])),
+            ),
+        ]
+    )
+    table = SnapshotTable.create(spark, str(tmp_path / "nested"), payload, n_buckets=2)
+    b1 = spark.createDataFrame(
+        [(1, "U", "k1", {"a": 1}, [{"name": "t1"}])],
+        "lsn long, op string, doc_id string, "
+        "meta struct<a:int>, tags array<struct<name:string>>",
+    )
+    table.merge(b1, batch_id=0)
+
+    # batch 2 adds meta.b and tags[].weight
+    b2 = spark.createDataFrame(
+        [(2, "U", "k2", {"a": 2, "b": "x"}, [{"name": "t2", "weight": 0.5}])],
+        "lsn long, op string, doc_id string, "
+        "meta struct<a:int,b:string>, tags array<struct<name:string,weight:double>>",
+    )
+    table.merge(b2, batch_id=1)
+
+    schema = table.schema()
+    meta_fields = [f.name for f in schema["meta"].dataType.fields]
+    tag_fields = [f.name for f in schema["tags"].dataType.elementType.fields]
+    assert meta_fields == ["a", "b"]
+    assert tag_fields == ["name", "weight"]
+
+    rows = {r.doc_id: r for r in table.read().collect()}
+    assert rows["k1"].meta.a == 1 and rows["k1"].meta.b is None
+    assert rows["k1"].tags[0].name == "t1" and rows["k1"].tags[0].weight is None
+    assert rows["k2"].meta.b == "x"
+    assert rows["k2"].tags[0].weight == 0.5
+    # NULL struct stays NULL (not a struct of nulls)
+    b3 = spark.createDataFrame(
+        [(3, "U", "k3", None, None)],
+        "lsn long, op string, doc_id string, "
+        "meta struct<a:int>, tags array<struct<name:string>>",
+    )
+    table.merge(b3, batch_id=2)
+    k3 = {r.doc_id: r for r in table.read().collect()}["k3"]
+    assert k3.meta is None and k3.tags is None
