@@ -68,8 +68,10 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def fingerprint(text_col: str = "text") -> Column:
-    """Whitespace-normalized content hash (rolling-hash analog)."""
-    return F.md5(F.regexp_replace(F.lower(text_col), r"\s+", " "))
+    """Whitespace-normalized content hash (rolling-hash analog). The
+    whitespace class is EXPLICIT so both regex engines agree: Java's
+    \\s includes \\x0B (vertical tab), RE2's does not."""
+    return F.md5(F.regexp_replace(F.lower(text_col), "[ \\t\\n\\f\\r]+", " "))
 
 
 # deliberately simple, engine-portable patterns (same regex dialect subset

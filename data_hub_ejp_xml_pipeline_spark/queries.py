@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from data_hub_ejp_xml_pipeline_spark.functions import scalars as S
 from data_hub_ejp_xml_pipeline_spark.operators import dedup as D
+from data_hub_ejp_xml_pipeline_spark.operators import text as TX
 from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
 
 
@@ -32,16 +33,17 @@ def _swept_scratch_dir(prefix: str) -> str:
     import shutil
 
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    can_check_liveness = os.path.isdir("/proc")
     for stale in glob.glob(os.path.join(scratch, f"{prefix}-*")):
         m = re.search(rf"{prefix}-(\d+)-", os.path.basename(stale))
         owner = int(m.group(1)) if m else None
-        owner_alive = (
-            owner is not None
-            and owner != os.getpid()
-            and os.path.exists(f"/proc/{owner}")
-        )
-        if not owner_alive:
-            shutil.rmtree(stale, ignore_errors=True)
+        if owner == os.getpid():
+            pass  # own previous run: always sweepable
+        elif not can_check_liveness:
+            continue  # no /proc (e.g. macOS): never touch another pid's dir
+        elif owner is not None and os.path.exists(f"/proc/{owner}"):
+            continue  # owner is (or pid-reuse appears) alive: leave it
+        shutil.rmtree(stale, ignore_errors=True)
     return tempfile.mkdtemp(prefix=f"{prefix}-{os.getpid()}-", dir=scratch)
 
 
@@ -97,18 +99,24 @@ def q_lww_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_lww_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 grouped-map pandas variant (north-star mandated shape)."""
+    import numpy as np
     import pandas as pd
 
     ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
 
     def latest(pdf: pd.DataFrame) -> pd.DataFrame:
         top = pdf.sort_values("event_id").iloc[[-1]]
+        # HALF-AWAY-FROM-ZERO rounding to match Spark F.round / DuckDB
+        # round: pandas .round is half-to-even and would disagree with the
+        # other three LWW variants on exact .5e-4 ties
+        v = top["value"].values
+        rounded = np.sign(v) * np.floor(np.abs(v) * 1e4 + 0.5) / 1e4
         return pd.DataFrame(
             {
                 "user_id": top["user_id"].values,
                 "last_event_id": top["event_id"].values,
                 "last_event_type": top["event_type"].values,
-                "last_value": top["value"].round(4).values,
+                "last_value": rounded,
             }
         )
 
@@ -149,7 +157,7 @@ FROM (
 
 _CDC_DIFF_ORACLE = """
 WITH bounds AS (
-  SELECT CAST(floor((min(event_id) + max(event_id)) / 2.0) AS BIGINT) AS mid
+  SELECT (min(event_id) + max(event_id)) // 2 AS mid
   FROM events
 ),
 ch AS (
@@ -579,15 +587,9 @@ FROM events GROUP BY event_type
 # =====================================================================
 
 
-def _shingles(words_col: F.Column, k: int = 3) -> F.Column:
-    """k-word shingles as an array (empty when fewer than k words).
-    slice-based: see operators.dedup.shingles for the rationale."""
-    n = F.size(words_col)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    mk = lambda i: F.concat_ws(" ", F.slice(words_col, i, k))  # noqa: E731
-    return F.when(n >= k, F.array_distinct(F.transform(idx, mk))).otherwise(
-        F.array().cast("array<string>")
-    )
+# the PRODUCTION shingling — queries must exercise the shipped operator,
+# not a private copy that could silently drift from it
+_shingles = D.shingles
 
 
 _DEDUP_EXACT_ORACLE = """
@@ -633,29 +635,10 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard ≥ 0.8 (quadratic verify over
-    shingle-join candidates — the LSH variant below is the scale path)."""
-    par = spark.sparkContext.defaultParallelism
-    docs = _t(spark, sf_dir, "documents").repartition(par).select(
-        "doc_id", _shingles(F.split("text", " ")).alias("sh")
-    )
-    sh = docs.select("doc_id", F.explode("sh").alias("s")).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.8)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-    )
+    shingle-join candidates — the LSH variant below is the scale path).
+    Delegates to the PRODUCTION operator so the driver check validates the
+    shipped code, not a private copy."""
+    return D.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
 _N_MINHASH = 9
@@ -710,83 +693,18 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: shingle → one md5 base per shingle → 9 affine
     universal hashes (min per doc, portable across engines) → 3 bands →
     bucket-join candidates → exact-Jaccard verify ≥ 0.8. The banded join
-    replaces the quadratic shingle self-join — this is the 100 TB path."""
-    # fan out BEFORE the explode: documents often arrive as one parquet
-    # file → one input partition; without this the shingle+hash blow-up
-    # runs on a single task (a tiny shuffle of raw rows buys full
-    # parallelism — same rationale as dedup.shingle_table).
-    par = spark.sparkContext.defaultParallelism
-    docs = _t(spark, sf_dir, "documents").repartition(par).select(
-        "doc_id", _shingles(F.split("text", " ")).alias("sh")
-    )
-    # reused by sizes, minhashes, and the verify join → materialize once
-    sh = docs.select("doc_id", F.explode("sh").alias("s")).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-
-    # ONE md5 per shingle + affine universal-hash family (dedup.minhash_*):
-    # round 1 spent 9 md5 passes over the exploded shingle table here — the
-    # dominant cost of the whole query at sf0.1.
-    base = D.minhash_base(F.col("s"))
-    mins = [
-        F.min((F.lit(ca) * base + F.lit(cb)) % F.lit(D.MINHASH_P)).alias(f"h{i}")
-        for i, (ca, cb) in enumerate(D.minhash_coeffs(_N_MINHASH))
-    ]
-    mh = sh.groupBy("doc_id").agg(*mins)
-    # long format: one row per (doc, band) → a single equi-join on
-    # (band_no, band_hash) replaces B self-joins; band_no disambiguates
-    # buckets across bands. This is the shape that scales: the join key is
-    # the LSH bucket, so co-candidates meet in one shuffle.
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_no"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.col(f"h{b * _BAND_SIZE + j}").cast("string")
-                        for j in range(_BAND_SIZE)
-                    ],
-                )
-            ).alias("band_hash"),
-        )
-        for b in range(_N_MINHASH // _BAND_SIZE)
-    ]
-    bands = mh.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", "band.band_no", "band.band_hash")
-    a = bands.alias("a")
-    bb = bands.alias("b")
-    cand = (
-        a.join(
-            bb,
-            (F.col("a.band_no") == F.col("b.band_no"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(b, (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a.s") == F.col("b.s")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("c") / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.8)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    replaces the quadratic shingle self-join — this is the 100 TB path.
+    Delegates to the PRODUCTION operator (operators.dedup.minhash_lsh_pairs)
+    so the driver check validates the shipped code, not a private copy."""
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.8,
+        n_hashes=_N_MINHASH,
+        band_size=_BAND_SIZE,
     )
 
 
-_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+_STOPWORDS = TX.STOPWORDS  # the production constant — no drift
 _SW_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
 
 _TEXT_QUALITY_ORACLE = f"""
@@ -818,12 +736,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LANG_WORDS = {
-    "en": ["the", "and", "of", "to", "a"],
-    "de": ["der", "die", "und", "das", "ist"],
-    "fr": ["le", "la", "et", "les", "des"],
-    "es": ["el", "la", "que", "los", "una"],
-}
+_LANG_WORDS = TX.LANG_MARKERS  # the production constant — no drift
 
 
 def _lang_oracle() -> str:
@@ -870,7 +783,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", expr.alias("pred_lang"))
 
 
-_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+_TOKEN_PATTERN = TX.TOKEN_PATTERN  # the production constant — no drift
 
 _TOKEN_COUNT_ORACLE = f"""
 SELECT doc_id,
@@ -891,17 +804,21 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FINGERPRINT_ORACLE = """
-SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint,
+SELECT md5(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')) AS fingerprint,
        count(*) AS n_docs, min(doc_id) AS min_doc_id
 FROM documents GROUP BY 1
 """
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: whitespace-normalized content hash."""
+    """Document fingerprinting: whitespace-normalized content hash
+    (operators.text.fingerprint — explicit whitespace class, pinned
+    identical in both regex engines: Java's \\s includes \\x0B, RE2's
+    does not)."""
+    from data_hub_ejp_xml_pipeline_spark.operators.text import fingerprint
+
     docs = _t(spark, sf_dir, "documents")
-    fp = F.md5(F.regexp_replace(F.lower("text"), r"\s+", " "))
-    return docs.groupBy(fp.alias("fingerprint")).agg(
+    return docs.groupBy(fingerprint("text").alias("fingerprint")).agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
     )
 
@@ -926,38 +843,21 @@ FROM ranked WHERE rank <= {_ANN_K}
 """
 
 
-def _cosine(a: F.Column, b: F.Column) -> F.Column:
-    ad = a.cast("array<double>")
-    bd = b.cast("array<double>")
-    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+# the PRODUCTION cosine — queries must exercise the shipped operator
+from data_hub_ejp_xml_pipeline_spark.operators.similarity import cosine as _cosine
 
 
 def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for a query set: broadcast the queries,
-    score candidates with JVM-side higher-order functions, window top-k."""
+    score candidates with JVM-side higher-order functions, window top-k.
+    Delegates to the PRODUCTION operator (similarity.ann_brute_force)."""
+    from data_hub_ejp_xml_pipeline_spark.operators.similarity import ann_brute_force
+
     emb = _t(spark, sf_dir, "embeddings")
-    q = F.broadcast(
-        emb.filter(F.col("vec_id") < _ANN_NQ).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-        )
+    queries = emb.filter(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    sims = (
-        q.join(emb, F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(_cosine(F.col("qe"), F.col("embedding")), 6).alias("sim6"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(F.col("sim6").desc(), "neighbor_id")
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _ANN_K)
-        .select("query_id", "neighbor_id", "rank", F.round("sim6", 4).alias("cosine"))
-    )
+    return ann_brute_force(emb, queries, k=_ANN_K)
 
 
 _NEARDUP_COS_ORACLE = """
@@ -1316,7 +1216,7 @@ FROM spans GROUP BY 1, 2
 
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (concat-then-chunk) of tokenized docs
-    into fixed {_PACK_MAX_TOKENS}-token training sequences: per-chunk doc
+    into fixed 512-token (``_PACK_MAX_TOKENS``) training sequences: per-chunk doc
     count, token count, fill ratio. Pure window+explode — one shuffle per
     group, whole-stage codegen (operators.packing.pack_chunked)."""
     from data_hub_ejp_xml_pipeline_spark.operators.packing import pack_chunked_stats
@@ -1401,7 +1301,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         """SELECT event_id,
                   strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso_ts,
                   TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k,
-                  event_type || '/' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS version_id
+                  CASE WHEN ts IS NULL
+                       THEN 'NotAcceptable ' || event_type || '/None'
+                       ELSE event_type || '/' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ')
+                  END AS version_id
            FROM events""",
     ),
     "missing_ratio_diag": (
