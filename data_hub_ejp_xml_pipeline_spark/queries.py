@@ -1205,12 +1205,38 @@ WITH toks AS (
   FROM laid
 )
 SELECT grp AS "group", chunk_id, count(*) AS n_docs,
-       sum(least(chunk_id * {_PACK_MAX_TOKENS} + {_PACK_MAX_TOKENS}, g_start + n_tok)
-           - greatest(chunk_id * {_PACK_MAX_TOKENS}, g_start)) AS n_tokens,
+       CAST(sum(least(chunk_id * {_PACK_MAX_TOKENS} + {_PACK_MAX_TOKENS}, g_start + n_tok)
+           - greatest(chunk_id * {_PACK_MAX_TOKENS}, g_start)) AS BIGINT) AS n_tokens,
        round(sum(least(chunk_id * {_PACK_MAX_TOKENS} + {_PACK_MAX_TOKENS}, g_start + n_tok)
            - greatest(chunk_id * {_PACK_MAX_TOKENS}, g_start)) / {_PACK_MAX_TOKENS}.0, 4)
          AS fill_ratio
 FROM spans GROUP BY 1, 2
+"""
+
+
+_SEQUENCE_PACK_GREEDY_ORACLE = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, source AS grp, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), ordered AS (
+  SELECT grp, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+  FROM toks WHERE n_tok > 0
+), packed AS (
+  SELECT grp, doc_id, n_tok, rn,
+         CAST(0 AS BIGINT) AS seq_id, n_tok AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.grp, o.doc_id, o.n_tok, o.rn,
+         CASE WHEN p.fill + o.n_tok > {_PACK_MAX_TOKENS}
+              THEN p.seq_id + 1 ELSE p.seq_id END AS seq_id,
+         CASE WHEN p.fill + o.n_tok > {_PACK_MAX_TOKENS}
+              THEN o.n_tok ELSE p.fill + o.n_tok END AS fill
+  FROM packed p JOIN ordered o ON o.grp = p.grp AND o.rn = p.rn + 1
+)
+SELECT grp AS "group", seq_id, count(*) AS n_docs,
+       CAST(max(fill) AS BIGINT) AS n_tokens
+FROM packed GROUP BY 1, 2
 """
 
 
@@ -1232,9 +1258,10 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy next-fit packing of WHOLE documents (grouped-map pandas
-    kernel — the sequential recurrence is per group). No SQL oracle: the
-    recurrence is not window-expressible; pinned by pytest against a
-    python oracle instead (driver records the rows-only check)."""
+    kernel — the sequential recurrence is per group). Oracle: a DuckDB
+    RECURSIVE CTE stepping one document per iteration per group, which
+    expresses the fill/reset recurrence exactly; a pytest python oracle
+    pins it a second way."""
     from data_hub_ejp_xml_pipeline_spark.operators.packing import pack_greedy
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -1365,7 +1392,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "embedding_neardup": (q_embedding_neardup, _NEARDUP_COS_ORACLE),
     "multimodal_meta": (q_multimodal_meta, _MULTIMODAL_ORACLE),
     "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_ORACLE),
-    "sequence_pack_greedy": (q_sequence_pack_greedy, None),
+    "sequence_pack_greedy": (q_sequence_pack_greedy, _SEQUENCE_PACK_GREEDY_ORACLE),
     "pii_scrub": (q_pii_scrub, _PII_ORACLE),
     "train_val_split": (q_train_val_split, _SPLIT_ORACLE),
     "decontaminate": (q_decontaminate, _DECONTAMINATE_ORACLE),
