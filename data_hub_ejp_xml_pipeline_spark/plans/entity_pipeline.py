@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 from data_hub_ejp_xml_pipeline_spark.config import ENTITY_TYPES, PipelineConfig
 from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
 from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+from data_hub_ejp_xml_pipeline_spark.table.schema_evolution import merge_schemas
 
 ENTITY_PAYLOAD_SCHEMA = T.StructType(
     [
@@ -30,6 +31,42 @@ ENTITY_PAYLOAD_SCHEMA = T.StructType(
         T.StructField("modified_timestamp", T.StringType()),
     ]
 )
+
+# typed mode starts from the key + timestamp only; every payload field —
+# including nested array<struct> — arrives via per-batch inference +
+# add-only evolution, the reference's create_or_extend_table_schema
+# behavior (bq_data_service.py:142-231) end-to-end
+TYPED_BASE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("modified_timestamp", T.StringType()),
+    ]
+)
+
+# never promoted from a payload JSON into a table column: engine-internal
+# names and the changelog envelope
+_RESERVED = {
+    "doc_id", "modified_timestamp", "payload", "lsn", "op",
+    "source", "source_file", "offset", "_lsn", "_deleted", "_bucket",
+}
+
+
+def infer_payload_schema(df: DataFrame, payload_col: str = "payload") -> T.StructType:
+    """Distributed JSON schema inference over a batch's payload strings —
+    the engine analog of the reference's per-batch ``generate_schema``
+    (``bq_data_service.py:191-201``, which feeds BigQuery autodetect-style
+    load schemas). One extra scan of the (persisted) batch; Spark's JSON
+    reader unions field sets and types across all rows, so a field present
+    in ANY row of the batch lands in the schema."""
+    strings = df.select(payload_col).where(F.col(payload_col).isNotNull())
+    inferred = strings.sparkSession.read.json(strings.rdd.map(lambda r: r[0]))
+    return T.StructType(
+        [
+            f
+            for f in inferred.schema.fields
+            if not f.name.startswith("_corrupt") and f.name.lower() not in _RESERVED
+        ]
+    )
 
 
 class EntityPipeline:
@@ -41,9 +78,31 @@ class EntityPipeline:
         spark: SparkSession,
         config: PipelineConfig,
         n_buckets: int = 16,
+        payload_mode: str = "json",
     ):
+        """``payload_mode``:
+
+        * ``'json'``  — each entity table stores the parsed dict as one
+          opaque JSON string column (compact, schema-stable).
+        * ``'typed'`` — each batch's payload JSON is schema-inferred,
+          parsed with ``from_json`` and stored as TYPED top-level columns
+          (nested structs/arrays included); new fields in later batches
+          evolve every table additively, so a user queries
+          ``stages[0].stage_name`` as a real column, exactly like the
+          reference's auto-extended BigQuery tables.
+
+        A table keeps the mode it was created with — don't reopen a json
+        table as typed (the payload column would be re-inferred as a
+        string field).
+        """
+        if payload_mode not in ("json", "typed"):
+            raise ValueError(f"payload_mode must be json|typed, got {payload_mode!r}")
         self.spark = spark
         self.config = config
+        self.payload_mode = payload_mode
+        create_schema = (
+            TYPED_BASE_SCHEMA if payload_mode == "typed" else ENTITY_PAYLOAD_SCHEMA
+        )
         self.tables: dict[str, SnapshotTable] = {}
         for entity in ENTITY_TYPES:
             root = config.table_root(entity)
@@ -51,9 +110,43 @@ class EntityPipeline:
                 self.tables[entity] = SnapshotTable(spark, root)
             else:
                 self.tables[entity] = SnapshotTable.create(
-                    spark, root, ENTITY_PAYLOAD_SCHEMA, key="doc_id",
+                    spark, root, create_schema, key="doc_id",
                     n_buckets=n_buckets,
                 )
+
+    def _typed_batch(self, table: SnapshotTable, slice_df: DataFrame,
+                     reduced: DataFrame) -> DataFrame:
+        """JSON payload strings → typed top-level columns for ONE batch.
+
+        Schema = existing table payload fields (existing-wins) ∪ fields
+        inferred from THIS batch's JSON — so ``from_json`` keeps every
+        previously-known column AND surfaces new ones; the merge commit
+        then evolves the table schema additively (K3)."""
+        existing = T.StructType(
+            [
+                f
+                for f in table.schema().fields
+                if f.name.lower() not in ("doc_id", "modified_timestamp",
+                                          "_lsn", "_deleted")
+            ]
+        )
+        # infer from the UNREDUCED slice (already persisted upstream):
+        # re-running the LWW reduce just to infer would double the epoch's
+        # reduce cost, and a field seen only in LWW-losing rows still
+        # evolves the schema — same as the reference, which infers from
+        # the whole JSONL batch file
+        inferred = infer_payload_schema(slice_df)
+        merged = merge_schemas(existing, inferred)
+        if not merged.fields:
+            return reduced.select("lsn", "op", "doc_id", "modified_timestamp")
+        parsed = reduced.withColumn("_p", F.from_json("payload", merged))
+        return parsed.select(
+            "lsn",
+            "op",
+            "doc_id",
+            "modified_timestamp",
+            *[F.col("_p").getField(f.name).alias(f.name) for f in merged.fields],
+        )
 
     def apply(self, changelog: DataFrame, batch_id: int | None = None) -> dict[str, int]:
         """One epoch: reduce + merge each entity slice. The slice filter is
@@ -75,6 +168,8 @@ class EntityPipeline:
             # table keeps exactly ENTITY_PAYLOAD_SCHEMA (no surprise
             # schema-evolution commit, smaller files)
             reduced = reduce_latest(slice_df).drop("source_file", "offset")
+            if self.payload_mode == "typed":
+                reduced = self._typed_batch(table, slice_df, reduced)
             res = table.merge(reduced, batch_id=batch_id, stats_df=slice_df)
             applied[entity] = res.n_events
         changelog.unpersist()

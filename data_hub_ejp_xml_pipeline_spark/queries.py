@@ -1277,6 +1277,124 @@ def q_sequence_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ENTITY_TYPED_ORACLE = """
+SELECT 'person_v2:p' || CAST(doc_id AS VARCHAR) AS doc_id,
+       string_split(text, ' ')[1] AS first_name,
+       source AS last_name,
+       CAST(least(len(string_split(text, ' ')), 3) AS INT) AS n_tags,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'd' || CAST(doc_id AS VARCHAR) || '@example.org' END AS email,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'city' || CAST(doc_id % 7 AS VARCHAR) END AS city,
+       CASE WHEN doc_id % 2 = 0 THEN '2020-01-05T08:04:05Z'
+            ELSE '2020-01-02T08:04:05Z' END AS modified_timestamp
+FROM documents
+"""
+
+
+def q_entity_tables_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole data path as ONE driver-checked query:
+    documents rows are rendered into reference-vocabulary person XML
+    (ejp_person_xml.py fields), zipped distributed (one zip per hash
+    bucket via applyInPandas), read back through the binaryFile →
+    mapInPandas zip parser, fanned through
+    ``EntityPipeline(payload_mode='typed')`` in two waves — the second
+    wave introduces ``addresses``/``email``, so the person_v2 table's
+    schema EVOLVES additively mid-query — and the final typed nested
+    projection (array<struct> address city, tag count) must reproduce the
+    SQL oracle computed directly on ``documents``. Odd doc_ids travel in
+    wave 0 (base fields), even in wave 1 (extended fields); each doc
+    appears exactly once, so LWW is exercised only by the engine plumbing,
+    not contended."""
+    import pandas as pd
+
+    from data_hub_ejp_xml_pipeline_spark.config import PipelineConfig
+    from data_hub_ejp_xml_pipeline_spark.plans.entity_pipeline import EntityPipeline
+    from data_hub_ejp_xml_pipeline_spark.sources.xml_zip import (
+        entities_to_changelog,
+        read_zip_entities,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    n_docs = docs.count()
+    n_zips = max(8, min(64, n_docs // 300))
+    scratch = _swept_scratch_dir("entq")
+    for w in (0, 1):
+        os.makedirs(os.path.join(scratch, f"wave{w}"), exist_ok=True)
+
+    staged = docs.select(
+        "doc_id", "text", "source",
+        (1 - F.pmod("doc_id", F.lit(2))).cast("int").alias("wave"),
+        F.pmod("doc_id", F.lit(n_zips)).cast("int").alias("zip_id"),
+    )
+
+    def build_zip(pdf: pd.DataFrame) -> pd.DataFrame:
+        import io
+        import zipfile
+        from xml.sax.saxutils import escape
+
+        wave = int(pdf["wave"].iloc[0])
+        zid = int(pdf["zip_id"].iloc[0])
+        mdate = "2020-01-05 03:04:05" if wave == 1 else "2020-01-02 03:04:05"
+        parts = []
+        for r in pdf.sort_values("doc_id").itertuples():
+            toks = r.text.split(" ")
+            tags = "".join(
+                f"<person-tag>{escape(t)}</person-tag>" for t in toks[:3]
+            )
+            extra = ""
+            if wave == 1:
+                extra = (
+                    f"<email>d{r.doc_id}@example.org</email>"
+                    '<addresses><address active_ind="1">'
+                    f"<country>{escape(r.source)}</country>"
+                    f"<city>city{r.doc_id % 7}</city></address></addresses>"
+                )
+            parts.append(
+                f"<person><person-id>p{r.doc_id}</person-id>"
+                f"<first-name>{escape(toks[0])}</first-name>"
+                f"<last-name>{escape(r.source)}</last-name>"
+                f"<profile-modify-date>{mdate}</profile-modify-date>"
+                f"<person-tags>{tags}</person-tags>{extra}</person>"
+            )
+        xml = ("<persons>" + "".join(parts) + "</persons>").encode()
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr(
+                "go.xml",
+                b'<go create_date="2020-03-03 00:00:00">'
+                b"<file_nm>p.xml</file_nm></go>",
+            )
+            zf.writestr("p.xml", xml)
+        with open(os.path.join(scratch, f"wave{wave}", f"z{zid}.zip"), "wb") as fh:
+            fh.write(buf.getvalue())
+        return pd.DataFrame({"wave": [wave], "zip_id": [zid], "n": [len(pdf)]})
+
+    # one zip per (wave, bucket) — written by the executors (local mode:
+    # shared tmpfs; cluster: point scratch at a shared filesystem)
+    staged.groupBy("wave", "zip_id").applyInPandas(
+        build_zip, "wave int, zip_id int, n long"
+    ).collect()
+
+    cfg = PipelineConfig(
+        zip_path=scratch, warehouse_root=os.path.join(scratch, "wh")
+    )
+    pipe = EntityPipeline(spark, cfg, n_buckets=8, payload_mode="typed")
+    for w in (0, 1):
+        ents = read_zip_entities(spark, os.path.join(scratch, f"wave{w}"))
+        pipe.apply(entities_to_changelog(ents), batch_id=w)
+
+    return pipe.read("person_v2").select(
+        "doc_id",
+        "first_name",
+        "last_name",
+        F.size("person_tags").alias("n_tags"),
+        "email",
+        F.col("addresses")[0]["city"].alias("city"),
+        "modified_timestamp",
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: opaque binary payload column + typed metadata
     (decode itself is stubbed — see operators.multimodal)."""
@@ -1391,6 +1509,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_ivf": (q_ann_ivf, _ann_ivf_oracle()),
     "embedding_neardup": (q_embedding_neardup, _NEARDUP_COS_ORACLE),
     "multimodal_meta": (q_multimodal_meta, _MULTIMODAL_ORACLE),
+    "entity_tables_typed": (q_entity_tables_typed, _ENTITY_TYPED_ORACLE),
     "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_ORACLE),
     "sequence_pack_greedy": (q_sequence_pack_greedy, _SEQUENCE_PACK_GREEDY_ORACLE),
     "pii_scrub": (q_pii_scrub, _PII_ORACLE),

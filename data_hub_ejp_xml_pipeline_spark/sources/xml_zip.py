@@ -126,7 +126,20 @@ def parse_zip_bytes(
         else:
             create_date, listed = _read_manifest(manifest_root)
             if create_date:
-                modified_timestamp_str = format_iso(create_date)
+                try:
+                    modified_timestamp_str = format_iso(create_date)
+                except (ValueError, OverflowError, TypeError) as exc:
+                    # a parseable go.xml with an unparseable create_date
+                    # must not fail the whole mapInPandas batch — same
+                    # per-member quarantine contract as a manifest parse
+                    # error; members still load with the default timestamp
+                    yield {
+                        "zip_file": zip_name, "xml_file": MANIFEST_NAME,
+                        "entity_type": "error", "doc_id": None,
+                        "modified_timestamp": None, "payload": None,
+                        "node_index": None,
+                        "error": f"manifest create_date: {exc}",
+                    }
             if listed:
                 members = [n for n in listed if n in names]
     for member in members:

@@ -157,10 +157,39 @@ class IcebergSnapshotTable:
         return table
 
     def read(
-        self, version: int | None = None, include_tombstones: bool = False
+        self,
+        version: int | None = None,
+        include_tombstones: bool = False,
+        snapshot_id: int | None = None,
     ) -> DataFrame:
-        if version is not None:  # Iceberg time travel
-            df = self.spark.read.option("snapshot-id", version).table(self.identifier)
+        """Read current state, or time-travel.
+
+        ``version`` keeps SnapshotTable's drop-in contract: a small
+        sequential integer (0 = first commit), translated here to the
+        Iceberg snapshot id via the table's ``.snapshots`` metadata
+        ordered by commit time — Iceberg's own snapshot ids are random
+        longs, so passing ``v=3`` straight through would fail or read the
+        wrong data. Pass a native id via ``snapshot_id`` instead to skip
+        the translation.
+        """
+        if version is not None and snapshot_id is not None:
+            raise ValueError("pass either version or snapshot_id, not both")
+        if version is not None:  # sequential version → Iceberg snapshot id
+            snaps = (
+                self.spark.read.table(f"{self.identifier}.snapshots")
+                .orderBy("committed_at")
+                .select("snapshot_id")
+                .collect()
+            )
+            if not 0 <= version < len(snaps):
+                raise ValueError(
+                    f"version {version} out of range: table has {len(snaps)} "
+                    "snapshots (note: expired snapshots shift the sequence — "
+                    "use snapshot_id= for a stable handle)"
+                )
+            snapshot_id = snaps[version]["snapshot_id"]
+        if snapshot_id is not None:  # Iceberg time travel
+            df = self.spark.read.option("snapshot-id", snapshot_id).table(self.identifier)
         else:
             df = self.spark.read.table(self.identifier)
         if include_tombstones:

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import itertools
 import json
+import logging
 import os
 import time
 from dataclasses import dataclass
@@ -61,6 +62,8 @@ from data_hub_ejp_xml_pipeline_spark.table.schema_evolution import (
     conform_to_schema,
     merge_schemas,
 )
+
+_LOG = logging.getLogger(__name__)
 
 _NON_PAYLOAD = {"op", "lsn", "source_file", "offset", "event_ts", "_bucket", "_salt",
                 "_lsn", "_deleted"}
@@ -124,9 +127,12 @@ class SnapshotTable:
     # crosses the network here.
     merge_strategy: str = "smj"
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, strict_ledger: bool = False):
         self.spark = spark
         self.root = root
+        # fail fast (instead of warn + skip) when a batch_id below the
+        # ledger eviction watermark arrives — see _ledger_lookup
+        self.strict_ledger = strict_ledger
 
     # ---------------------------------------------------------------- setup
     # ledger entries older than (max batch_id - window) are evicted into
@@ -420,6 +426,15 @@ class SnapshotTable:
         one extra aggregation and fail fast instead. Late rows
         (lsn ≤ applied) are dropped by the guard, making application
         order-insensitive.
+
+        ``batch_id`` exactly-once relies on streaming batch ids being
+        MONOTONE per checkpoint: an id already in the ledger — or below its
+        eviction watermark — is treated as a replay and skipped
+        (``applied=False``). Resetting/recreating the checkpoint restarts
+        ids at 0, so against a table with ``> ledger_window`` commits every
+        new epoch would be silently swallowed: pair a fresh checkpoint with
+        a fresh table, or construct with ``strict_ledger=True`` to raise on
+        sub-watermark ids instead (a warning is logged either way).
         """
         if validate_unique:
             key = self.manifest()["key"]
@@ -743,7 +758,25 @@ class SnapshotTable:
             and batch_id < evicted_below
         ):
             # older than the eviction watermark: streaming batch ids are
-            # monotone, so this is a replay of a long-committed epoch
+            # monotone, so this is a replay of a long-committed epoch.
+            # HAZARD: a reset/recreated checkpoint restarts batch ids at 0
+            # — those would all land below the watermark and be silently
+            # dropped as "replays". Surface it loudly; raise under strict.
+            _LOG.warning(
+                "batch_id %s is below the ledger eviction watermark %s — "
+                "treating as an already-applied replay and skipping. If the "
+                "streaming checkpoint was reset (batch ids restarted), this "
+                "is DATA LOSS: use a fresh checkpoint against a fresh table, "
+                "or construct the table with strict_ledger=True to fail fast.",
+                batch_id,
+                evicted_below,
+            )
+            if self.strict_ledger:
+                raise ValueError(
+                    f"strict_ledger: batch_id {batch_id} is below the ledger "
+                    f"eviction watermark {evicted_below}; refusing to treat a "
+                    "possibly-reset checkpoint epoch as a replay"
+                )
             return m["snapshot_id"]
         return None
 
@@ -780,7 +813,12 @@ class SnapshotTable:
         cutoff = max(current - keep_last + 1, 0)
         retained_files: set[str] = set()
         for v in range(cutoff, current + 1):
-            retained_files.update(f["path"] for f in self.manifest(v)["files"])
+            try:
+                retained_files.update(f["path"] for f in self.manifest(v)["files"])
+            except FileNotFoundError:
+                # a previous expire with a smaller keep_last already
+                # removed this manifest — nothing to retain from it
+                continue
         removed_files = 0
         removed_manifests = 0
         for v in range(cutoff):
@@ -1129,7 +1167,13 @@ def _find_field(schema: T.StructType, name: str) -> T.StructField | None:
 def _key_stats(md: Any, key: str) -> tuple[Any, Any]:
     """(min, max) of ``key`` from the parquet footer row-group statistics;
     (None, None) when any row group lacks stats. parquet-mr truncates long
-    binary stats but keeps them valid bounds, so pruning on them is safe."""
+    binary stats but keeps them valid bounds, so pruning on them is safe.
+
+    Only JSON-serializable stat types (str/int/float) are captured: a
+    timestamp/date/binary key yields datetime or bytes values that would
+    blow up ``json.dump`` in the manifest write AFTER data files are
+    already on disk (orphans until expire). Missing stats just mean the
+    file is always treated as touched — correct, merely unpruned."""
     names = list(md.schema.names)
     if key not in names:
         return None, None
@@ -1141,6 +1185,10 @@ def _key_stats(md: Any, key: str) -> tuple[Any, Any]:
             return None, None
         kmin = stats.min if kmin is None else min(kmin, stats.min)
         kmax = stats.max if kmax is None else max(kmax, stats.max)
+    if isinstance(kmin, bool) or not isinstance(kmin, (str, int, float)):
+        return None, None
+    if isinstance(kmax, bool) or not isinstance(kmax, (str, int, float)):
+        return None, None
     return kmin, kmax
 
 

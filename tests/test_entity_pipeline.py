@@ -161,3 +161,86 @@ def test_partial_epoch_converges_on_retry(spark, tmp_path):
     # ledgers: exactly one entry per table for batch 0
     for e in ENTITY_TYPES:
         assert "0" in pipe.tables[e].ledger()
+
+
+XML_PERSONS_V2_DRIFT = b"""<persons>
+  <person><person-id>p1</person-id><first-name>Ada</first-name>
+    <email>ada@example.org</email>
+    <profile-modify-date>2020-01-05 03:04:05</profile-modify-date>
+    <addresses><address active_ind="1"><country>UK</country>
+      <city>London</city></address></addresses>
+    <person-tags><person-tag>editor</person-tag></person-tags></person>
+</persons>"""
+
+GO_P_ONLY = b'<go create_date="2020-03-04 00:00:00"><file_nm>p.xml</file_nm></go>'
+
+
+def test_typed_entity_tables_evolve_and_query_nested(spark, tmp_path):
+    """payload_mode='typed': parsed dicts land as TYPED nested columns
+    (not JSON blobs); a later batch introducing new fields (addresses,
+    email) evolves the table additively and nested projections
+    (stages[0].stage_name) read back as real columns — the reference's
+    create_or_extend_table_schema behavior end-to-end
+    (bq_data_service.py:142-231)."""
+    import io
+    import zipfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def write_zip(dirpath, name, members, age):
+        dirpath.mkdir(exist_ok=True)
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for n, data in members.items():
+                zf.writestr(n, data)
+        f = dirpath / name
+        f.write_bytes(buf.getvalue())
+        t = time.time() - age
+        os.utime(f, (t, t))
+        return f
+
+    zips1 = tmp_path / "zips1"
+    write_zip(zips1, "b0.zip", {"go.xml": GO, "p.xml": XML_PERSONS, "m.xml": XML_MANUSCRIPT}, 100)
+    zips2 = tmp_path / "zips2"
+    write_zip(zips2, "b1.zip", {"go.xml": GO_P_ONLY, "p.xml": XML_PERSONS_V2_DRIFT}, 50)
+
+    cfg = PipelineConfig.from_dict(
+        {"zipPath": str(zips1), "warehouseRoot": str(tmp_path / "wh")}, "x"
+    )
+    pipe = EntityPipeline(spark, cfg, n_buckets=2, payload_mode="typed")
+
+    pipe.apply(entities_to_changelog(read_zip_entities(spark, str(zips1))), batch_id=0)
+    pv2 = pipe.tables["person_v2"]
+    cols_after_b0 = [f.name for f in pv2.schema().fields]
+    assert "first_name" in cols_after_b0  # typed column, not a JSON blob
+    assert "payload" not in cols_after_b0
+    assert "addresses" not in cols_after_b0  # nothing had one yet
+
+    # typed nested projection on manuscript_version: a REAL column
+    mv = pipe.read("manuscript_version")
+    stage_field = next(f for f in mv.schema.fields if f.name == "stages")
+    assert isinstance(stage_field.dataType, T.ArrayType)
+    assert isinstance(stage_field.dataType.elementType, T.StructType)
+    row = mv.select(F.col("stages")[0]["stage_name"].alias("s")).first()
+    assert row.s == "Submission"
+    assert pipe.read("manuscript").first().country == "UK"
+
+    # batch 2 introduces addresses (array<struct>) + email → additive evolve
+    pipe.apply(entities_to_changelog(read_zip_entities(spark, str(zips2))), batch_id=1)
+    cols_after_b1 = [f.name for f in pv2.schema().fields]
+    assert cols_after_b1[: len(cols_after_b0)] == cols_after_b0  # add-only
+    assert "addresses" in cols_after_b1 and "email" in cols_after_b1
+    p1 = pipe.read("person_v2").filter(F.col("doc_id") == "person_v2:p1")
+    got = p1.select(
+        "email",
+        F.col("addresses")[0]["city"].alias("city"),
+        F.col("addresses")[0]["is_enabled"].alias("en"),
+        "person_tags",
+    ).first()
+    assert got.email == "ada@example.org"
+    assert got.city == "London"
+    assert got.en is True
+    assert list(got.person_tags) == ["editor"]
+    # LWW kept the newer batch's row
+    assert p1.select("modified_timestamp").first()[0] == "2020-01-05T08:04:05Z"

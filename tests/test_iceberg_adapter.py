@@ -61,3 +61,12 @@ def test_add_columns_sql():
     assert ia.add_columns_sql("cat.db.docs", fields) == (
         "ALTER TABLE cat.db.docs ADD COLUMNS (new_col string, n bigint)"
     )
+
+
+def test_read_rejects_version_and_snapshot_id_together():
+    """read() translates small sequential versions to Iceberg snapshot ids
+    (random longs) via the snapshots metadata table; passing both handles
+    at once is ambiguous and refused before touching the catalog."""
+    t = object.__new__(ia.IcebergSnapshotTable)  # skip the runtime gate
+    with pytest.raises(ValueError, match="not both"):
+        t.read(version=1, snapshot_id=123)

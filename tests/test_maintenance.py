@@ -245,3 +245,51 @@ def test_expire_sweeps_orphans_from_failed_commits(spark, tmp_path, changelog_pd
     assert table.read().count() == state  # retained files untouched
     assert not glob.glob(os.path.join(table.root, "data", "**", "_SUCCESS"),
                          recursive=True)
+
+
+def test_expire_with_wider_keep_last_after_deeper_expire(spark, tmp_path, changelog_pdf):
+    """expire(keep_last=1) then expire(keep_last=2): the second run's
+    retained window reaches back to manifests the first run already
+    deleted — must skip them, not crash (ADVICE r2)."""
+    table = _build(spark, tmp_path, changelog_pdf)
+    table.expire_snapshots(keep_last=1)
+    table.expire_snapshots(keep_last=2)  # window wider than what survives
+    assert_final_state_equal(
+        table.read().selectExpr("doc_id", "tokens", "n_tok", "source", "_lsn").toPandas(),
+        expected_final_state_pandas(changelog_pdf),
+    )
+
+
+def test_sub_watermark_batch_warns_and_strict_raises(spark, tmp_path, changelog_pdf, caplog):
+    """A batch_id below the ledger eviction watermark is a silent no-op by
+    design (monotone replay assumption) — but a reset checkpoint would
+    restart ids at 0 and lose data silently. The engine now logs a warning
+    on the skip and raises under strict_ledger (ADVICE r2)."""
+    import logging
+
+    import pytest
+
+    from data_hub_ejp_xml_pipeline_spark.generator import spark_changelog_from_pandas
+    from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
+    from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+    table = _build(spark, tmp_path, changelog_pdf, n_batches=1)
+    table.ledger_window = 2
+    step = 30
+    for i in range(1, 7):
+        batch = spark_changelog_from_pandas(
+            spark, changelog_pdf.iloc[(i - 1) * step : i * step]
+        )
+        table.merge(reduce_latest(batch), batch_id=i)
+    assert table.manifest()["ledger_evicted_below"] is not None
+
+    replay = reduce_latest(spark_changelog_from_pandas(spark, changelog_pdf.iloc[:step]))
+    with caplog.at_level(logging.WARNING,
+                         logger="data_hub_ejp_xml_pipeline_spark.table.snapshot_table"):
+        res = table.merge(replay, batch_id=0)
+    assert not res.applied
+    assert any("eviction watermark" in r.message for r in caplog.records)
+
+    strict = SnapshotTable(spark, table.root, strict_ledger=True)
+    with pytest.raises(ValueError, match="strict_ledger"):
+        strict.merge(replay, batch_id=0)

@@ -377,3 +377,39 @@ def test_nested_struct_schema_evolution_end_to_end(spark, tmp_path):
     table.merge(b3, batch_id=2)
     k3 = {r.doc_id: r for r in table.read().collect()}["k3"]
     assert k3.meta is None and k3.tags is None
+
+
+def test_timestamp_key_commit_survives_json_manifest(spark, tmp_path):
+    """A timestamp-typed key yields datetime footer stats that json.dump
+    cannot serialize — _key_stats must skip them (file treated as
+    unpruned) so the manifest commit succeeds (ADVICE r2)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.TimestampType()),
+            T.StructField("val", T.IntegerType()),
+        ]
+    )
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "ts_tbl"), schema, key="doc_id", n_buckets=2
+    )
+    pdf = pd.DataFrame(
+        {
+            "lsn": [1, 2],
+            "op": ["I", "I"],
+            "doc_id": [dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)],
+            "val": [10, 20],
+        }
+    )
+    batch = spark.createDataFrame(
+        pdf, schema="lsn long, op string, doc_id timestamp, val int"
+    )
+    table.merge(batch, batch_id=0)  # commit must not die in _write_manifest
+    assert table.read().count() == 2
+    for f in table.manifest()["files"]:
+        assert f.get("key_min") is None or isinstance(
+            f["key_min"], (str, int, float)
+        )

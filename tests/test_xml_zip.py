@@ -288,3 +288,24 @@ def test_transform_failure_is_all_or_nothing():
     rows = list(parse_zip_bytes(make_zip({"go.xml": go, "m.xml": broken_version}), "z.zip"))
     assert [r["entity_type"] for r in rows] == ["error"]
     assert "transform:" in rows[0]["error"]
+
+
+def test_bad_manifest_create_date_quarantined_not_fatal():
+    """A parseable go.xml whose create_date fails date parsing must not
+    fail the whole batch: quarantine one manifest-level row, keep loading
+    members with the default timestamp (ADVICE r2)."""
+    go = b'<go create_date="not a date"><file_nm>people.xml</file_nm></go>'
+    rows = list(
+        parse_zip_bytes(
+            make_zip({"go.xml": go, "people.xml": PERSONS_XML}),
+            "b.zip",
+            default_modified_iso="2021-01-01T00:00:00Z",
+        )
+    )
+    errs = [r for r in rows if r["entity_type"] == "error"]
+    assert len(errs) == 1
+    assert "create_date" in errs[0]["error"]
+    persons = [r for r in rows if r["entity_type"] == "person_v2"]
+    assert len(persons) == 2  # members still parsed
+    # the id-less person's manifest-date fallback degrades to the default
+    assert persons[1]["modified_timestamp"] == "2021-01-01T00:00:00Z"
