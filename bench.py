@@ -48,9 +48,15 @@ HEADLINE = [
     "ann_brute_force",
     "ann_ivf",
     "sequence_pack",
+    "sequence_pack_tokens",
     "pii_scrub",
     "decontaminate",
 ]
+
+# per-query trials: the sandbox VM is noisy (identical runs vary 2-3x);
+# best-of-N damps it and the recorded trials expose the spread so a
+# sub-second "regression" can be read against the noise band
+QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "2"))
 
 
 def _bench_tmpdir() -> str:
@@ -122,12 +128,17 @@ def run_headline_queries(spark) -> dict[str, float]:
     shutil.rmtree(wroot, ignore_errors=True)
 
     times: dict[str, float] = {}
+    trials: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn, _ = QUERIES[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
-    return times
+        ts = []
+        for _ in range(QUERY_TRIALS):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            ts.append(round(time.time() - t0, 3))
+        times[name] = min(ts)
+        trials[name] = ts
+    return times, trials
 
 
 def ensure_changelog(spark, out_dir: str, n_events: int) -> str:
@@ -248,7 +259,7 @@ def main() -> None:
 
     spark = _fresh_spark(CPUS)
     ensure_changelog(spark, gen_dir, N_EVENTS)
-    queries = run_headline_queries(spark)
+    queries, query_trials = run_headline_queries(spark)
     apply_main = min(
         (cdc_apply(spark, gen_dir, N_EVENTS, n_buckets=32, warmup=(i == 0))
          for i in range(3)),
@@ -259,6 +270,11 @@ def main() -> None:
         "value": apply_main["elapsed_sec"],
         "unit": "sec",
         "queries": queries,
+        "queries_best_of": QUERY_TRIALS,
+        "queries_trials_sec": query_trials,
+        "queries_spread_sec": {
+            n: round(max(ts) - min(ts), 3) for n, ts in query_trials.items()
+        },
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "events": N_EVENTS,
         "events_per_sec": apply_main["events_per_sec"],

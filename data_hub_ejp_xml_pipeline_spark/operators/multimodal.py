@@ -7,12 +7,25 @@ STUBBED in this container (no image/audio libs): ``decode_mode='strict'``
 raises ``NotImplementedError`` at the decode site, ``'fake'`` produces a
 deterministic synthetic decode so the Spark-side plumbing — schema,
 partitioning, UDF signature, batch shape — is real and tested end-to-end.
+
+**Pluggable kernel seam**: every operator also accepts ``kernel=`` — a
+batch-level callable that replaces the stub without touching the Spark
+plumbing. A real PIL/libvips/pyav decoder drops in as::
+
+    extract_features(media, dim=512,
+                     kernel=lambda payloads: clip_model.encode(payloads))
+
+The kernel always receives the WHOLE Arrow batch's payloads as
+``list[bytes]`` (the shape a vectorized/GPU decode wants) and returns one
+output per payload; per-operator contracts are on each function. The
+kernel must be cloudpickle-serializable (top-level function or closure
+over picklable state) — executors import it, the driver never runs it.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+from typing import Callable, Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -75,30 +88,40 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
-def extract_features(media: DataFrame, dim: int = 16,
-                     decode_mode: str = "fake") -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    dim: int = 16,
+    decode_mode: str = "fake",
+    kernel: Callable[[list[bytes]], Sequence[Sequence[float]]] | None = None,
+) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 
     ``mapInPandas`` keeps whole Arrow batches in one Python call — the
     shape a real CPU/GPU decode pipeline needs (batched, partition-local,
-    no shuffle)."""
-    if decode_mode not in ("fake", "strict"):
-        raise ValueError(f"unknown decode_mode: {decode_mode!r}")
+    no shuffle).
+
+    ``kernel(payloads) -> one length-``dim`` float sequence per payload``
+    replaces the stub decode (``decode_mode`` is then ignored)."""
+    if kernel is None:
+        _validate_mode(decode_mode)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_mode == "strict":
-                raise NotImplementedError(
-                    "real media decode requires image/audio libraries not "
-                    "present in this container; use decode_mode='fake'"
-                )
-            feats = [
-                _fake_decode(bytes(p), dim).tolist() for p in pdf["payload"]
-            ]
+            payloads = [bytes(p) for p in pdf["payload"]]
+            if kernel is not None:
+                feats = [list(map(float, f)) for f in kernel(payloads)]
+                if len(feats) != len(payloads):
+                    raise ValueError(
+                        f"kernel returned {len(feats)} outputs for "
+                        f"{len(payloads)} payloads"
+                    )
+            else:
+                _require_decoder(decode_mode)
+                feats = [_fake_decode(p, dim).tolist() for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "n_bytes": [len(p) for p in payloads],
                     "feature": feats,
                 }
             )
@@ -134,27 +157,43 @@ def _require_decoder(decode_mode: str) -> None:
 
 
 def resize_images(
-    media: DataFrame, width: int, height: int, decode_mode: str = "fake"
+    media: DataFrame,
+    width: int,
+    height: int,
+    decode_mode: str = "fake",
+    kernel: Callable[[list[bytes], int, int], list[bytes]] | None = None,
 ) -> DataFrame:
     """Arrow-batched resize: binary in → binary out with updated metadata.
 
     Fake mode emits a deterministic digest-seeded ``width*height`` byte
     payload (so the plumbing — schema, meta update, batch shape — is real
-    and replay-stable); a real pipeline swaps the kernel for PIL/libvips.
+    and replay-stable); ``kernel(payloads, width, height) -> one resized
+    bytes per payload`` drops in a real PIL/libvips resize without
+    touching the plumbing (``decode_mode`` is then ignored).
     Partition-local, no shuffle."""
-    _validate_mode(decode_mode)
+    if kernel is None:
+        _validate_mode(decode_mode)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            _require_decoder(decode_mode)
-            out_payloads = []
-            for p in pdf["payload"]:
-                digest = hashlib.md5(bytes(p)).digest()
-                seed = int.from_bytes(digest[:8], "big") % (2**32)
-                rng = np.random.default_rng(seed)
-                out_payloads.append(
-                    rng.integers(0, 256, width * height, dtype=np.uint8).tobytes()
-                )
+            payloads = [bytes(p) for p in pdf["payload"]]
+            if kernel is not None:
+                out_payloads = [bytes(b) for b in kernel(payloads, width, height)]
+                if len(out_payloads) != len(payloads):
+                    raise ValueError(
+                        f"kernel returned {len(out_payloads)} outputs for "
+                        f"{len(payloads)} payloads"
+                    )
+            else:
+                _require_decoder(decode_mode)
+                out_payloads = []
+                for p in payloads:
+                    digest = hashlib.md5(p).digest()
+                    seed = int.from_bytes(digest[:8], "big") % (2**32)
+                    rng = np.random.default_rng(seed)
+                    out_payloads.append(
+                        rng.integers(0, 256, width * height, dtype=np.uint8).tobytes()
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
@@ -162,12 +201,14 @@ def resize_images(
                     "payload": out_payloads,
                     "meta": [
                         {
-                            "n_bytes": width * height,
+                            # a real kernel's encoded output (e.g. JPEG)
+                            # is not width*height bytes — record reality
+                            "n_bytes": len(b),
                             "format": "raw-resized",
                             "width": width,
                             "height": height,
                         }
-                        for _ in out_payloads
+                        for b in out_payloads
                     ],
                 }
             )
@@ -176,31 +217,51 @@ def resize_images(
 
 
 def sample_frames(
-    media: DataFrame, frame_interval_ms: int = 1000, decode_mode: str = "fake"
+    media: DataFrame,
+    frame_interval_ms: int = 1000,
+    decode_mode: str = "fake",
+    kernel: Callable[[list[bytes], int], list[list[bytes]]] | None = None,
 ) -> DataFrame:
     """Video frame sampling: one input row → N frame rows (the exploding
     shape a video pipeline needs — done inside the Arrow batch, so the
     blow-up never passes through a Python-row boundary).
 
     Fake mode derives a deterministic frame count from the payload digest
-    and digest-chains the frame payloads; a real pipeline swaps the kernel
-    for pyav/ffmpeg."""
-    _validate_mode(decode_mode)
+    and digest-chains the frame payloads; ``kernel(payloads,
+    frame_interval_ms) -> one list-of-frame-bytes per payload`` drops in a
+    real pyav/ffmpeg sampler without touching the plumbing
+    (``decode_mode`` is then ignored)."""
+    if kernel is None:
+        _validate_mode(decode_mode)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            _require_decoder(decode_mode)
+            raw = [bytes(p) for p in pdf["payload"]]
+            if kernel is not None:
+                per_media = kernel(raw, frame_interval_ms)
+                if len(per_media) != len(raw):
+                    raise ValueError(
+                        f"kernel returned {len(per_media)} outputs for "
+                        f"{len(raw)} payloads"
+                    )
+            else:
+                _require_decoder(decode_mode)
+                per_media = []
+                for p in raw:
+                    digest = hashlib.md5(p).digest()
+                    n_frames = digest[0] % 6 + 2  # deterministic 2..7
+                    frame, frames = digest, []
+                    for _ in range(n_frames):
+                        frame = hashlib.md5(frame).digest()
+                        frames.append(frame)
+                    per_media.append(frames)
             ids, nos, tss, payloads = [], [], [], []
-            for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                digest = hashlib.md5(bytes(p)).digest()
-                n_frames = digest[0] % 6 + 2  # deterministic 2..7
-                frame = digest
-                for i in range(n_frames):
-                    frame = hashlib.md5(frame).digest()
+            for mid, frames in zip(pdf["media_id"], per_media):
+                for i, fb in enumerate(frames):
                     ids.append(mid)
                     nos.append(i)
                     tss.append(i * frame_interval_ms)
-                    payloads.append(frame)
+                    payloads.append(bytes(fb))
             yield pd.DataFrame(
                 {
                     "media_id": ids,

@@ -94,6 +94,76 @@ def pack_chunked_stats(
     )
 
 
+def pack_chunked_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    group_col: str = "source",
+) -> DataFrame:
+    """Assemble the ACTUAL packed training sequences, not just spans: per
+    chunk, the concatenation (in doc order) of each overlapping document's
+    token slice. Returns ``group, chunk_id, n_docs, n_tokens, tokens``
+    where ``tokens`` is the chunk's token array (exactly ``max_tokens``
+    long except each group's final partial chunk).
+
+    Pure DataFrame ops end-to-end: the span layout is ``pack_chunked``
+    (window cumsum + sequence explode), the per-doc slice is
+    ``F.slice(tokens, tok_start+1, tok_end-tok_start)`` (1-based), and the
+    chunk assembly is ``flatten(array_sort(collect_list(struct(doc_id,
+    slice))))`` — doc order inside the chunk is restored by the struct
+    sort, so the aggregation itself needs no ordering guarantee. One
+    shuffle (on group for the window) + one aggregation by (group,
+    chunk_id); token bytes move through the shuffle once, which is the
+    floor for any reorganization from doc-major to chunk-major layout.
+    """
+    n_tok = F.size(F.col(tokens_col))
+    spans = pack_chunked(
+        df.select(
+            F.col(group_col), F.col(id_col), F.col(tokens_col), n_tok.alias("_n_tok")
+        ),
+        max_tokens,
+        id_col=id_col,
+        n_tok_col="_n_tok",
+        group_col=group_col,
+    )
+    # re-join the token arrays onto the spans: pack_chunked only carries
+    # scalars through the window; the join is on the (group, doc) key and
+    # broadcast-free (both sides are the same data, co-partitioned by the
+    # window's shuffle)
+    with_toks = spans.join(
+        df.select(
+            F.col(group_col).alias("group"),
+            F.col(id_col).alias("doc_id"),
+            F.col(tokens_col).alias("_toks"),
+        ),
+        ["group", "doc_id"],
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("tok_start") + 1, F.col("tok_end") - F.col("tok_start")
+    )
+    return (
+        with_toks.select("group", "chunk_id", "doc_id", piece.alias("_piece"))
+        .groupBy("group", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "_piece"))),
+                    lambda s: s["_piece"],
+                )
+            ).alias("tokens"),
+        )
+        .select(
+            "group",
+            "chunk_id",
+            "n_docs",
+            F.size("tokens").alias("n_tokens"),
+            "tokens",
+        )
+    )
+
+
 _GREEDY_SCHEMA_SUFFIX = [
     T.StructField("seq_id", T.LongType()),
     T.StructField("seq_used_tokens", T.LongType()),

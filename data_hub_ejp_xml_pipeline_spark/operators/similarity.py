@@ -19,7 +19,10 @@
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -34,14 +37,59 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def _topk_per_query(scored: DataFrame, k: int, local_prefilter: bool) -> DataFrame:
+    """Final per-query top-k over (query_id, neighbor_id, sim6) rows.
+
+    A rank window alone is a scale trap: ``row_number() OVER (PARTITION BY
+    query_id)`` funnels EVERY scored candidate of a query through one
+    reducer — rank windows do no partial aggregation, so at corpus scale
+    that is the whole dataset through one task per query. With
+    ``local_prefilter=True`` a map-side pandas pass (same hybrid
+    partial-reduce idiom as ``operators.lww`` ``hybrid``) keeps only the
+    top-k per query per Arrow batch BEFORE any exchange — every global
+    top-k row is top-k in its own batch, so this is exact — and the window
+    then sorts ≤ k × n_batches rows per query instead of the corpus.
+
+    ``local_prefilter=False`` is for callers whose candidate set is
+    already bounded per query (LSH bucket / IVF probed lists): there the
+    window input is small by construction and the extra Arrow hop would
+    cost more than it saves.
+    """
+    if local_prefilter:
+        names = ["query_id", "neighbor_id", "sim6"]
+        by_name = {f.name: f.dataType.simpleString() for f in scored.schema.fields}
+        ddl = ", ".join(f"{n} {by_name[n]}" for n in names)
+
+        def local_topk(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                yield (
+                    pdf.sort_values(
+                        ["query_id", "sim6", "neighbor_id"],
+                        ascending=[True, False, True],
+                        kind="mergesort",
+                    )
+                    .groupby("query_id", sort=False)
+                    .head(k)
+                )
+
+        scored = scored.select(*names).mapInPandas(local_topk, schema=ddl)
+    w = W.partitionBy("query_id").orderBy(F.col("sim6").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim6", 4).alias("cosine"))
+    )
+
+
 def ann_brute_force(emb: DataFrame, queries: DataFrame, k: int = 5,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact top-k neighbors for each query vector.
 
     ``queries`` must have columns (query_id, qe). The query side is
     broadcast — at 100 TB the candidate scan is the only large side and it
-    never shuffles (map-side score + per-partition top-k via the window's
-    partial sort)."""
+    never shuffles (map-side JVM scoring); the per-query top-k is a
+    map-side bounded prefilter + tiny final window (``_topk_per_query``),
+    so no reducer ever sees a full query's candidate set."""
     sims = F.broadcast(queries).join(
         emb, F.col(id_col) != F.col("query_id")
     ).select(
@@ -49,12 +97,7 @@ def ann_brute_force(emb: DataFrame, queries: DataFrame, k: int = 5,
         F.col(id_col).alias("neighbor_id"),
         F.round(cosine(F.col("qe"), F.col(vec_col)), 6).alias("sim6"),
     )
-    w = W.partitionBy("query_id").orderBy(F.col("sim6").desc(), "neighbor_id")
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim6", 4).alias("cosine"))
-    )
+    return _topk_per_query(sims, k, local_prefilter=True)
 
 
 def hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
@@ -173,12 +216,10 @@ def ann_ivf(
         F.col(id_col).alias("neighbor_id"),
         F.round(cosine(F.col("qe"), F.col(vec_col)), 6).alias("sim6"),
     )
-    w = W.partitionBy("query_id").orderBy(F.col("sim6").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim6", 4).alias("cosine"))
-    )
+    # candidate set per query is bounded by the probed lists (n_probe
+    # lists × list size), so the final window input is small by
+    # construction — no map-side prefilter needed
+    return _topk_per_query(scored, k, local_prefilter=False)
 
 
 def ann_lsh(
@@ -228,12 +269,9 @@ def ann_lsh(
         F.col("c.neighbor_id").alias("neighbor_id"),
         F.round(cosine(F.col("q.qe"), F.col("c.ce")), 6).alias("sim6"),
     )
-    w = W.partitionBy("query_id").orderBy(F.col("sim6").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("sim6", 4).alias("cosine"))
-    )
+    # per-query candidates are bounded by the signature bucket size —
+    # window input is small by construction (see _topk_per_query)
+    return _topk_per_query(scored, k, local_prefilter=False)
 
 
 def ann_lsh_multiprobe(

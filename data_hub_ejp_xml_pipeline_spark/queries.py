@@ -1240,6 +1240,64 @@ FROM packed GROUP BY 1, 2
 """
 
 
+_SEQUENCE_PACK_TOKENS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source AS grp, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+), laid AS (
+  SELECT grp, doc_id, toks, n_tok,
+         sum(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS g_start
+  FROM toks WHERE n_tok > 0
+), spans AS (
+  SELECT grp, doc_id, toks, n_tok, g_start,
+         unnest(generate_series(
+           CAST(floor(g_start / {_PACK_MAX_TOKENS}) AS BIGINT),
+           CAST(floor((g_start + n_tok - 1) / {_PACK_MAX_TOKENS}) AS BIGINT)
+         )) AS chunk_id
+  FROM laid
+), pieces AS (
+  SELECT grp, chunk_id, doc_id,
+         list_slice(toks,
+           CAST(greatest(chunk_id * {_PACK_MAX_TOKENS}, g_start) - g_start + 1 AS BIGINT),
+           CAST(least(chunk_id * {_PACK_MAX_TOKENS} + {_PACK_MAX_TOKENS}, g_start + n_tok)
+                - g_start AS BIGINT)) AS piece
+  FROM spans
+)
+SELECT grp AS "group", chunk_id, count(*) AS n_docs,
+       CAST(sum(len(piece)) AS INT) AS n_tokens,
+       md5(string_agg(array_to_string(piece, ' '), ' ' ORDER BY doc_id)) AS chunk_md5
+FROM pieces GROUP BY 1, 2
+"""
+
+
+def q_sequence_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-LEVEL packing proof: assemble the actual packed sequences
+    (``operators.packing.pack_chunked_sequences`` — window layout + slice
+    + ordered flatten, no Python) and checksum each chunk's token stream;
+    the oracle rebuilds every chunk's concat-in-doc-order token string in
+    SQL. Matching md5s pin per-token content AND order, not just counts."""
+    from data_hub_ejp_xml_pipeline_spark.operators.packing import (
+        pack_chunked_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("tokens")
+    )
+    packed = pack_chunked_sequences(
+        docs, _PACK_MAX_TOKENS, id_col="doc_id", tokens_col="tokens",
+        group_col="source",
+    )
+    return packed.select(
+        "group",
+        "chunk_id",
+        "n_docs",
+        "n_tokens",
+        F.md5(F.concat_ws(" ", "tokens")).alias("chunk_md5"),
+    )
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (concat-then-chunk) of tokenized docs
     into fixed 512-token (``_PACK_MAX_TOKENS``) training sequences: per-chunk doc
@@ -1512,6 +1570,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "entity_tables_typed": (q_entity_tables_typed, _ENTITY_TYPED_ORACLE),
     "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_ORACLE),
     "sequence_pack_greedy": (q_sequence_pack_greedy, _SEQUENCE_PACK_GREEDY_ORACLE),
+    "sequence_pack_tokens": (q_sequence_pack_tokens, _SEQUENCE_PACK_TOKENS_ORACLE),
     "pii_scrub": (q_pii_scrub, _PII_ORACLE),
     "train_val_split": (q_train_val_split, _SPLIT_ORACLE),
     "decontaminate": (q_decontaminate, _DECONTAMINATE_ORACLE),

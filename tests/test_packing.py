@@ -117,3 +117,44 @@ def test_greedy_matches_python_oracle_random(spark):
         _greedy_oracle(pdf, L).sort_values(["group", "doc_id"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_chunked_sequences_token_equality_vs_python(spark):
+    """pack_chunked_sequences emits the ACTUAL packed token arrays: for
+    every (group, chunk) the tokens equal the python oracle's
+    concat-in-doc-order-then-cut layout, per element."""
+    import random
+
+    from data_hub_ejp_xml_pipeline_spark.operators.packing import (
+        pack_chunked_sequences,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    tok = 0
+    for g in ("a", "b", "c"):
+        for i in range(rng.randint(3, 9)):
+            n = rng.choice([0, 1, 7, L - 1, L, L + 13, 3 * L])
+            toks = list(range(tok, tok + n))  # globally unique token ids
+            tok += n
+            rows.append((g, f"d{i:02d}", toks))
+    df = spark.createDataFrame(rows, "source string, doc_id string, tokens array<int>")
+
+    got = {
+        (r.group, r.chunk_id): (r.n_docs, r.n_tokens, list(r.tokens))
+        for r in pack_chunked_sequences(df, L).collect()
+    }
+
+    expected = {}
+    for g in ("a", "b", "c"):
+        stream, docs_at = [], []
+        for grp, doc_id, toks in sorted(r for r in rows if r[0] == g):
+            if toks:
+                docs_at.append((len(stream), len(stream) + len(toks)))
+                stream.extend(toks)
+        for c in range(0, (len(stream) + L - 1) // L):
+            lo, hi = c * L, min((c + 1) * L, len(stream))
+            n_docs = sum(1 for s, e in docs_at if s < hi and e > lo)
+            expected[(g, c)] = (n_docs, hi - lo, stream[lo:hi])
+
+    assert got == expected

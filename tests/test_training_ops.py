@@ -171,3 +171,94 @@ def test_ann_lsh_multiprobe_dominates_single_probe(spark):
     single = {(r.query_id, r.neighbor_id) for r in q_ann_lsh(spark, sf).collect()}
     multi = {(r.query_id, r.neighbor_id) for r in q_ann_lsh_multiprobe(spark, sf).collect()}
     assert len(exact & multi) >= len(exact & single)
+
+
+def test_ann_topk_prefilter_plan_and_equivalence(spark):
+    """ann_brute_force must not funnel a query's full candidate set through
+    one reducer: the executed plan carries a map-side MapInPandas local
+    top-k BEFORE the final rank window's exchange, and the prefiltered
+    result equals the window-only result exactly (every global top-k row
+    is top-k in its own batch)."""
+    from data_hub_ejp_xml_pipeline_spark.operators import similarity
+    from pyspark.sql import functions as F
+
+    emb = spark.range(0, 4000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(7)),
+            lambda j: F.sin((F.col("id") + 1) * (j + 1) * 0.37),
+        ).cast("array<float>").alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") % 997 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    out = similarity.ann_brute_force(emb, queries, k=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # local top-k before the window exchange
+
+    sims = F.broadcast(queries).join(
+        emb, F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(similarity.cosine(F.col("qe"), F.col("embedding")), 6).alias("sim6"),
+    )
+    unfiltered = similarity._topk_per_query(sims, 4, local_prefilter=False)
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(map(tuple, out.collect()), key=lambda t: (t[0], t[2])) == sorted(
+        map(tuple, unfiltered.collect()), key=lambda t: (t[0], t[2])
+    )
+
+
+def test_multimodal_kernel_seam(spark):
+    """The injected-kernel seam: a real PIL/pyav decoder drops in without
+    touching the operator. The fake kernels assert the contract — whole
+    Arrow batch as list[bytes] in, one output per payload out — and their
+    outputs flow through schema/explode plumbing unchanged."""
+    from pyspark.sql import functions as F
+
+    from data_hub_ejp_xml_pipeline_spark.operators import multimodal as mm
+
+    docs = spark.range(0, 40).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("payload-"), F.col("id")).alias("text"),
+    )
+    media = mm.attach_binary_payload(docs, "doc_id", "text")
+
+    def feat_kernel(payloads):
+        assert isinstance(payloads, list) and all(
+            isinstance(p, bytes) for p in payloads
+        )
+        return [[float(len(p)), float(p[0])] for p in payloads]
+
+    feats = {r.media_id: r for r in mm.extract_features(media, dim=2, kernel=feat_kernel).collect()}
+    assert len(feats) == 40
+    assert feats["7"].feature == [float(len(b"payload-7")), float(b"p"[0])]
+
+    def resize_kernel(payloads, w, h):
+        assert (w, h) == (3, 2)
+        return [p[: w * h] for p in payloads]
+
+    resized = {r.media_id: r for r in mm.resize_images(media, 3, 2, kernel=resize_kernel).collect()}
+    assert bytes(resized["7"].payload) == b"payloa"
+    assert resized["7"].meta.n_bytes == 6  # actual kernel output size
+    assert (resized["7"].meta.width, resized["7"].meta.height) == (3, 2)
+
+    def frame_kernel(payloads, interval_ms):
+        assert interval_ms == 500
+        return [[p, p[::-1]] for p in payloads]  # 2 frames per media
+
+    frames = mm.sample_frames(media, 500, kernel=frame_kernel).collect()
+    assert len(frames) == 80
+    f7 = sorted(
+        (r for r in frames if r.media_id == "7"), key=lambda r: r.frame_no
+    )
+    assert [r.frame_ts_ms for r in f7] == [0, 500]
+    assert bytes(f7[1].payload) == b"payload-7"[::-1]
+
+    # length-contract violation surfaces as an error, not silent drift
+    import pytest
+
+    bad = mm.extract_features(media, kernel=lambda ps: [[1.0]] * (len(ps) - 1))
+    with pytest.raises(Exception, match="outputs for"):
+        bad.collect()
