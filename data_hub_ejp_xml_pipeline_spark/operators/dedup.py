@@ -254,3 +254,103 @@ def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 3,
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_band_state(df: DataFrame, n_hashes: int = 9, band_size: int = 3,
+                       k: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, band_no, band_hash) LSH state for a corpus slice — what an
+    ingest pipeline appends per epoch so later batches can near-dup
+    against everything already ingested without re-shingling the corpus.
+    At scale this lives as a table bucketed/partitioned by band_hash."""
+    return minhash_bands(shingle_table(df, id_col, text_col, k), n_hashes, band_size)
+
+
+def incremental_minhash_flags(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_bands: DataFrame,
+    threshold: float = 0.8,
+    n_hashes: int = 9,
+    band_size: int = 3,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup flags for a NEW batch against the already-ingested corpus —
+    the CDC-shaped dedup: per epoch, only the batch is shingled/minhashed;
+    the corpus is touched through (a) its precomputed band table
+    (``minhash_band_state``) and (b) a candidate-bounded re-shingle of the
+    few matched docs for the exact-Jaccard verify.
+
+    Returns one row per verified pair: (new_doc, matched_doc, jaccard,
+    matched_in ∈ {'corpus','batch'}) — 'batch' pairs match an EARLIER
+    (smaller id) doc of the same batch, so flag semantics are replay-stable.
+
+    100 TB shape: the batch band table is broadcast into the corpus-band
+    join — ONE map-side scan of the (bucketed) corpus state, no corpus
+    shuffle; the verify re-shingles only candidate docs (semi-join pushdown
+    into the corpus scan). Batch-vs-batch candidates use the banded join,
+    never all-pairs."""
+    sh_new = shingle_table(new_docs, id_col, text_col, k).persist()
+    bands_new = minhash_bands(sh_new, n_hashes, band_size)
+
+    bn = F.broadcast(bands_new)
+    cand_corpus = (
+        bn.alias("n")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("n.band_no") == F.col("c.band_no"))
+            & (F.col("n.band_hash") == F.col("c.band_hash"))
+            # a re-ingested doc_id is its own trivial match — exclude it
+            & (F.col("n.doc_id") != F.col("c.doc_id")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("c.doc_id").alias("matched_doc"),
+            F.lit("corpus").alias("matched_in"),
+        )
+        .distinct()
+    )
+    a = bands_new.alias("a")
+    b = bands_new.alias("b")
+    cand_batch = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("b.doc_id").alias("new_doc"),
+            F.col("a.doc_id").alias("matched_doc"),
+            F.lit("batch").alias("matched_in"),
+        )
+        .distinct()
+    )
+    cand = cand_corpus.unionByName(cand_batch)
+
+    # verify shingles: the batch's (already built) + ONLY the corpus docs
+    # that appear as candidates (left-semi prunes the corpus scan)
+    matched_corpus_docs = corpus_docs.join(
+        cand_corpus.select(F.col("matched_doc").alias(id_col)).distinct(),
+        on=id_col,
+        how="left_semi",
+    )
+    sh_verify = sh_new.unionByName(shingle_table(matched_corpus_docs, id_col, text_col, k))
+
+    pairs = cand.select(
+        F.col("matched_doc").alias("doc_a"),
+        F.col("new_doc").alias("doc_b"),
+        "matched_in",
+    )
+    verified = jaccard_verify(pairs.select("doc_a", "doc_b"), sh_verify, threshold)
+    return (
+        verified.join(pairs, on=["doc_a", "doc_b"])
+        .select(
+            F.col("doc_b").alias("new_doc"),
+            F.col("doc_a").alias("matched_doc"),
+            "jaccard",
+            "matched_in",
+        )
+    )

@@ -31,17 +31,21 @@ class MergePipeline:
         reduce_strategy: str = "agg",
         n_salts: int = 16,
         payload_schema: T.StructType = PAYLOAD_SCHEMA,
+        files_per_bucket: int = 1,
+        profile_mode: str = "pre",
     ):
         self.spark = spark
         if SnapshotTable.exists(table_root):
             self.table = SnapshotTable(spark, table_root)
         else:
             self.table = SnapshotTable.create(
-                spark, table_root, payload_schema, key=key, n_buckets=n_buckets
+                spark, table_root, payload_schema, key=key, n_buckets=n_buckets,
+                files_per_bucket=files_per_bucket,
             )
         self.key = key
         self.reduce_strategy = reduce_strategy
         self.n_salts = n_salts
+        self.profile_mode = profile_mode
 
     def apply(self, changelog: DataFrame, batch_id: int | None = None) -> CommitResult:
         reduced = reduce_latest(
@@ -49,7 +53,8 @@ class MergePipeline:
         )
         # the raw batch feeds the stats/lineage job (no reduce needed there),
         # so the LWW reduce executes exactly once — in the merge-write job
-        return self.table.merge(reduced, batch_id=batch_id, stats_df=changelog)
+        return self.table.merge(reduced, batch_id=batch_id, stats_df=changelog,
+                                profile_mode=self.profile_mode)
 
     def final_state(self) -> DataFrame:
         return self.table.read()

@@ -704,6 +704,88 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic engine-portable 2-way split for the incremental-dedup query:
+# wave 0 = the already-ingested corpus, wave 1 = the incoming batch
+_WAVE_SQL = "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 2)"
+
+
+def _incremental_minhash_oracle() -> str:
+    from data_hub_ejp_xml_pipeline_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
+    base = "(('0x' || substring(md5(s), 1, 7))::BIGINT)"
+    mins = ", ".join(
+        f"min(({a} * {base} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(_N_MINHASH))
+    )
+    bands = ", ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"CAST(h{b * _BAND_SIZE + j} AS VARCHAR)" for j in range(_BAND_SIZE)
+        )
+        + f") AS band{b}"
+        for b in range(_N_MINHASH // _BAND_SIZE)
+    )
+    # asymmetric candidacy: doc_b is a NEW doc; doc_a is corpus (any) or an
+    # EARLIER new doc — mirrors incremental_minhash_flags exactly
+    band_joins = "\nUNION\n".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM wb a JOIN wb b "
+        f"ON a.band{b} = b.band{b} WHERE b.wave = 1 AND a.doc_id != b.doc_id "
+        f"AND (a.wave = 0 OR a.doc_id < b.doc_id)"
+        for b in range(_N_MINHASH // _BAND_SIZE)
+    )
+    return (
+        _SHINGLE_CTE
+        + f""",
+waves AS (SELECT doc_id, {_WAVE_SQL} AS wave FROM documents),
+mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, {bands} FROM mh),
+wb AS (SELECT b.*, w.wave FROM bands b JOIN waves w USING (doc_id)),
+cand AS ({band_joins}),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS c
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+  GROUP BY 1, 2
+)
+SELECT i.doc_b AS new_doc, i.doc_a AS matched_doc,
+       round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard,
+       CASE WHEN wa.wave = 0 THEN 'corpus' ELSE 'batch' END AS matched_in
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+JOIN waves wa ON wa.doc_id = i.doc_a
+WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.8
+"""
+    )
+
+
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-shaped near-dup: split documents into an already-ingested corpus
+    (wave 0) and an incoming batch (wave 1) by a deterministic md5 parity;
+    build the corpus LSH band state once (what an ingest pipeline appends
+    per epoch), then flag batch docs against (a) the corpus state via a
+    broadcast band join — one map-side corpus scan, no corpus shuffle —
+    and (b) earlier docs of the same batch. Exact-Jaccard verified ≥ 0.8
+    over a candidate-bounded corpus re-shingle (left-semi pushdown).
+    Production operator: operators.dedup.incremental_minhash_flags."""
+    docs = _t(spark, sf_dir, "documents")
+    wave = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 2
+    )
+    corpus = docs.filter(wave == 0)
+    new_batch = docs.filter(wave == 1)
+    state = D.minhash_band_state(
+        corpus, n_hashes=_N_MINHASH, band_size=_BAND_SIZE
+    )
+    return D.incremental_minhash_flags(
+        new_batch, corpus, state,
+        threshold=0.8, n_hashes=_N_MINHASH, band_size=_BAND_SIZE,
+    )
+
+
 _STOPWORDS = TX.STOPWORDS  # the production constant — no drift
 _SW_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
 
@@ -1556,6 +1638,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_exact": (q_dedup_exact, _DEDUP_EXACT_ORACLE),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _JACCARD_ORACLE),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, _minhash_oracle()),
+    "dedup_incremental_minhash": (
+        q_dedup_incremental_minhash,
+        _incremental_minhash_oracle(),
+    ),
     "text_quality": (q_text_quality, _TEXT_QUALITY_ORACLE),
     "lang_id": (q_lang_id, _lang_oracle()),
     "token_count": (q_token_count, _TOKEN_COUNT_ORACLE),

@@ -43,11 +43,16 @@ class ChangelogTailer:
         n_salts: int = 16,
         metrics_path: str | None = None,
         fail_after_batches: int | None = None,  # test hook: simulated crash
+        profile_mode: str = "pre",
     ):
         self.spark = spark
         self.table = table
         self.reduce_strategy = reduce_strategy
         self.n_salts = n_salts
+        # "fused" overlaps the stats/lineage job with the merge-write —
+        # right for a key-diffuse high-throughput tail; see
+        # SnapshotTable.merge
+        self.profile_mode = profile_mode
         self.metrics_path = metrics_path or os.path.join(table.root, "metrics.jsonl")
         self.metrics: list[dict[str, Any]] = []
         self._fail_after = fail_after_batches
@@ -71,7 +76,8 @@ class ChangelogTailer:
         )
         # batch stats (count, max event time) come back from the merge's own
         # stats job — no extra persist/count/max actions per microbatch
-        result = self.table.merge(reduced, batch_id=batch_id, stats_df=batch_df)
+        result = self.table.merge(reduced, batch_id=batch_id, stats_df=batch_df,
+                                  profile_mode=self.profile_mode)
         if result.n_events == 0 and not result.applied:
             return  # empty batch (or already-applied epoch) — reference F4
         elapsed = max(time.time() - t0, 1e-9)

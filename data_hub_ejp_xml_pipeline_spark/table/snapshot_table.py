@@ -50,6 +50,7 @@ import itertools
 import json
 import logging
 import os
+import threading
 import time
 from dataclasses import dataclass
 from typing import Any
@@ -413,6 +414,7 @@ class SnapshotTable:
         lsn_col: str = "lsn",
         validate_unique: bool = False,
         stats_df: DataFrame | None = None,
+        profile_mode: str = "pre",
     ) -> CommitResult:
         """MERGE INTO semantics with an LSN guard:
 
@@ -435,6 +437,25 @@ class SnapshotTable:
         new epoch would be silently swallowed: pair a fresh checkpoint with
         a fresh table, or construct with ``strict_ledger=True`` to raise on
         sub-watermark ids instead (a warning is logged either way).
+
+        ``profile_mode`` picks when the per-commit stats/lineage aggregation
+        runs relative to the merge-write:
+
+        * ``"pre"`` (default): a synchronous pre-pass job. Its per-bucket
+          key ranges feed the min/max FILE PRUNING — the right mode when
+          batches touch a localized key range, so most of the table is
+          carried forward unread.
+        * ``"fused"``: the same aggregation runs CONCURRENTLY with the
+          merge-write from a second driver thread (FIFO scheduling backfills
+          the write's straggler-idle cores with the narrow-column profile
+          scan), and the epoch pays ONE job's worth of wall clock instead of
+          two. Exact per-file lineage and batch stats are unchanged. The
+          trade: pruning needs the ranges BEFORE the write plan exists, so
+          fused mode rewrites every live file — only correct-AND-fast when
+          batches are key-diffuse (the uniform steady state of a
+          high-throughput CDC tail, where every file is touched anyway).
+          Implies the sort-merge path (the broadcast-vs-SMJ choice also
+          needs the pre-pass row count).
         """
         if validate_unique:
             key = self.manifest()["key"]
@@ -445,7 +466,8 @@ class SnapshotTable:
                     "run operators.lww.reduce_latest first"
                 )
         return self._commit(updates, operation="merge", batch_id=batch_id, merge=True,
-                            op_col=op_col, lsn_col=lsn_col, stats_df=stats_df)
+                            op_col=op_col, lsn_col=lsn_col, stats_df=stats_df,
+                            profile_mode=profile_mode)
 
     # ------------------------------------------------------------ internals
     def _commit(
@@ -457,7 +479,11 @@ class SnapshotTable:
         op_col: str = "op",
         lsn_col: str = "lsn",
         stats_df: DataFrame | None = None,
+        profile_mode: str = "pre",
     ) -> CommitResult:
+        if profile_mode not in ("pre", "fused"):
+            raise ValueError(f"profile_mode must be 'pre' or 'fused', got {profile_mode!r}")
+        fused = merge and profile_mode == "fused"
         m = self.manifest()
         applied_snap = self._ledger_lookup(m, batch_id)
         if applied_snap is not None:
@@ -496,32 +522,63 @@ class SnapshotTable:
             stats_src = (
                 stats_df.withColumn("_bucket", bucket) if stats_df is not None else src
             )
-            lineage_rows, bucket_ranges, batch_stats = self._batch_profile(
-                stats_src, key
-            )
-            if batch_stats["n_events"] == 0:
-                # empty batch: no data files, no new snapshot (reference F4)
-                return CommitResult(
-                    m["snapshot_id"], m["version"], applied=False, n_events=0
+            profile_thread: threading.Thread | None = None
+            profile_box: dict[str, Any] = {}
+            if fused:
+                # touch-all mode must not rewrite the whole table for an
+                # empty batch — a limit-1 probe is the cheap guard the
+                # pre-pass count normally provides (reference F4)
+                if stats_src.isEmpty():
+                    return CommitResult(
+                        m["snapshot_id"], m["version"], applied=False, n_events=0
+                    )
+
+                def _run_profile() -> None:
+                    try:
+                        profile_box["result"] = self._batch_profile(stats_src, key)
+                    except BaseException as exc:  # surfaced on join below
+                        profile_box["error"] = exc
+
+                profile_thread = threading.Thread(
+                    target=_run_profile, name="batch-profile", daemon=True
                 )
+                profile_thread.start()
+                lineage_rows, bucket_ranges, batch_stats = [], {}, None
+            else:
+                lineage_rows, bucket_ranges, batch_stats = self._batch_profile(
+                    stats_src, key
+                )
+                if batch_stats["n_events"] == 0:
+                    # empty batch: no data files, no new snapshot (reference F4)
+                    return CommitResult(
+                        m["snapshot_id"], m["version"], applied=False, n_events=0
+                    )
             src_full = src.select(
                 *[conform_col(src, f).alias(f.name) for f in payload_schema.fields],
                 F.col(lsn_col).cast("long").alias(LSN_COL),
                 F.col(op_col).alias("_op"),
                 F.col("_bucket"),
             )
-            # file-level pruning: only files whose key range can contain a
-            # batch key are read and rewritten; the rest carry forward
-            touched_entries, carried = _split_touched_files(
-                m["files"], bucket_ranges
-            )
-            est_rows = (
-                sum(f["rows"] for f in touched_entries) + batch_stats["n_events"]
-            )
+            if fused:
+                # ranges aren't known until the concurrent profile lands —
+                # after the write plan is built — so every live file is
+                # touched (see merge() docstring for when that's the right
+                # trade)
+                touched_entries, carried = list(m["files"]), []
+                est_rows = sum(f["rows"] for f in touched_entries)
+            else:
+                # file-level pruning: only files whose key range can contain
+                # a batch key are read and rewritten; the rest carry forward
+                touched_entries, carried = _split_touched_files(
+                    m["files"], bucket_ranges
+                )
+                est_rows = (
+                    sum(f["rows"] for f in touched_entries) + batch_stats["n_events"]
+                )
             target = self._read_file_entries(touched_entries, existing_schema)
             target = conform_to_schema(target, merged_schema).withColumn("_bucket", bucket)
 
-            broadcast_batch = (
+            broadcast_batch = (not fused) and (
                 batch_stats["n_events"] <= self.broadcast_merge_max_rows
             )
             bucket_local = (
@@ -571,6 +628,11 @@ class SnapshotTable:
         table_rows = sum(f["rows"] for f in m["files"])
         rows_per_file = max(1, -(-max(table_rows, est_rows) // max_parts))
         n_parts = min(max_parts, max(1, -(-est_rows // rows_per_file)))
+        if fused:
+            # batch size is unknown until the concurrent profile lands:
+            # full fan-out is the only safe layout (and the intended one —
+            # fused mode IS the touch-everything steady state)
+            n_parts = max_parts
         aligned_hash = m.get("bucket_hash") == "murmur3"
         if merge and not broadcast_batch and (
             bucket_local or (n_parts == max_parts and aligned_hash)
@@ -595,6 +657,16 @@ class SnapshotTable:
             .partitionBy("_bucket")
             .parquet(snap_dir)
         )
+
+        if fused and profile_thread is not None:
+            # the concurrent profile overlaps the write; by now it is done
+            # or nearly so. A profile failure aborts BEFORE the manifest
+            # commit — the written snap_dir is an orphan that
+            # expire_snapshots sweeps, never a visible snapshot.
+            profile_thread.join()
+            if "error" in profile_box:
+                raise profile_box["error"]
+            lineage_rows, _, batch_stats = profile_box["result"]
 
         new_files = _list_bucket_files(snap_dir, snap_rel, key)
         rows_written = sum(f["rows"] for f in new_files)

@@ -262,3 +262,50 @@ def test_multimodal_kernel_seam(spark):
     bad = mm.extract_features(media, kernel=lambda ps: [[1.0]] * (len(ps) - 1))
     with pytest.raises(Exception, match="outputs for"):
         bad.collect()
+
+
+def test_incremental_minhash_flags_corpus_and_batch(spark, docs):
+    """CDC-shaped dedup: corpus = docs 0,3; batch = docs 1,2,4. Doc 1
+    (exact dup of corpus 0) must flag against the CORPUS via its
+    precomputed band state (identical docs always share every band, so
+    this is recall-deterministic); nothing flags doc 4. Batch-internal:
+    adding doc 1's twin later in the same batch flags it against the
+    EARLIER batch doc AND the corpus twin."""
+    corpus = docs.filter(F.col("doc_id").isin(0, 3))
+    batch = docs.filter(F.col("doc_id").isin(1, 2, 4))
+    state = dedup.minhash_band_state(corpus)
+
+    flags = dedup.incremental_minhash_flags(batch, corpus, state, threshold=0.8)
+    rows = {(r.new_doc, r.matched_doc): (r.matched_in, r.jaccard)
+            for r in flags.collect()}
+    assert rows[(1, 0)][0] == "corpus" and rows[(1, 0)][1] == 1.0
+    assert not any(n == 4 for (n, _) in rows)
+
+    # batch-internal pair: docs 1 and 5 are twins inside one batch
+    batch2 = batch.union(
+        spark.createDataFrame(
+            [(5, docs.filter(F.col("doc_id") == 0).first().text)],
+            ["doc_id", "text"],
+        )
+    )
+    flags2 = dedup.incremental_minhash_flags(batch2, corpus, state, threshold=0.8)
+    rows2 = {(r.new_doc, r.matched_doc): r.matched_in for r in flags2.collect()}
+    assert rows2[(5, 1)] == "batch"  # earlier batch doc wins the pair
+    assert rows2[(5, 0)] == "corpus"  # and the corpus twin is also reported
+
+
+def test_incremental_minhash_state_reuse_matches_batch_recompute(spark, docs):
+    """Flags computed against appended per-epoch band state equal flags
+    against state rebuilt from scratch — the state table is a faithful
+    incremental accumulator."""
+    c1 = docs.filter(F.col("doc_id").isin(0))
+    c2 = docs.filter(F.col("doc_id").isin(3))
+    batch = docs.filter(F.col("doc_id").isin(1, 2, 4))
+    appended = dedup.minhash_band_state(c1).union(dedup.minhash_band_state(c2))
+    rebuilt = dedup.minhash_band_state(c1.union(c2))
+    corpus = c1.union(c2)
+    f_app = sorted(map(tuple, dedup.incremental_minhash_flags(
+        batch, corpus, appended).collect()))
+    f_reb = sorted(map(tuple, dedup.incremental_minhash_flags(
+        batch, corpus, rebuilt).collect()))
+    assert f_app == f_reb and len(f_app) >= 1
