@@ -261,7 +261,8 @@ def reduce_strategy_comparison(spark, changelog_dir: str, limit: int = 200_000) 
 
 
 def streaming_apply(spark, changelog_dir: str, n_events: int,
-                    files_per_trigger: int = 16, n_buckets: int = 32) -> dict:
+                    files_per_trigger: int = 16, n_buckets: int = 32,
+                    profile_mode: str = "fused") -> dict:
     """The north star measured AS A STREAM: ChangelogTailer drains the
     changelog directory through readStream + foreachBatch into a fresh
     snapshot table (exactly-once ledger active), availableNow. Reports
@@ -275,7 +276,7 @@ def streaming_apply(spark, changelog_dir: str, n_events: int,
     root = tempfile.mkdtemp(prefix="bench-stream-", dir=_bench_tmpdir())
     table = SnapshotTable.create(spark, root + "/tbl", PAYLOAD_SCHEMA,
                                  n_buckets=n_buckets)
-    tailer = ChangelogTailer(spark, table)
+    tailer = ChangelogTailer(spark, table, profile_mode=profile_mode)
     t0 = time.time()
     q = tailer.start(changelog_dir, root + "/ckpt", available_now=True,
                      max_files_per_trigger=files_per_trigger)
