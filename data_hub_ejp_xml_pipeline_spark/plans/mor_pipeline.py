@@ -1,0 +1,151 @@
+"""Merge-on-read ingest: group-commit for the COW merge.
+
+The per-epoch copy-on-write MERGE pays a target scan + join + full
+rewrite of touched files every microbatch. At high epoch rates the
+classic fix (Hudi's deltacommit/compaction split, Iceberg's
+merge-on-read) is to make the per-epoch durable step an APPEND — no
+target read, no join — and amortize ONE real merge over K epochs:
+
+* ``apply(batch, batch_id)`` — LWW-reduce the batch and blind-APPEND it
+  (with its ``op`` and ``lsn``) to a **delta table**, exactly-once via
+  the delta table's own batch-id ledger. Cost per epoch: one shuffle of
+  the batch, zero target I/O.
+* every ``k_compact`` epochs, ``compact()`` LWW-reduces the accumulated
+  deltas across epochs and MERGEs them into the **base table** in one
+  join, then truncates the delta table (metadata-only; ledger carries
+  over so replayed epoch ids still no-op).
+* ``final_state()`` serves the merge-on-read view in between: base
+  tombstone-rows and delta rows are unioned as one changelog and
+  LWW-reduced — a key's winner is its max-LSN row across both, so a
+  stale delta (late replay older than what compaction already applied)
+  can never resurrect old state.
+
+Crash safety (pinned by tests/test_mor_pipeline.py):
+
+* crash after an append → the delta table is durable and its ledger
+  no-ops the replayed epoch; the view already includes the rows.
+* crash after the compaction MERGE but before the truncate → on the next
+  compact the same (or a higher) batch id re-merges the same deltas: the
+  base ledger no-ops an identical id, and re-merged rows fail the
+  ``s.lsn > t._lsn`` guard — idempotent either way.
+
+The reference analog is its two-phase S3-staging load
+(``dags/s3_xml_import_pipeline.py:286-297``: ETL writes JSONL batches to
+S3, a separate task folds them into BigQuery) re-expressed as
+table-format primitives with exactly-once on both phases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
+from data_hub_ejp_xml_pipeline_spark.plans.pipeline import PAYLOAD_SCHEMA
+from data_hub_ejp_xml_pipeline_spark.table.snapshot_table import (
+    DELETED_COL,
+    LSN_COL,
+    CommitResult,
+    SnapshotTable,
+)
+
+
+class MorPipeline:
+    """Append-then-compact (merge-on-read) CDC ingest over two tables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key: str = "doc_id",
+        n_buckets: int = 16,
+        k_compact: int = 4,
+        reduce_strategy: str = "agg",
+        payload_schema: T.StructType = PAYLOAD_SCHEMA,
+        profile_mode: str = "pre",
+    ):
+        self.spark = spark
+        self.key = key
+        self.k_compact = k_compact
+        self.reduce_strategy = reduce_strategy
+        self.profile_mode = profile_mode
+        delta_schema = T.StructType(
+            list(payload_schema.fields) + [T.StructField("op", T.StringType(), True)]
+        )
+        self._payload_cols = [f.name for f in payload_schema.fields]
+        if SnapshotTable.exists(root + "/base"):
+            self.base = SnapshotTable(spark, root + "/base")
+            self.delta = SnapshotTable(spark, root + "/delta")
+        else:
+            self.base = SnapshotTable.create(
+                spark, root + "/base", payload_schema, key=key, n_buckets=n_buckets
+            )
+            self.delta = SnapshotTable.create(
+                spark, root + "/delta", delta_schema, key=key, n_buckets=n_buckets
+            )
+        self._since_compact = 0
+
+    # ------------------------------------------------------------- ingest
+    def apply(self, changelog: DataFrame, batch_id: int | None = None) -> CommitResult:
+        """Durable per-epoch step: reduce + APPEND to the delta table.
+        Exactly-once rides the delta ledger; no base-table I/O."""
+        reduced = reduce_latest(
+            changelog, key=self.key, strategy=self.reduce_strategy
+        )
+        # raw batch feeds the stats/lineage pre-pass (narrow, no reduce);
+        # the LWW reduce then executes exactly once, in the append's write
+        res = self.delta.append(reduced, batch_id=batch_id, stats_df=changelog)
+        if res.applied:
+            self._since_compact += 1
+            if self._since_compact >= self.k_compact:
+                self.compact()
+        return res
+
+    def compact(self) -> CommitResult | None:
+        """Fold every staged delta epoch into the base with ONE merge, then
+        truncate the delta table. Idempotent across crashes (see module
+        docstring); a no-op when nothing is staged."""
+        if not self.delta.manifest()["files"]:
+            # nothing staged (the ledger may still hold pre-truncate ids —
+            # those must keep no-opping replays, so they are NOT the guard)
+            self._since_compact = 0
+            return None
+        staged = self.delta.read()
+        ledger = self.delta.ledger()
+        # one row per key across all staged epochs; the compaction's
+        # exactly-once id is the highest staged epoch id (monotone)
+        compact_id = max(int(b) for b in ledger)
+        changes = reduce_latest(staged, key=self.key, lsn_col=LSN_COL)
+        res = self.base.merge(
+            changes,
+            batch_id=compact_id,
+            op_col="op",
+            lsn_col=LSN_COL,
+            stats_df=staged,
+            profile_mode=self.profile_mode,
+        )
+        self.delta.truncate()
+        self._since_compact = 0
+        return res
+
+    # --------------------------------------------------------------- read
+    def final_state(self) -> DataFrame:
+        """Merge-on-read view: base ∪ staged deltas as one changelog,
+        LWW-reduced — correct between compactions, identical to the base
+        after one. Read amplification is the staged-delta scan; that is
+        the MOR trade and why ``k_compact`` bounds it."""
+        base = self.base.read(include_tombstones=True).select(
+            *self._payload_cols,
+            F.col(LSN_COL),
+            F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+        )
+        delta = self.delta.read().select(
+            *self._payload_cols, F.col(LSN_COL), F.col("op")
+        )
+        latest = reduce_latest(
+            base.unionByName(delta), key=self.key, lsn_col=LSN_COL
+        )
+        return latest.filter(F.col("op") != "D").drop("op")

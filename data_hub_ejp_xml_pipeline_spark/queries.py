@@ -283,6 +283,51 @@ def q_cdc_engine_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_mor_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same end-to-end engine check as ``cdc_engine_final_state`` run
+    through the MERGE-ON-READ pipeline (plans.mor_pipeline): 3 epochs are
+    durable APPENDs to the delta table; ``k_compact=2`` folds the first
+    two into the base with ONE merge and leaves the third staged — so the
+    returned DataFrame is the merge-view (base ∪ staged deltas, LWW
+    reduced), not a plain table read. Must equal the identical one-shot
+    SQL LWW oracle, pinning the group-commit path against the same
+    independent truth as the per-epoch COW path."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.plans.mor_pipeline import MorPipeline
+
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("final_event_type"),
+        F.round("value", 4).alias("final_value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("final_event_type", T.StringType()),
+            T.StructField("final_value", T.DoubleType()),
+        ]
+    )
+    root = _swept_scratch_dir("morq")
+    pipe = MorPipeline(
+        spark, root, key="doc_id", n_buckets=8, k_compact=2, payload_schema=payload
+    )
+    bounds = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    lo, hi = bounds[0], bounds[1]
+    step = max((hi - lo + 1) // 3 + 1, 1)
+    for i in range(3):
+        batch = changelog.filter(
+            (F.col("lsn") >= lo + i * step) & (F.col("lsn") < lo + (i + 1) * step)
+        )
+        pipe.apply(batch, batch_id=i)
+    return pipe.final_state().select(
+        "doc_id", "final_event_type", "final_value", F.col("_lsn").alias("last_lsn")
+    )
+
+
 def q_watermark_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: per-pattern max-LSN watermark (etl_state.py:65-76 analog)."""
     ev = _t(spark, sf_dir, "events")
@@ -1557,6 +1602,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lww_applyinpandas": (q_lww_applyinpandas, _LWW_ORACLE),
     "lww_salted": (q_lww_salted, _LWW_ORACLE),
     "cdc_engine_final_state": (q_cdc_engine_final_state, _CDC_FINAL_ORACLE),
+    "cdc_mor_final_state": (q_cdc_mor_final_state, _CDC_FINAL_ORACLE),
     "cdc_snapshot_diff": (q_cdc_snapshot_diff, _CDC_DIFF_ORACLE),
     "watermark_per_source": (
         q_watermark_per_source,

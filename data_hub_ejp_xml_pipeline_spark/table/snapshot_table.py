@@ -402,9 +402,42 @@ class SnapshotTable:
         self._write_manifest(manifest, expected_parent_version=m["version"])
         return CommitResult(manifest["snapshot_id"], version, applied=True)
 
-    def append(self, df: DataFrame, batch_id: int | None = None) -> CommitResult:
-        """Blind append (no key dedup) — the reference's WRITE_APPEND analog."""
-        return self._commit(df, operation="append", batch_id=batch_id, merge=False)
+    def append(
+        self,
+        df: DataFrame,
+        batch_id: int | None = None,
+        stats_df: DataFrame | None = None,
+    ) -> CommitResult:
+        """Blind append (no key dedup) — the reference's WRITE_APPEND analog.
+
+        ``stats_df`` plays the same role as in :meth:`merge`: when ``df`` is
+        derived through an expensive transform (e.g. an LWW reduce), pass
+        the RAW batch here so the stats/lineage pre-pass aggregates a narrow
+        projection instead of re-executing the transform — and lineage then
+        covers the raw offsets, which is what resume wants."""
+        return self._commit(df, operation="append", batch_id=batch_id, merge=False,
+                            stats_df=stats_df)
+
+    def truncate(self) -> CommitResult:
+        """Metadata-only commit that empties the table: a new snapshot with
+        NO data files. The ledger (and its eviction watermark) carries over
+        — a replayed batch_id from before the truncate must still no-op,
+        which is exactly what a delta/staging table needs after compaction
+        (plans.mor_pipeline). Old data files become orphans of prior
+        snapshots; ``expire_snapshots`` reclaims them."""
+        m = self.manifest()
+        version = m["version"] + 1
+        manifest = {
+            **m,
+            "version": version,
+            "snapshot_id": f"snap-{version:08d}-truncate",
+            "parent": m["snapshot_id"],
+            "operation": "truncate",
+            "files": [],
+            "ts": time.time(),
+        }
+        self._write_manifest(manifest, expected_parent_version=m["version"])
+        return CommitResult(manifest["snapshot_id"], version, applied=True)
 
     def merge(
         self,
@@ -606,16 +639,28 @@ class SnapshotTable:
                 )
         else:
             src = updates.withColumn("_bucket", bucket)
-            lineage_rows, bucket_ranges, batch_stats = self._batch_profile(src, key)
+            stats_src = (
+                stats_df.withColumn("_bucket", bucket) if stats_df is not None else src
+            )
+            lineage_rows, bucket_ranges, batch_stats = self._batch_profile(
+                stats_src, key
+            )
             carried = list(m["files"])
             est_rows = batch_stats["n_events"]
+            # _lsn must be derived BEFORE the conforming projection — it
+            # drops every non-payload column, including the lsn source
+            lsn_expr = (
+                F.col(lsn_col).cast("long")
+                if lsn_col in updates.columns
+                else F.lit(0).cast("long")
+            )
             result = (
-                conform_to_schema(src, payload_schema)
-                .withColumn(
-                    LSN_COL,
-                    F.col(lsn_col).cast("long")
-                    if lsn_col in updates.columns
-                    else F.lit(0).cast("long"),
+                conform_to_schema(
+                    src.withColumn(LSN_COL, lsn_expr),
+                    T.StructType(
+                        list(payload_schema.fields)
+                        + [T.StructField(LSN_COL, T.LongType(), True)]
+                    ),
                 )
                 .withColumn(DELETED_COL, F.lit(False))
                 .withColumn("_bucket", bucket)

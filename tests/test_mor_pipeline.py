@@ -1,0 +1,152 @@
+"""Merge-on-read pipeline: the append-then-compact group commit must be
+observationally identical to per-epoch COW merges — including between
+compactions, across replays, crash windows, and late events."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_hub_ejp_xml_pipeline_spark.generator import spark_changelog_from_pandas
+from data_hub_ejp_xml_pipeline_spark.oracle import (
+    assert_final_state_equal,
+    expected_final_state_pandas,
+)
+from data_hub_ejp_xml_pipeline_spark.plans.mor_pipeline import MorPipeline
+from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
+
+COLS = ["doc_id", "tokens", "n_tok", "source", "_lsn"]
+
+
+def _batches(changelog_pdf, n):
+    step = len(changelog_pdf) // n + 1
+    return [changelog_pdf.iloc[i * step : (i + 1) * step] for i in range(n)]
+
+
+def test_mor_matches_cow_and_oracle_at_every_epoch(spark, tmp_path, changelog_pdf):
+    """After EVERY epoch (staged or compacted) the MOR view equals the
+    direct COW pipeline on the same prefix — and the pandas oracle."""
+    mor = MorPipeline(spark, str(tmp_path / "mor"), n_buckets=8, k_compact=3)
+    cow = MergePipeline(spark, str(tmp_path / "cow"), n_buckets=8)
+    batches = _batches(changelog_pdf, 5)
+    seen = []
+    for i, pdf in enumerate(batches):
+        seen.append(pdf)
+        df = spark_changelog_from_pandas(spark, pdf)
+        mor.apply(df, batch_id=i)
+        cow.apply(spark_changelog_from_pandas(spark, pdf), batch_id=i)
+        prefix = pd.concat(seen, ignore_index=True)
+        a = mor.final_state().select(COLS).toPandas()
+        assert_final_state_equal(a, expected_final_state_pandas(prefix))
+        assert_final_state_equal(a, cow.final_state().select(COLS).toPandas())
+    # epochs 0-2 compacted, 3-4 staged: base lags, view does not
+    assert mor.base.manifest()["operation"].startswith("merge")
+    assert len(mor.delta.manifest()["files"]) > 0
+
+
+def test_mor_replayed_epoch_is_noop(spark, tmp_path, changelog_pdf):
+    mor = MorPipeline(spark, str(tmp_path / "t"), n_buckets=8, k_compact=10)
+    b0, b1 = _batches(changelog_pdf, 2)
+    mor.apply(spark_changelog_from_pandas(spark, b0), batch_id=0)
+    before = mor.final_state().select(COLS).toPandas()
+    replay = mor.apply(spark_changelog_from_pandas(spark, b0), batch_id=0)
+    assert not replay.applied
+    assert_final_state_equal(mor.final_state().select(COLS).toPandas(), before)
+    mor.apply(spark_changelog_from_pandas(spark, b1), batch_id=1)
+    assert_final_state_equal(
+        mor.final_state().select(COLS).toPandas(),
+        expected_final_state_pandas(changelog_pdf),
+    )
+
+
+def test_mor_crash_between_merge_and_truncate_is_idempotent(
+    spark, tmp_path, changelog_pdf
+):
+    """Simulate the crash window: compaction's base MERGE lands but the
+    delta truncate does not. The next compact must re-merge the same
+    staged set as a no-op (same batch id) and then truncate."""
+    mor = MorPipeline(spark, str(tmp_path / "t"), n_buckets=8, k_compact=100)
+    b0, b1 = _batches(changelog_pdf, 2)
+    mor.apply(spark_changelog_from_pandas(spark, b0), batch_id=0)
+    mor.apply(spark_changelog_from_pandas(spark, b1), batch_id=1)
+
+    real_truncate = mor.delta.truncate
+    mor.delta.truncate = lambda: (_ for _ in ()).throw(RuntimeError("crash"))
+    with pytest.raises(RuntimeError):
+        mor.compact()
+    base_v = mor.base.current_version()
+    expected = expected_final_state_pandas(changelog_pdf)
+    assert_final_state_equal(mor.final_state().select(COLS).toPandas(), expected)
+
+    # restart: truncate works again; recompact no-ops the base
+    mor.delta.truncate = real_truncate
+    res = mor.compact()
+    assert res is not None and not res.applied  # same compact_id → ledger no-op
+    assert mor.base.current_version() == base_v
+    assert mor.delta.manifest()["files"] == []
+    assert_final_state_equal(mor.final_state().select(COLS).toPandas(), expected)
+
+    # and a THIRD compact with nothing staged is a pure no-op
+    assert mor.compact() is None
+
+
+def test_mor_late_replay_after_compaction_cannot_resurrect(spark, tmp_path):
+    """A stale delta (lower LSN than what compaction already applied) must
+    lose the view's LWW reduce AND the eventual merge's guard."""
+    mor = MorPipeline(spark, str(tmp_path / "t"), n_buckets=4, k_compact=1)
+    mk = lambda lsn, op, toks: (f"k", toks, len(toks), "s", op, lsn)  # noqa: E731
+
+    def df(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "tokens", "n_tok", "source", "op", "lsn"])
+        )
+
+    mor.apply(df([mk(10, "U", [1, 2, 3])]), batch_id=0)  # k_compact=1 → compacted
+    assert mor.delta.manifest()["files"] == []
+    # late replay of an OLDER image arrives in the next epoch
+    mor2 = MorPipeline(spark, str(tmp_path / "t"), k_compact=100)
+    mor2.apply(df([mk(5, "U", [9])]), batch_id=1)
+    row = mor2.final_state().collect()
+    assert len(row) == 1 and row[0]["tokens"] == [1, 2, 3] and row[0]["_lsn"] == 10
+    mor2.compact()
+    row = mor2.final_state().collect()
+    assert len(row) == 1 and row[0]["tokens"] == [1, 2, 3]
+
+
+def test_mor_delete_between_compactions(spark, tmp_path):
+    mor = MorPipeline(spark, str(tmp_path / "t"), n_buckets=4, k_compact=2)
+
+    def df(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "tokens", "n_tok", "source", "op", "lsn"])
+        )
+
+    mor.apply(df([("a", [1], 1, "s", "U", 1), ("b", [2], 1, "s", "U", 2)]), batch_id=0)
+    mor.apply(df([("a", [], 0, "s", "D", 3)]), batch_id=1)  # triggers compact
+    rows = {r["doc_id"] for r in mor.final_state().collect()}
+    assert rows == {"b"}
+    # tombstone survives in the base so later low-LSN updates cannot revive
+    mor.apply(df([("a", [7], 1, "s", "U", 2)]), batch_id=2)
+    rows = {r["doc_id"] for r in mor.final_state().collect()}
+    assert rows == {"b"}
+
+
+def test_truncate_is_metadata_only_and_ledger_preserving(spark, tmp_path, changelog_df):
+    from data_hub_ejp_xml_pipeline_spark.schemas import TARGET_SCHEMA
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+    payload = T.StructType([f for f in TARGET_SCHEMA.fields if f.name != "_lsn"])
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), payload, n_buckets=4)
+    t.append(changelog_df.limit(100), batch_id=0)
+    v = t.current_version()
+    res = t.truncate()
+    assert res.applied and t.current_version() == v + 1
+    assert t.read().count() == 0
+    # replayed pre-truncate epoch still no-ops
+    replay = t.append(changelog_df.limit(100), batch_id=0)
+    assert not replay.applied and t.read().count() == 0
+    # time travel still sees the pre-truncate data
+    assert t.read(version=v).count() > 0
