@@ -38,14 +38,26 @@ class ChangelogTailer:
     def __init__(
         self,
         spark: SparkSession,
-        table: SnapshotTable,
+        table: SnapshotTable | None = None,
         reduce_strategy: str = "agg",
         n_salts: int = 16,
         metrics_path: str | None = None,
         fail_after_batches: int | None = None,  # test hook: simulated crash
         profile_mode: str = "pre",
+        pipeline=None,
     ):
+        """Pass EITHER ``table`` (per-epoch reduce + COW merge — the
+        default loop) OR ``pipeline`` — any object with
+        ``apply(batch_df, batch_id) -> CommitResult`` (e.g.
+        ``plans.mor_pipeline.MorPipeline`` for append-then-compact group
+        commit, or ``plans.pipeline.MergePipeline``); exactly-once then
+        rides THAT pipeline's ledger."""
+        if (table is None) == (pipeline is None):
+            raise ValueError("pass exactly one of table= or pipeline=")
         self.spark = spark
+        self.pipeline = pipeline
+        if table is None:
+            table = getattr(pipeline, "base", None) or pipeline.table
         self.table = table
         self.reduce_strategy = reduce_strategy
         self.n_salts = n_salts
@@ -65,19 +77,25 @@ class ChangelogTailer:
         self._batches_seen += 1
 
         t0 = time.time()
-        # reduce on the TABLE's key (from its manifest), not a hard-coded
-        # column: a table keyed on anything else would otherwise receive an
-        # un-reduced batch and fan out duplicate rows through the merge
-        reduced = reduce_latest(
-            batch_df,
-            key=self.table.manifest()["key"],
-            strategy=self.reduce_strategy,
-            n_salts=self.n_salts,
-        )
-        # batch stats (count, max event time) come back from the merge's own
-        # stats job — no extra persist/count/max actions per microbatch
-        result = self.table.merge(reduced, batch_id=batch_id, stats_df=batch_df,
-                                  profile_mode=self.profile_mode)
+        if self.pipeline is not None:
+            # injected pipeline owns its own reduce + exactly-once ledger
+            result = self.pipeline.apply(batch_df, batch_id=batch_id)
+        else:
+            # reduce on the TABLE's key (from its manifest), not a
+            # hard-coded column: a table keyed on anything else would
+            # otherwise receive an un-reduced batch and fan out duplicate
+            # rows through the merge
+            reduced = reduce_latest(
+                batch_df,
+                key=self.table.manifest()["key"],
+                strategy=self.reduce_strategy,
+                n_salts=self.n_salts,
+            )
+            # batch stats (count, max event time) come back from the
+            # merge's own stats job — no extra persist/count/max actions
+            # per microbatch
+            result = self.table.merge(reduced, batch_id=batch_id, stats_df=batch_df,
+                                      profile_mode=self.profile_mode)
         if result.n_events == 0 and not result.applied:
             return  # empty batch (or already-applied epoch) — reference F4
         elapsed = max(time.time() - t0, 1e-9)
