@@ -38,6 +38,7 @@ HEADLINE = [
     "lww_latest_event",
     "lww_salted",
     "cdc_engine_final_state",
+    "cdc_mor_final_state",
     "tpch_q1",
     "top_orders_by_revenue",
     "sessionize",

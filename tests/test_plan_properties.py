@@ -1,0 +1,68 @@
+"""Physical-plan pins: the properties PLANS.md documents as load-bearing
+must hold in the optimized plan, not just in prose — a regression here is
+a scale regression even when sf0.001 latency looks fine."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    from data_hub_ejp_xml_pipeline_spark.queries import QUERIES
+
+    return QUERIES
+
+
+def test_ann_brute_force_prefilters_before_exchange(spark, queries):
+    """The map-side pandas top-k must sit BELOW the window's exchange —
+    without it every scored candidate of a query funnels through one
+    reducer."""
+    import re
+
+    plan = _plan(queries["ann_brute_force"][0](spark, SF))
+    # formatted plans print the tree top-down, so "below" means a SMALLER
+    # operator id: the prefilter must have a lower id than the window
+    map_id = int(re.search(r"\((\d+)\) MapInPandas", plan).group(1))
+    win_id = int(re.search(r"\((\d+)\) Window\b", plan).group(1))
+    assert map_id < win_id, f"MapInPandas ({map_id}) must execute below Window ({win_id})"
+
+
+def test_incremental_dedup_broadcasts_batch_bands(spark, queries):
+    """The corpus-band join must be a broadcast hash join (batch side
+    built) — a shuffled corpus would move the whole state table per
+    epoch."""
+    plan = _plan(queries["dedup_incremental_minhash"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # and the corpus re-shingle is candidate-bounded via a semi join
+    assert "LeftSemi" in plan
+
+
+def test_lww_reduce_is_partial_aggregated(spark, queries):
+    """max_by must plan as a two-phase aggregate (partial before the
+    exchange) — that is what defuses hot keys at the map side."""
+    plan = _plan(queries["lww_latest_event"][0](spark, SF))
+    assert "partial_max_by" in plan
+
+
+def test_top_orders_avoids_global_sort(spark, queries):
+    plan = _plan(queries["top_orders_by_revenue"][0](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q1_pushes_filter_to_scan(spark, queries):
+    plan = _plan(queries["tpch_q1"][0](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "PushedFilters: [" in plan
+    assert "partial_" in plan  # partial aggregation before the exchange
