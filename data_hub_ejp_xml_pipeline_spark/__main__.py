@@ -1,0 +1,164 @@
+"""Operational CLI — the engine's answer to the reference's Airflow DAG
+entry points (``dags/s3_xml_import_pipeline.py`` tasks: poll/ETL/load,
+plus its maintenance chores), as subcommands over the library surface:
+
+    python -m data_hub_ejp_xml_pipeline_spark tail --changelog DIR \
+        --table ROOT --checkpoint DIR [--mor --k-compact 8] \
+        [--processing-time "30 seconds"] [--profile-mode fused]
+    python -m data_hub_ejp_xml_pipeline_spark apply --changelog PATH \
+        --table ROOT --batch-id N
+    python -m data_hub_ejp_xml_pipeline_spark compact --table ROOT [--mor]
+    python -m data_hub_ejp_xml_pipeline_spark expire --table ROOT --keep-last N
+    python -m data_hub_ejp_xml_pipeline_spark vacuum --table ROOT --older-than-lsn N
+    python -m data_hub_ejp_xml_pipeline_spark show --table ROOT
+
+Each command prints ONE JSON line (machine-scrapeable, like bench.py).
+``main(argv, spark=...)`` is injectable for tests; standalone invocation
+builds a session from the usual env knobs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="data_hub_ejp_xml_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def table_arg(sp):
+        sp.add_argument("--table", required=True, help="snapshot-table root (or MOR root)")
+
+    t = sub.add_parser("tail", help="stream a changelog directory into a table")
+    t.add_argument("--changelog", required=True)
+    table_arg(t)
+    t.add_argument("--checkpoint", required=True)
+    t.add_argument("--processing-time", default=None,
+                   help="tail continuously at this trigger; default drains once")
+    t.add_argument("--max-files-per-trigger", type=int, default=None)
+    t.add_argument("--n-buckets", type=int, default=16)
+    t.add_argument("--profile-mode", choices=("pre", "fused"), default="pre")
+    t.add_argument("--mor", action="store_true", help="merge-on-read group commit")
+    t.add_argument("--k-compact", type=int, default=8)
+
+    a = sub.add_parser("apply", help="apply one changelog batch (batch mode)")
+    a.add_argument("--changelog", required=True)
+    table_arg(a)
+    a.add_argument("--batch-id", type=int, default=None)
+    a.add_argument("--n-buckets", type=int, default=16)
+    a.add_argument("--profile-mode", choices=("pre", "fused"), default="pre")
+
+    c = sub.add_parser("compact", help="compact data files (or fold MOR deltas)")
+    table_arg(c)
+    c.add_argument("--mor", action="store_true")
+
+    e = sub.add_parser("expire", help="expire old snapshots + sweep orphans")
+    table_arg(e)
+    e.add_argument("--keep-last", type=int, default=2)
+
+    v = sub.add_parser("vacuum", help="drop tombstones older than an LSN")
+    table_arg(v)
+    v.add_argument("--older-than-lsn", type=int, required=True)
+
+    s = sub.add_parser("show", help="table version/schema/files summary")
+    table_arg(s)
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> dict:
+    from data_hub_ejp_xml_pipeline_spark.session import get_spark
+    from data_hub_ejp_xml_pipeline_spark.table.snapshot_table import SnapshotTable
+
+    args = _build_parser().parse_args(argv)
+    spark = spark or get_spark(app_name=f"cli-{args.cmd}")
+    out: dict
+
+    if args.cmd == "tail":
+        from data_hub_ejp_xml_pipeline_spark.plans.mor_pipeline import MorPipeline
+        from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
+        from data_hub_ejp_xml_pipeline_spark.streaming.tailer import ChangelogTailer
+
+        if args.mor:
+            pipe = MorPipeline(spark, args.table, n_buckets=args.n_buckets,
+                               k_compact=args.k_compact,
+                               profile_mode=args.profile_mode)
+        else:
+            pipe = MergePipeline(spark, args.table, n_buckets=args.n_buckets,
+                                 profile_mode=args.profile_mode)
+        tailer = ChangelogTailer(spark, pipeline=pipe)
+        q = tailer.start(
+            args.changelog,
+            args.checkpoint,
+            available_now=args.processing_time is None,
+            processing_time=args.processing_time,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        q.awaitTermination()
+        if args.mor:
+            pipe.compact()
+        out = {
+            "cmd": "tail",
+            "epochs": len(tailer.metrics),
+            "events": sum(m["events_applied"] for m in tailer.metrics),
+            "final_rows": pipe.final_state().count(),
+        }
+
+    elif args.cmd == "apply":
+        from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
+
+        pipe = MergePipeline(spark, args.table, n_buckets=args.n_buckets,
+                             profile_mode=args.profile_mode)
+        res = pipe.apply(spark.read.parquet(args.changelog), batch_id=args.batch_id)
+        out = {"cmd": "apply", "applied": res.applied, "snapshot_id": res.snapshot_id,
+               "version": res.version, "n_events": res.n_events,
+               "rows_written": res.rows_written}
+
+    elif args.cmd == "compact":
+        if args.mor:
+            from data_hub_ejp_xml_pipeline_spark.plans.mor_pipeline import MorPipeline
+
+            pipe = MorPipeline(spark, args.table)
+            res = pipe.compact()
+            out = {"cmd": "compact", "mor": True,
+                   "applied": bool(res and res.applied),
+                   "snapshot_id": res.snapshot_id if res else None}
+        else:
+            table = SnapshotTable(spark, args.table)
+            res = table.compact_files()
+            out = {"cmd": "compact", "mor": False, "applied": res.applied,
+                   "snapshot_id": res.snapshot_id}
+
+    elif args.cmd == "expire":
+        table = SnapshotTable(spark, args.table)
+        out = {"cmd": "expire", **table.expire_snapshots(keep_last=args.keep_last)}
+
+    elif args.cmd == "vacuum":
+        table = SnapshotTable(spark, args.table)
+        res = table.vacuum_tombstones(older_than_lsn=args.older_than_lsn)
+        out = {"cmd": "vacuum", "applied": res.applied, "snapshot_id": res.snapshot_id}
+
+    else:  # show
+        table = SnapshotTable(spark, args.table)
+        m = table.manifest()
+        out = {
+            "cmd": "show",
+            "version": m["version"],
+            "snapshot_id": m["snapshot_id"],
+            "operation": m["operation"],
+            "key": m["key"],
+            "n_buckets": m["n_buckets"],
+            "n_files": len(m["files"]),
+            "rows": sum(f["rows"] for f in m["files"]),
+            "columns": [f["name"] for f in m["schema"]["fields"]],
+            "ledger_entries": len(m["ledger"]),
+            "snapshots": len(table.snapshots()),
+        }
+
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

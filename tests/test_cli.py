@@ -1,0 +1,66 @@
+"""CLI surface: each subcommand drives the real library in-process and
+prints one JSON line (the reference's Airflow-task operational surface)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_hub_ejp_xml_pipeline_spark.__main__ import main
+from data_hub_ejp_xml_pipeline_spark.generator import write_changelog_files
+from data_hub_ejp_xml_pipeline_spark.oracle import expected_final_state_pandas
+
+
+@pytest.fixture()
+def changelog_dir(tmp_path, changelog_pdf):
+    d = str(tmp_path / "changelog")
+    write_changelog_files(changelog_pdf, d, 4)
+    return d
+
+
+def test_cli_tail_apply_show_expire(spark, tmp_path, changelog_dir, changelog_pdf):
+    root = str(tmp_path / "tbl")
+    out = main(
+        ["tail", "--changelog", changelog_dir, "--table", root,
+         "--checkpoint", str(tmp_path / "ckpt"), "--max-files-per-trigger", "2",
+         "--n-buckets", "8", "--profile-mode", "fused"],
+        spark=spark,
+    )
+    expected = expected_final_state_pandas(changelog_pdf)
+    assert out["final_rows"] == len(expected)
+    assert out["epochs"] >= 2
+
+    show = main(["show", "--table", root], spark=spark)
+    assert show["rows"] >= len(expected) and show["key"] == "doc_id"
+
+    exp = main(["expire", "--table", root, "--keep-last", "1"], spark=spark)
+    assert exp["cmd"] == "expire"
+
+
+def test_cli_mor_tail_and_compact(spark, tmp_path, changelog_dir, changelog_pdf):
+    root = str(tmp_path / "mor")
+    out = main(
+        ["tail", "--changelog", changelog_dir, "--table", root,
+         "--checkpoint", str(tmp_path / "ckpt"), "--mor", "--k-compact", "3",
+         "--n-buckets", "8"],
+        spark=spark,
+    )
+    assert out["final_rows"] == len(expected_final_state_pandas(changelog_pdf))
+    # tail --mor ends with a compact; a second compact is a clean no-op
+    c = main(["compact", "--table", root, "--mor"], spark=spark)
+    assert c["applied"] is False
+
+
+def test_cli_apply_batch(spark, tmp_path, changelog_dir, changelog_pdf):
+    import os
+
+    first = sorted(
+        os.path.join(changelog_dir, f)
+        for f in os.listdir(changelog_dir)
+        if f.endswith(".parquet")
+    )[0]
+    out = main(
+        ["apply", "--changelog", first, "--table", str(tmp_path / "t"),
+         "--batch-id", "0", "--n-buckets", "4"],
+        spark=spark,
+    )
+    assert out["applied"] and out["n_events"] > 0
