@@ -114,6 +114,17 @@ def add_columns_sql(identifier: str, new_fields: list[T.StructField]) -> str:
     return f"ALTER TABLE {identifier} ADD COLUMNS ({cols})"
 
 
+def widen_column_sql(identifier: str, field: T.StructField) -> str:
+    """Lossless scalar widening (int→bigint, float→double) — one of the
+    type changes Iceberg's evolution spec permits because old data files
+    need no rewrite (readers promote at scan time). The local table does
+    the same through ``schema_evolution._widened``."""
+    return (
+        f"ALTER TABLE {identifier} ALTER COLUMN {field.name} "
+        f"TYPE {field.dataType.simpleString()}"
+    )
+
+
 def vacuum_sql(identifier: str, older_than_lsn: int) -> str:
     """Physical tombstone removal once the stream has provably passed the
     watermark (no event with lsn <= watermark can still arrive)."""
@@ -208,10 +219,24 @@ class IcebergSnapshotTable:
         df.writeTo(self.identifier).append()
 
     def add_columns(self, new_schema: T.StructType) -> None:
-        existing = {f.name.lower() for f in self.read(include_tombstones=True).schema.fields}
+        from data_hub_ejp_xml_pipeline_spark.table.schema_evolution import _widened
+
+        existing = {
+            f.name.lower(): f
+            for f in self.read(include_tombstones=True).schema.fields
+        }
         new_fields = [f for f in new_schema.fields if f.name.lower() not in existing]
         if new_fields:
             self.spark.sql(add_columns_sql(self.identifier, new_fields))
+        for f in new_schema.fields:
+            ex = existing.get(f.name.lower())
+            if ex is None:
+                continue
+            wide = _widened(ex.dataType, f.dataType)
+            if wide is not None:
+                self.spark.sql(
+                    widen_column_sql(self.identifier, T.StructField(ex.name, wide))
+                )
 
     def merge(
         self,

@@ -8,6 +8,14 @@ Reproduces the semantics of the reference's ``get_new_merged_schema``
   existing one are appended (as nullable);
 * **existing-wins** — on a name collision the existing field definition
   (type, casing) is kept; incoming data is cast to it;
+* **safe widening** (beyond the reference, per the Iceberg evolution
+  rules the north rule mandates) — when the incoming scalar type is a
+  LOSSLESS widening of the existing one (byte→short→int→long,
+  float→double) the merged column WIDENS instead of narrowing the
+  incoming data: a cast down would overflow under ANSI. Old parquet
+  files stay valid — Spark 4's parquet readers promote int32→int64 /
+  float→double at read time (verified by tests), so widening is a
+  metadata-only change, exactly as in Iceberg;
 * **recursive** — struct fields merge field-by-field, nested arbitrarily,
   INCLUDING structs inside arrays (the reference's RECORD fields merge
   regardless of REPEATED mode);
@@ -45,10 +53,29 @@ def merge_schemas(existing: T.StructType, incoming: T.StructType) -> T.StructTyp
     return T.StructType(out)
 
 
+# lossless scalar widening lattices (the Iceberg-permitted type changes
+# that parquet readers can promote at scan time)
+_WIDENING_CHAINS: list[tuple[T.DataType, ...]] = [
+    (T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()),
+    (T.FloatType(), T.DoubleType()),
+]
+
+
+def _widened(existing: T.DataType, incoming: T.DataType) -> T.DataType | None:
+    """The wider of two scalars when both sit on one widening chain and
+    the incoming one is strictly wider; None otherwise."""
+    for chain in _WIDENING_CHAINS:
+        if existing in chain and incoming in chain:
+            wide = chain[max(chain.index(existing), chain.index(incoming))]
+            return wide if wide != existing else None
+    return None
+
+
 def _merge_types(existing: T.DataType, incoming: T.DataType) -> T.DataType:
     """Existing-wins type merge that recurses through structs AND array
     element structs (new nested fields must not be silently dropped just
-    because they sit inside array<struct>)."""
+    because they sit inside array<struct>), widening scalars when the
+    incoming type is strictly wider on a lossless chain."""
     if isinstance(existing, T.StructType) and isinstance(incoming, T.StructType):
         return merge_schemas(existing, incoming)
     if isinstance(existing, T.ArrayType) and isinstance(incoming, T.ArrayType):
@@ -56,6 +83,9 @@ def _merge_types(existing: T.DataType, incoming: T.DataType) -> T.DataType:
             _merge_types(existing.elementType, incoming.elementType),
             existing.containsNull,
         )
+    wide = _widened(existing, incoming)
+    if wide is not None:
+        return wide
     return existing  # scalar or shape mismatch: existing wins wholesale
 
 

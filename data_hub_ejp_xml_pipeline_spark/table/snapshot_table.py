@@ -531,7 +531,9 @@ class SnapshotTable:
             [f for f in updates.schema.fields if f.name not in _NON_PAYLOAD]
         )
         merged_schema = merge_schemas(existing_schema, incoming_payload)
-        schema_evolved = len(merged_schema.fields) != len(existing_schema.fields)
+        # value equality, not field count: nested additions and scalar
+        # widening evolve the schema without changing the top-level arity
+        schema_evolved = merged_schema != existing_schema
 
         version = m["version"] + 1
         snapshot_id = f"snap-{version:08d}-b{batch_id if batch_id is not None else 'x'}"

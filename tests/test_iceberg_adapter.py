@@ -70,3 +70,14 @@ def test_read_rejects_version_and_snapshot_id_together():
     t = object.__new__(ia.IcebergSnapshotTable)  # skip the runtime gate
     with pytest.raises(ValueError, match="not both"):
         t.read(version=1, snapshot_id=123)
+
+
+def test_widen_column_sql_golden():
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.table.iceberg_adapter import widen_column_sql
+
+    sql = widen_column_sql("cat.db.docs", T.StructField("n_val", T.LongType()))
+    assert sql == "ALTER TABLE cat.db.docs ALTER COLUMN n_val TYPE bigint"
+    sql = widen_column_sql("cat.db.docs", T.StructField("score", T.DoubleType()))
+    assert sql == "ALTER TABLE cat.db.docs ALTER COLUMN score TYPE double"

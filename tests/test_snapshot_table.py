@@ -176,14 +176,16 @@ def test_schema_evolution_add_column(spark, tmp_path, changelog_pdf):
     b2_df = spark_changelog_from_pandas(spark, b2).withColumn(
         "lang", F.when(F.col("op") != "D", F.lit("en"))
     )
-    # widened lsn-ish payload column: incoming n_tok as bigint — existing int wins
+    # incoming n_tok arrives as bigint: the column WIDENS (Iceberg rule —
+    # casting the incoming data down to int would overflow under ANSI);
+    # pre-widening int32 files keep reading via parquet type promotion
     b2_df = b2_df.withColumn("n_tok", F.col("n_tok").cast("bigint"))
     table.merge(reduce_latest(b2_df), batch_id=1)
 
     schema = table.schema()
     names = [f.name for f in schema.fields]
     assert "lang" in names
-    assert dict((f.name, f.dataType.simpleString()) for f in schema.fields)["n_tok"] == "int"
+    assert dict((f.name, f.dataType.simpleString()) for f in schema.fields)["n_tok"] == "bigint"
 
     final = table.read()
     # a key's lang is set iff its winning (doc_id, lsn) was first applied from
@@ -413,3 +415,75 @@ def test_timestamp_key_commit_survives_json_manifest(spark, tmp_path):
         assert f.get("key_min") is None or isinstance(
             f["key_min"], (str, int, float)
         )
+
+
+def test_scalar_widening_evolution_end_to_end(spark, tmp_path):
+    """North-rule 'widened columns': a batch whose n_val arrives as LONG
+    against an INT table column widens the table (Iceberg-style) instead
+    of casting the incoming data down — values past 2^31 survive, and the
+    OLD int32 parquet files read correctly under the widened schema."""
+    import pandas as pd
+
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("n_val", T.IntegerType()),
+            T.StructField("score", T.FloatType()),
+        ]
+    )
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), payload, n_buckets=4)
+
+    def batch(rows, n_type, s_type):
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.StringType()),
+                T.StructField("n_val", n_type),
+                T.StructField("score", s_type),
+                T.StructField("op", T.StringType()),
+                T.StructField("lsn", T.LongType()),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+
+    table.merge(batch([("a", 1, 1.5, "U", 1)], T.IntegerType(), T.FloatType()), batch_id=0)
+    big = 3_000_000_000  # > 2^31: impossible to store in the old int column
+    res = table.merge(
+        batch([("b", big, 2.5, "U", 2)], T.LongType(), T.DoubleType()), batch_id=1
+    )
+    assert "+evolve" in table.manifest()["operation"]
+    got = {r["doc_id"]: (r["n_val"], r["score"]) for r in table.read().collect()}
+    assert got["b"][0] == big
+    assert got["a"][0] == 1  # old int32 file read through the widened schema
+    types = {f.name: f.dataType for f in table.schema().fields}
+    assert types["n_val"] == T.LongType() and types["score"] == T.DoubleType()
+
+    # narrowing stays existing-wins: ints arriving at the (now-long) column
+    table.merge(batch([("c", 7, 1.0, "U", 3)], T.IntegerType(), T.FloatType()), batch_id=2)
+    assert {f.name: f.dataType for f in table.schema().fields}["n_val"] == T.LongType()
+    assert table.read().filter("doc_id = 'c'").first()["n_val"] == 7
+
+    # incompatible types never widen (string vs long → existing wins)
+    from data_hub_ejp_xml_pipeline_spark.table.schema_evolution import merge_schemas
+
+    m = merge_schemas(
+        T.StructType([T.StructField("x", T.LongType())]),
+        T.StructType([T.StructField("x", T.StringType())]),
+    )
+    assert m["x"].dataType == T.LongType()
+
+
+def test_nested_widening_inside_array_struct(spark, tmp_path):
+    from data_hub_ejp_xml_pipeline_spark.table.schema_evolution import merge_schemas
+
+    existing = T.StructType(
+        [T.StructField("items", T.ArrayType(T.StructType(
+            [T.StructField("qty", T.IntegerType())])))]
+    )
+    incoming = T.StructType(
+        [T.StructField("items", T.ArrayType(T.StructType(
+            [T.StructField("qty", T.LongType()), T.StructField("tag", T.StringType())])))]
+    )
+    merged = merge_schemas(existing, incoming)
+    el = merged["items"].dataType.elementType
+    assert el["qty"].dataType == T.LongType()
+    assert [f.name for f in el.fields] == ["qty", "tag"]
