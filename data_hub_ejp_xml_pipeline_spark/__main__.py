@@ -39,6 +39,9 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="tail continuously at this trigger; default drains once")
     t.add_argument("--max-files-per-trigger", type=int, default=None)
     t.add_argument("--n-buckets", type=int, default=16)
+    t.add_argument("--key", default="doc_id",
+                   help="key column when CREATING the table; an existing "
+                        "table's manifest key always wins")
     t.add_argument("--profile-mode", choices=("pre", "fused"), default="pre")
     t.add_argument("--mor", action="store_true", help="merge-on-read group commit")
     t.add_argument("--k-compact", type=int, default=8)
@@ -48,6 +51,9 @@ def _build_parser() -> argparse.ArgumentParser:
     table_arg(a)
     a.add_argument("--batch-id", type=int, default=None)
     a.add_argument("--n-buckets", type=int, default=16)
+    a.add_argument("--key", default="doc_id",
+                   help="key column when CREATING the table; an existing "
+                        "table's manifest key always wins")
     a.add_argument("--profile-mode", choices=("pre", "fused"), default="pre")
 
     c = sub.add_parser("compact", help="compact data files (or fold MOR deltas)")
@@ -81,11 +87,13 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         from data_hub_ejp_xml_pipeline_spark.streaming.tailer import ChangelogTailer
 
         if args.mor:
-            pipe = MorPipeline(spark, args.table, n_buckets=args.n_buckets,
+            pipe = MorPipeline(spark, args.table, key=args.key,
+                               n_buckets=args.n_buckets,
                                k_compact=args.k_compact,
                                profile_mode=args.profile_mode)
         else:
-            pipe = MergePipeline(spark, args.table, n_buckets=args.n_buckets,
+            pipe = MergePipeline(spark, args.table, key=args.key,
+                                 n_buckets=args.n_buckets,
                                  profile_mode=args.profile_mode)
         tailer = ChangelogTailer(spark, pipeline=pipe)
         q = tailer.start(
@@ -108,7 +116,8 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     elif args.cmd == "apply":
         from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
 
-        pipe = MergePipeline(spark, args.table, n_buckets=args.n_buckets,
+        pipe = MergePipeline(spark, args.table, key=args.key,
+                             n_buckets=args.n_buckets,
                              profile_mode=args.profile_mode)
         res = pipe.apply(spark.read.parquet(args.changelog), batch_id=args.batch_id)
         out = {"cmd": "apply", "applied": res.applied, "snapshot_id": res.snapshot_id,

@@ -291,7 +291,14 @@ def incremental_minhash_flags(
     join — ONE map-side scan of the (bucketed) corpus state, no corpus
     shuffle; the verify re-shingles only candidate docs (semi-join pushdown
     into the corpus scan). Batch-vs-batch candidates use the banded join,
-    never all-pairs."""
+    never all-pairs.
+
+    The batch shingle table is persisted for the session (it feeds band
+    generation AND the verify; the returned DataFrame stays lazy over it,
+    so it cannot be unpersisted here — same deliberate trade as
+    ``jaccard_pairs``). Long-running ingest loops calling this per epoch
+    should ``spark.catalog.clearCache()`` between epochs, or rely on
+    Spark's LRU eviction of storage memory."""
     sh_new = shingle_table(new_docs, id_col, text_col, k).persist()
     bands_new = minhash_bands(sh_new, n_hashes, band_size)
 

@@ -77,6 +77,8 @@ class MorPipeline:
         if SnapshotTable.exists(root + "/base"):
             self.base = SnapshotTable(spark, root + "/base")
             self.delta = SnapshotTable(spark, root + "/delta")
+            # existing tables own their key (see MergePipeline)
+            self.key = key = self.base.manifest()["key"]
         else:
             self.base = SnapshotTable.create(
                 spark, root + "/base", payload_schema, key=key, n_buckets=n_buckets
@@ -89,7 +91,19 @@ class MorPipeline:
     # ------------------------------------------------------------- ingest
     def apply(self, changelog: DataFrame, batch_id: int | None = None) -> CommitResult:
         """Durable per-epoch step: reduce + APPEND to the delta table.
-        Exactly-once rides the delta ledger; no base-table I/O."""
+        Exactly-once rides the delta ledger; no base-table I/O.
+
+        ``batch_id`` is REQUIRED (monotone per checkpoint, like merge):
+        compaction derives its exactly-once id from the highest staged
+        epoch id, so an id-less append would either crash the compactor
+        (empty ledger) or — worse — stage rows under a STALE max id, making
+        the base merge no-op as a replay while the truncate still discards
+        them."""
+        if batch_id is None:
+            raise ValueError(
+                "MorPipeline.apply requires a monotone batch_id — compaction's "
+                "exactly-once id is derived from the staged epoch ids"
+            )
         reduced = reduce_latest(
             changelog, key=self.key, strategy=self.reduce_strategy
         )
@@ -134,18 +148,23 @@ class MorPipeline:
         """Merge-on-read view: base ∪ staged deltas as one changelog,
         LWW-reduced — correct between compactions, identical to the base
         after one. Read amplification is the staged-delta scan; that is
-        the MOR trade and why ``k_compact`` bounds it."""
-        base = self.base.read(include_tombstones=True).select(
-            *self._payload_cols,
-            F.col(LSN_COL),
+        the MOR trade and why ``k_compact`` bounds it.
+
+        Columns come from the LIVE table schemas, not the constructor's
+        payload: a column added (or widened) by schema evolution during
+        staged epochs is visible in the view immediately —
+        ``unionByName(allowMissingColumns=True)`` nulls it on whichever
+        side hasn't evolved yet, exactly like the table's own
+        explicit-schema reads of old files."""
+        base = self.base.read(include_tombstones=True).withColumn(
+            "op",
             F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("D"))
-            .otherwise(F.lit("U"))
-            .alias("op"),
-        )
-        delta = self.delta.read().select(
-            *self._payload_cols, F.col(LSN_COL), F.col("op")
-        )
+            .otherwise(F.lit("U")),
+        ).drop(DELETED_COL)
+        delta = self.delta.read()
         latest = reduce_latest(
-            base.unionByName(delta), key=self.key, lsn_col=LSN_COL
+            base.unionByName(delta, allowMissingColumns=True),
+            key=self.key,
+            lsn_col=LSN_COL,
         )
         return latest.filter(F.col("op") != "D").drop("op")

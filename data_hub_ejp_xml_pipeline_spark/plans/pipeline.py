@@ -37,6 +37,10 @@ class MergePipeline:
         self.spark = spark
         if SnapshotTable.exists(table_root):
             self.table = SnapshotTable(spark, table_root)
+            # the TABLE's manifest key is authoritative for an existing
+            # table — reducing on any other column would hand the merge an
+            # un-reduced batch and fan out duplicate rows per key
+            key = self.table.manifest()["key"]
         else:
             self.table = SnapshotTable.create(
                 spark, table_root, payload_schema, key=key, n_buckets=n_buckets,

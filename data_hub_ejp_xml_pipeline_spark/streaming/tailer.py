@@ -51,13 +51,25 @@ class ChangelogTailer:
         ``apply(batch_df, batch_id) -> CommitResult`` (e.g.
         ``plans.mor_pipeline.MorPipeline`` for append-then-compact group
         commit, or ``plans.pipeline.MergePipeline``); exactly-once then
-        rides THAT pipeline's ledger."""
+        rides THAT pipeline's ledger. On the pipeline path the tailer's
+        ``reduce_strategy``/``n_salts``/``profile_mode`` knobs are NOT
+        consulted — the injected pipeline owns its reduce and merge
+        configuration. A duck-typed pipeline without a ``base``/``table``
+        attribute works too, but must then provide ``metrics_path``
+        (there is no table root to derive it from)."""
         if (table is None) == (pipeline is None):
             raise ValueError("pass exactly one of table= or pipeline=")
         self.spark = spark
         self.pipeline = pipeline
         if table is None:
-            table = getattr(pipeline, "base", None) or pipeline.table
+            table = getattr(pipeline, "base", None) or getattr(
+                pipeline, "table", None
+            )
+            if table is None and metrics_path is None:
+                raise ValueError(
+                    "pipeline has no base/table attribute to derive "
+                    "metrics_path from — pass metrics_path= explicitly"
+                )
         self.table = table
         self.reduce_strategy = reduce_strategy
         self.n_salts = n_salts
@@ -65,7 +77,9 @@ class ChangelogTailer:
         # right for a key-diffuse high-throughput tail; see
         # SnapshotTable.merge
         self.profile_mode = profile_mode
-        self.metrics_path = metrics_path or os.path.join(table.root, "metrics.jsonl")
+        self.metrics_path = metrics_path or os.path.join(
+            self.table.root, "metrics.jsonl"
+        )
         self.metrics: list[dict[str, Any]] = []
         self._fail_after = fail_after_batches
         self._batches_seen = 0

@@ -382,7 +382,19 @@ class SnapshotTable:
         m = self.manifest()
         n = m["n_buckets"]
         fn = m.get("bucket_hash", "xxhash64")
-        hashed = F.hash(F.col(key)) if fn == "murmur3" else F.xxhash64(F.col(key))
+        # hash in the TABLE's key type, not the batch's: murmur3/xxhash64
+        # hash int and long values differently, so a batch whose key
+        # arrives wider (long 42 vs int 42) would otherwise compute a
+        # different bucket than the files holding that key — pruning then
+        # misses the existing row and the merge phantom-inserts a
+        # duplicate. The ANSI cast fails loudly on genuine overflow,
+        # which is the correct outcome (the key column never widens —
+        # see _commit).
+        key_field = _find_field(T.StructType.fromJson(m["schema"]), key)
+        kcol = F.col(key)
+        if key_field is not None:
+            kcol = kcol.cast(key_field.dataType)
+        hashed = F.hash(kcol) if fn == "murmur3" else F.xxhash64(kcol)
         return F.pmod(hashed, F.lit(n)).cast("int")
 
     def add_columns(self, new_schema: T.StructType) -> CommitResult:
@@ -531,6 +543,25 @@ class SnapshotTable:
             [f for f in updates.schema.fields if f.name not in _NON_PAYLOAD]
         )
         merged_schema = merge_schemas(existing_schema, incoming_payload)
+        # the KEY column must NEVER widen: murmur3/xxhash64 hash int and
+        # long values differently, so a widened key re-buckets every
+        # existing row — old files keep old-hash bucket labels, pruning
+        # misses them, and updates turn into phantom duplicate inserts.
+        # Incoming keys are cast to the existing type instead (ANSI cast
+        # fails loudly on genuine overflow, which is the right outcome).
+        existing_key = _find_field(existing_schema, key)
+        merged_key = _find_field(merged_schema, key)
+        if (
+            existing_key is not None
+            and merged_key is not None
+            and merged_key.dataType != existing_key.dataType
+        ):
+            merged_schema = T.StructType(
+                [
+                    existing_key if f.name.lower() == key.lower() else f
+                    for f in merged_schema.fields
+                ]
+            )
         # value equality, not field count: nested additions and scalar
         # widening evolve the schema without changing the top-level arity
         schema_evolved = merged_schema != existing_schema
@@ -647,6 +678,13 @@ class SnapshotTable:
             lineage_rows, bucket_ranges, batch_stats = self._batch_profile(
                 stats_src, key
             )
+            if batch_stats["n_events"] == 0:
+                # same reference-F4 no-op as the merge branch: an empty
+                # epoch must not mint a snapshot, advance the ledger, or
+                # count toward a MOR compaction trigger
+                return CommitResult(
+                    m["snapshot_id"], m["version"], applied=False, n_events=0
+                )
             carried = list(m["files"])
             est_rows = batch_stats["n_events"]
             # _lsn must be derived BEFORE the conforming projection — it

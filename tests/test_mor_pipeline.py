@@ -150,3 +150,122 @@ def test_truncate_is_metadata_only_and_ledger_preserving(spark, tmp_path, change
     assert not replay.applied and t.read().count() == 0
     # time travel still sees the pre-truncate data
     assert t.read(version=v).count() > 0
+
+
+def test_mor_apply_requires_batch_id(spark, tmp_path, changelog_df):
+    mor = MorPipeline(spark, str(tmp_path / "t"), n_buckets=4)
+    with pytest.raises(ValueError, match="batch_id"):
+        mor.apply(changelog_df.limit(10))
+
+
+def test_mor_empty_epoch_is_noop_and_does_not_trigger_compaction(
+    spark, tmp_path, changelog_pdf
+):
+    """Reference F4 on the append path: an empty epoch mints no delta
+    snapshot, no ledger entry, and no compaction-counter tick."""
+    mor = MorPipeline(spark, str(tmp_path / "t"), n_buckets=4, k_compact=2)
+    mor.apply(
+        spark_changelog_from_pandas(spark, changelog_pdf.iloc[:200]), batch_id=0
+    )
+    v = mor.delta.current_version()
+    res = mor.apply(spark_changelog_from_pandas(spark, changelog_pdf.iloc[0:0]),
+                    batch_id=1)
+    assert not res.applied and res.n_events == 0
+    assert mor.delta.current_version() == v
+    assert len(mor.delta.manifest()["files"]) > 0  # still staged, not compacted
+
+
+def test_mor_view_shows_column_added_in_staged_epoch(spark, tmp_path):
+    """Schema evolution during STAGED epochs is visible in the merge-view
+    before any compaction folds it into the base."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    mor = MorPipeline(spark, str(tmp_path / "t"), n_buckets=4, k_compact=100)
+
+    def df(rows, extra=False):
+        cols = ["doc_id", "tokens", "n_tok", "source", "op", "lsn"]
+        out = spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+        return out.withColumn("lang", F.lit("en")) if extra else out
+
+    mor.apply(df([("a", [1], 1, "s", "U", 1)]), batch_id=0)
+    mor.apply(df([("b", [2], 1, "s", "U", 2)], extra=True), batch_id=1)
+    view = mor.final_state()
+    assert "lang" in view.columns
+    got = {r["doc_id"]: r["lang"] for r in view.collect()}
+    assert got == {"a": None, "b": "en"}
+    # and after compaction the base agrees with the view
+    mor.compact()
+    base_got = {r["doc_id"]: r["lang"] for r in mor.final_state().collect()}
+    assert base_got == got
+
+
+def test_pipelines_adopt_existing_table_key(spark, tmp_path):
+    """Re-opening a table keyed on something other than doc_id must reduce
+    on the MANIFEST key, not the constructor default — otherwise the merge
+    receives un-reduced batches and fans out duplicates."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
+
+    payload = T.StructType(
+        [T.StructField("entity_id", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    root = str(tmp_path / "t")
+    p1 = MergePipeline(spark, root, key="entity_id", payload_schema=payload,
+                       n_buckets=4)
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {"entity_id": ["x", "x"], "v": [1, 2], "op": ["U", "U"], "lsn": [1, 2]}
+        )
+    )
+    p1.apply(batch, batch_id=0)
+    # reopen WITHOUT passing the key: manifest key must win over "doc_id"
+    p2 = MergePipeline(spark, root, n_buckets=4, payload_schema=payload)
+    assert p2.key == "entity_id"
+    p2.apply(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"entity_id": ["x", "y"], "v": [3, 9], "op": ["U", "U"],
+                 "lsn": [3, 4]}
+            )
+        ),
+        batch_id=1,
+    )
+    rows = {r["entity_id"]: r["v"] for r in p2.final_state().collect()}
+    assert rows == {"x": 3, "y": 9}  # one row per key — no fan-out
+
+
+def test_key_column_never_widens(spark, tmp_path):
+    """A batch whose KEY arrives wider (long vs int) must NOT widen the
+    key column — bucket hashes differ between int and long, so widening
+    would strand existing rows in stale-hash buckets. Incoming keys cast
+    to the existing type; the payload still widens normally."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+    payload = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.IntegerType())]
+    )
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), payload, key="k",
+                                 n_buckets=4)
+
+    def batch(rows, ktype, vtype):
+        schema = T.StructType(
+            [T.StructField("k", ktype), T.StructField("v", vtype),
+             T.StructField("op", T.StringType()), T.StructField("lsn", T.LongType())]
+        )
+        return spark.createDataFrame(rows, schema)
+
+    table.merge(batch([(42, 1, "U", 1)], T.IntegerType(), T.IntegerType()), batch_id=0)
+    table.merge(batch([(42, 3_000_000_000, "U", 2)], T.LongType(), T.LongType()),
+                batch_id=1)
+    types = {f.name: f.dataType for f in table.schema().fields}
+    assert types["k"] == T.IntegerType()  # key pinned
+    assert types["v"] == T.LongType()  # payload widened
+    rows = table.read().collect()
+    assert len(rows) == 1  # the update found the existing row — no phantom dup
+    assert rows[0]["v"] == 3_000_000_000
