@@ -328,6 +328,39 @@ def q_cdc_mor_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic "lost events" condition for the gap-detection query:
+# singleton losses (every 1000th) + a 1001-wide block loss that spans
+# multiple detector buckets, exercising both the intra-bucket window and
+# the inter-bucket envelope paths
+_LOSS_SQL = "(event_id % 1000 = 7 OR (event_id % 5000) BETWEEN 2000 AND 3000)"
+
+_LSN_GAPS_ORACLE = f"""
+WITH obs AS (
+  SELECT DISTINCT event_id AS lsn FROM events WHERE NOT {_LOSS_SQL}
+),
+s AS (SELECT lsn, lead(lsn) OVER (ORDER BY lsn) AS nxt FROM obs)
+SELECT lsn + 1 AS gap_start, nxt - 1 AS gap_end, nxt - lsn - 1 AS n_missing
+FROM s WHERE nxt > lsn + 1
+"""
+
+
+def q_lsn_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog integrity: missing-LSN ranges over a stream with
+    simulated losses. The oracle is the textbook single-window form; the
+    engine runs operators.integrity.lsn_gaps — a bucketed two-level plan
+    whose unpartitioned window only ever sees the ~n/bucket_size
+    per-bucket envelope, never the data (the textbook form funnels every
+    row through one reducer)."""
+    from data_hub_ejp_xml_pipeline_spark.operators.integrity import lsn_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    observed = ev.filter(
+        ~((F.col("event_id") % 1000 == 7)
+          | ((F.col("event_id") % 5000).between(2000, 3000)))
+    )
+    return lsn_gaps(observed, lsn_col="event_id", bucket_size=500)
+
+
 def q_watermark_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: per-pattern max-LSN watermark (etl_state.py:65-76 analog)."""
     ev = _t(spark, sf_dir, "events")
@@ -1603,6 +1636,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lww_salted": (q_lww_salted, _LWW_ORACLE),
     "cdc_engine_final_state": (q_cdc_engine_final_state, _CDC_FINAL_ORACLE),
     "cdc_mor_final_state": (q_cdc_mor_final_state, _CDC_FINAL_ORACLE),
+    "lsn_gaps": (q_lsn_gaps, _LSN_GAPS_ORACLE),
     "cdc_snapshot_diff": (q_cdc_snapshot_diff, _CDC_DIFF_ORACLE),
     "watermark_per_source": (
         q_watermark_per_source,

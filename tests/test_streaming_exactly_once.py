@@ -146,3 +146,42 @@ def test_schema_evolution_mid_stream(spark, tmp_path, changelog_pdf):
     assert "lang" in [f.name for f in table.schema().fields]
     actual = _final_pdf(table)
     assert_final_state_equal(actual, expected_final_state_pandas(changelog_pdf))
+
+
+def test_bootstrap_snapshot_then_tail_handoff(spark, tmp_path, changelog_pdf):
+    """The classic CDC cutover (Debezium snapshot → WAL tail): bootstrap
+    the table from a full snapshot at watermark W, then tail a changelog
+    whose files OVERLAP the snapshot (events with lsn ≤ W replay). The
+    LSN guard makes the overlap harmless and the final state equals the
+    full-replay oracle."""
+    from data_hub_ejp_xml_pipeline_spark.generator import write_changelog_files
+    from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
+    from data_hub_ejp_xml_pipeline_spark.oracle import expected_final_state_pandas
+
+    n = len(changelog_pdf)
+    w = int(changelog_pdf["lsn"].quantile(0.6))  # snapshot watermark
+
+    # bootstrap: the upstream's state AT watermark W, loaded as one merge
+    from data_hub_ejp_xml_pipeline_spark.generator import spark_changelog_from_pandas
+
+    snap_src = spark_changelog_from_pandas(
+        spark, changelog_pdf[changelog_pdf["lsn"] <= w]
+    )
+    table = SnapshotTable.create(spark, str(tmp_path / "tbl"), PAYLOAD_SCHEMA,
+                                 n_buckets=8)
+    # batch_id=None: the bootstrap must NOT claim a streaming epoch id —
+    # the tail's checkpoint starts at 0, and a ledgered id 0 would make
+    # the first real epoch no-op as a "replay" (silently dropped data)
+    table.merge(reduce_latest(snap_src), batch_id=None)
+
+    # tail: changelog files from BEFORE the watermark onward (overlap ~20%)
+    overlap_lo = int(changelog_pdf["lsn"].quantile(0.4))
+    tail_pdf = changelog_pdf[changelog_pdf["lsn"] > overlap_lo]
+    d = str(tmp_path / "cl")
+    write_changelog_files(tail_pdf, d, 4)
+    tailer = ChangelogTailer(spark, table)
+    tailer.run_to_completion(d, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+
+    assert_final_state_equal(
+        _final_pdf(table), expected_final_state_pandas(changelog_pdf)
+    )
