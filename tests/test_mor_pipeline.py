@@ -269,3 +269,37 @@ def test_key_column_never_widens(spark, tmp_path):
     rows = table.read().collect()
     assert len(rows) == 1  # the update found the existing row — no phantom dup
     assert rows[0]["v"] == 3_000_000_000
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_mor_random_interleavings_match_oracle(spark, tmp_path, changelog_pdf, seed):
+    """Seeded fuzz: random epoch sizes, random replays, random explicit
+    compactions, random k_compact — every interleaving must land on the
+    full-replay oracle."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    k = int(rng.integers(1, 5))
+    mor = MorPipeline(spark, str(tmp_path / f"t{seed}"), n_buckets=4, k_compact=k)
+    n = len(changelog_pdf)
+    edges = sorted(rng.choice(range(1, n), size=4, replace=False)) + [n]
+    lo = 0
+    applied = []
+    for i, hi in enumerate(edges):
+        mor.apply(spark_changelog_from_pandas(spark, changelog_pdf.iloc[lo:hi]),
+                  batch_id=i)
+        applied.append((i, lo, hi))
+        lo = hi
+        if rng.random() < 0.4 and applied:  # replay a random earlier epoch
+            j, rlo, rhi = applied[int(rng.integers(0, len(applied)))]
+            res = mor.apply(
+                spark_changelog_from_pandas(spark, changelog_pdf.iloc[rlo:rhi]),
+                batch_id=j,
+            )
+            assert not res.applied
+        if rng.random() < 0.3:
+            mor.compact()
+    assert_final_state_equal(
+        mor.final_state().select(COLS).toPandas(),
+        expected_final_state_pandas(changelog_pdf),
+    )
