@@ -134,3 +134,52 @@ def contaminated_docs(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    top_unigram_max: float = 0.2, dup_bigram_max: float = 0.3,
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
+    fraction of the document taken by its single most frequent word, and
+    the fraction of duplicated word bigrams — the two cheapest signals
+    for boilerplate/keyword-stuffed documents in a training corpus.
+
+    Shapes: top-unigram needs real counting — explode → two partial-agg
+    groupBys (scale-safe, map-side combined); the bigram ratio never
+    explodes at all (``size - size(array_distinct)`` on the shingle
+    array). Thresholds label rows rather than dropping them, so the same
+    pass feeds both filtering and corpus diagnostics."""
+    from data_hub_ejp_xml_pipeline_spark.operators.dedup import shingles
+
+    w = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col).alias("doc_id"), w.alias("w"))
+    top = (
+        base.select("doc_id", F.explode("w").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mc"), F.sum("c").alias("n_words"))
+    )
+    bg = base.select(
+        "doc_id",
+        (F.size("w") - 1).alias("nb"),
+        F.size(shingles(F.col("w"), 2)).alias("nb_distinct"),
+    )
+    dup_frac = F.when(
+        F.col("nb") >= 1, (F.col("nb") - F.col("nb_distinct")) / F.col("nb")
+    ).otherwise(F.lit(0.0))
+    top_frac = F.col("mc") / F.col("n_words")
+    return (
+        top.join(bg, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(top_frac, 4).alias("top_unigram_frac"),
+            F.round(dup_frac, 4).alias("dup_bigram_frac"),
+            F.when(
+                (top_frac > top_unigram_max) | (dup_frac > dup_bigram_max),
+                F.lit("repetitive"),
+            ).otherwise(F.lit("ok")).alias("repetition_label"),
+        )
+    )

@@ -879,6 +879,36 @@ FROM words
 """
 
 
+_REPETITION_ORACLE = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+uni AS (SELECT doc_id, unnest(w) AS word FROM words),
+cnt AS (SELECT doc_id, word, count(*) AS c FROM uni GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c) AS mc, sum(c) AS n FROM cnt GROUP BY 1),
+bg AS (
+  SELECT doc_id, len(w) - 1 AS nb,
+         len(list_distinct([w[i] || ' ' || w[i + 1] for i in range(1, len(w))])) AS nbd
+  FROM words
+)
+SELECT t.doc_id,
+       CAST(t.n AS BIGINT) AS n_words,
+       round(t.mc * 1.0 / t.n, 4) AS top_unigram_frac,
+       round(CASE WHEN b.nb >= 1 THEN (b.nb - b.nbd) * 1.0 / b.nb ELSE 0.0 END, 4)
+         AS dup_bigram_frac,
+       CASE WHEN t.mc * 1.0 / t.n > 0.2
+              OR (CASE WHEN b.nb >= 1 THEN (b.nb - b.nbd) * 1.0 / b.nb ELSE 0.0 END) > 0.3
+            THEN 'repetitive' ELSE 'ok' END AS repetition_label
+FROM top t JOIN bg b USING (doc_id)
+"""
+
+
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top-unigram fraction (explode +
+    two map-side-combined groupBys) and duplicate-bigram fraction
+    (size − size(array_distinct) on the shingle array — no explode).
+    Production operator: operators.text.repetition_metrics."""
+    return TX.repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / stopword-ratio heuristics, all JVM-side."""
     docs = _t(spark, sf_dir, "documents")
@@ -1723,6 +1753,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         _incremental_minhash_oracle(),
     ),
     "text_quality": (q_text_quality, _TEXT_QUALITY_ORACLE),
+    "repetition_quality": (q_repetition_quality, _REPETITION_ORACLE),
     "lang_id": (q_lang_id, _lang_oracle()),
     "token_count": (q_token_count, _TOKEN_COUNT_ORACLE),
     "doc_fingerprint": (q_doc_fingerprint, _FINGERPRINT_ORACLE),

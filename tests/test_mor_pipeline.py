@@ -303,3 +303,33 @@ def test_mor_random_interleavings_match_oracle(spark, tmp_path, changelog_pdf, s
         mor.final_state().select(COLS).toPandas(),
         expected_final_state_pandas(changelog_pdf),
     )
+
+
+def test_racing_compactors_one_wins_cas(spark, tmp_path, changelog_pdf):
+    """Two compactors over the same roots: the loser's base merge must
+    fail the manifest CAS (ConcurrentCommitError) or no-op as a replay —
+    never double-apply — and a follow-up compact converges cleanly."""
+    from data_hub_ejp_xml_pipeline_spark.table.snapshot_table import (
+        ConcurrentCommitError,
+    )
+
+    root = str(tmp_path / "t")
+    a = MorPipeline(spark, root, n_buckets=4, k_compact=100)
+    b0, b1 = _batches(changelog_pdf, 2)
+    a.apply(spark_changelog_from_pandas(spark, b0), batch_id=0)
+    a.apply(spark_changelog_from_pandas(spark, b1), batch_id=1)
+    b = MorPipeline(spark, root, k_compact=100)
+
+    res_a = a.compact()
+    assert res_a is not None and res_a.applied
+    try:
+        res_b = b.compact()
+        # b ran after a's commit+truncate: nothing staged (None) or a
+        # ledger-replay no-op — both are converged outcomes
+        assert res_b is None or not res_b.applied
+    except ConcurrentCommitError:
+        pass  # b raced into the same parent version and lost the CAS
+    assert_final_state_equal(
+        a.final_state().select(COLS).toPandas(),
+        expected_final_state_pandas(changelog_pdf),
+    )

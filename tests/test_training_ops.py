@@ -309,3 +309,22 @@ def test_incremental_minhash_state_reuse_matches_batch_recompute(spark, docs):
     f_reb = sorted(map(tuple, dedup.incremental_minhash_flags(
         batch, corpus, rebuilt).collect()))
     assert f_app == f_reb and len(f_app) >= 1
+
+
+def test_repetition_metrics_shapes(spark):
+    rows = [
+        (0, "spam spam spam spam spam unique"),          # top-unigram heavy
+        (1, "a b a b a b a b a b"),                      # duplicate bigrams
+        (2, "every word here appears exactly once okay"),
+        (3, "single"),                                    # no bigrams → 0.0
+    ]
+    out = {
+        r.doc_id: r
+        for r in text.repetition_metrics(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[0].repetition_label == "repetitive" and out[0].top_unigram_frac > 0.8
+    assert out[1].repetition_label == "repetitive" and out[1].dup_bigram_frac > 0.7
+    assert out[2].repetition_label == "ok"
+    assert out[3].dup_bigram_frac == 0.0 and out[3].n_words == 1
