@@ -361,3 +361,100 @@ def incremental_minhash_flags(
             "matched_in",
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) with component = min node id reachable — the
+    step that turns near-dup PAIRS into dedup DECISIONS (one canonical
+    doc per transitive cluster).
+
+    Min-label propagation, pure DataFrame joins: each round every node
+    takes the minimum of its own label and its neighbors' labels;
+    convergence in O(cluster diameter) rounds — near-dup clusters are
+    almost-cliques, so 2-3 rounds in practice (``max_iter`` guards
+    pathological chains). Each round is one join + one partial-agg
+    groupBy on the undirected edge list; the per-round convergence check
+    is a count on the CHANGED labels only.
+
+    Each round's labels are ``localCheckpoint``-ed: persist() alone does
+    NOT cut lineage — the label plan references itself twice per round,
+    so the logical tree doubles every iteration and the ANALYZER (not
+    execution) hangs around round ~12 (measured). localCheckpoint
+    truncates the plan at the cost of executor-loss recoverability for
+    the checkpointed blocks; on an unreliable cluster swap in
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``.
+
+    ``nodes``: optional 1-column DataFrame of ALL node ids — isolated
+    nodes (no edges) then appear as their own singleton components.
+    """
+    sess = edges.sparkSession
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = und.select(F.col("a").alias("node")).distinct()
+    if nodes is not None:
+        only = nodes.toDF("node")
+        labels = labels.unionByName(only).distinct()
+    labels = labels.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
+
+    converged = False
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))).alias(
+                    "comp"
+                ),
+                (F.col("ncomp") < F.col("comp")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            converged = True
+            break
+    und.unpersist()
+    if not converged:
+        # an unconverged label table is silently WRONG dedup decisions —
+        # refuse (propagation needs O(longest chain) rounds; raise
+        # max_iter for pathological chain-shaped clusters)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "increase max_iter (cluster diameter exceeds it)"
+        )
+    return labels.select("node", "comp")
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resolve verified near-dup pairs into per-document dedup decisions:
+    (doc_id, cluster_id, is_canonical). Every document appears — docs
+    without a near-dup are their own singleton cluster — and exactly one
+    doc per cluster (the min id) is canonical, so
+    ``filter(is_canonical)`` IS the deduplicated corpus."""
+    cc = connected_components(
+        pairs, nodes=docs.select(id_col), src="doc_a", dst="doc_b"
+    )
+    return cc.select(
+        F.col("node").alias(id_col),
+        F.col("comp").alias("cluster_id"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    )

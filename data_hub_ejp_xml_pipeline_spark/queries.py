@@ -782,6 +782,76 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_clusters_oracle() -> str:
+    """Recursive-CTE transitive closure over the verified minhash pairs:
+    the oracle for turning near-dup pairs into per-doc cluster decisions."""
+    from data_hub_ejp_xml_pipeline_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
+    base = "(('0x' || substring(md5(s), 1, 7))::BIGINT)"
+    mins = ", ".join(
+        f"min(({a} * {base} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(minhash_coeffs(_N_MINHASH))
+    )
+    bands = ", ".join(
+        "md5("
+        + " || '|' || ".join(
+            f"CAST(h{b * _BAND_SIZE + j} AS VARCHAR)" for j in range(_BAND_SIZE)
+        )
+        + f") AS band{b}"
+        for b in range(_N_MINHASH // _BAND_SIZE)
+    )
+    band_joins = "\nUNION\n".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b "
+        f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(_N_MINHASH // _BAND_SIZE)
+    )
+    return (
+        _SHINGLE_CTE.replace("WITH words", "WITH RECURSIVE words")
+        + f""",
+mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, {bands} FROM mh),
+cand AS ({band_joins}),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS c
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+  GROUP BY 1, 2
+),
+pr AS (
+  SELECT i.doc_a, i.doc_b FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.8
+),
+e AS (SELECT doc_a AS s, doc_b AS d FROM pr UNION SELECT doc_b, doc_a FROM pr),
+reach AS (
+  SELECT doc_id AS node, doc_id AS comp FROM documents
+  UNION
+  SELECT e.d, r.comp FROM reach r JOIN e ON e.s = r.node
+)
+SELECT node AS doc_id, min(comp) AS cluster_id,
+       (node = min(comp)) AS is_canonical
+FROM reach GROUP BY node
+"""
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → DECISIONS: verified minhash near-dup pairs resolved into
+    transitive clusters by min-label-propagation connected components
+    (operators.dedup.connected_components — iterative DataFrame joins,
+    per-round persist/unpersist so the plan never grows), every document
+    labeled (singletons are their own cluster), one canonical doc per
+    cluster. ``filter(is_canonical)`` IS the deduplicated corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, threshold=0.8, n_hashes=_N_MINHASH, band_size=_BAND_SIZE
+    )
+    return D.neardup_clusters(docs, pairs)
+
+
 # deterministic engine-portable 2-way split for the incremental-dedup query:
 # wave 0 = the already-ingested corpus, wave 1 = the incoming batch
 _WAVE_SQL = "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 2)"
@@ -1752,6 +1822,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_dedup_incremental_minhash,
         _incremental_minhash_oracle(),
     ),
+    "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),
     "text_quality": (q_text_quality, _TEXT_QUALITY_ORACLE),
     "repetition_quality": (q_repetition_quality, _REPETITION_ORACLE),
     "lang_id": (q_lang_id, _lang_oracle()),

@@ -328,3 +328,37 @@ def test_repetition_metrics_shapes(spark):
     assert out[1].repetition_label == "repetitive" and out[1].dup_bigram_frac > 0.7
     assert out[2].repetition_label == "ok"
     assert out[3].dup_bigram_frac == 0.0 and out[3].n_words == 1
+
+
+def test_connected_components_shapes(spark):
+    """Cliques, chains, singletons; label = min reachable id."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 23, 99]],
+                                  ["node"])
+    got = {r.node: r.comp for r in dedup.connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20,
+                   23: 20, 99: 99}
+
+
+def test_connected_components_refuses_unconverged(spark):
+    """A chain longer than max_iter rounds must raise, never return wrong
+    clusters silently."""
+    chain = spark.createDataFrame([(i, i + 1) for i in range(10)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.connected_components(chain, max_iter=2)
+    # and with enough rounds the same chain resolves to one component
+    got = {r.node: r.comp for r in dedup.connected_components(chain, max_iter=15).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_neardup_clusters_end_to_end(spark, docs):
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5)
+    out = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in dedup.neardup_clusters(docs, pairs).collect()}
+    assert out[0] == (0, True) and out[1] == (0, False) and out[2] == (0, False)
+    assert out[3] == (3, True) and out[4] == (4, True)
+    # exactly one canonical per cluster
+    canon = [d for d, (_, c) in out.items() if c]
+    assert sorted(canon) == [0, 3, 4]
