@@ -393,7 +393,6 @@ def connected_components(
     ``nodes``: optional 1-column DataFrame of ALL node ids — isolated
     nodes (no edges) then appear as their own singleton components.
     """
-    sess = edges.sparkSession
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -35,7 +35,11 @@ def lsn_gaps(
     ``lo``/``hi`` optionally pin the expected domain endpoints: a gap
     BEFORE the first observed lsn (lo..min-1) or AFTER the last one
     (max+1..hi) is only detectable with an external expectation, so both
-    default to "trust the observed ends". Duplicate LSNs (replays) are
+    default to "trust the observed ends". With BOTH endpoints pinned an
+    EMPTY input reports the single total-loss gap (lo..hi) — the worst
+    loss shape must not read as "no gaps"; with at most one endpoint
+    pinned and no data there is no second endpoint to bound a gap, so
+    the result is empty by construction. Duplicate LSNs (replays) are
     harmless — distinct-ified before the scan."""
     lsn = F.col(lsn_col).cast("long")
     d = df.select(lsn.alias("lsn")).distinct()
@@ -66,6 +70,15 @@ def lsn_gaps(
 
     gaps = intra.unionByName(inter)
     bounds = env.agg(F.min("bmin").alias("gmin"), F.max("bmax").alias("gmax"))
+    if lo is not None and hi is not None:
+        # empty input + fully pinned domain = total loss, one gap row
+        # (the NULL-bounds row would otherwise fail the > / < filters
+        # below and 100% loss would read as "no gaps")
+        total_loss = bounds.filter(F.col("gmin").isNull()).select(
+            F.lit(lo).cast("long").alias("gap_start"),
+            F.lit(hi).cast("long").alias("gap_end"),
+        )
+        gaps = gaps.unionByName(total_loss)
     if lo is not None:
         head = bounds.filter(F.col("gmin") > lo).select(
             F.lit(lo).cast("long").alias("gap_start"),

@@ -73,7 +73,6 @@ class MorPipeline:
         delta_schema = T.StructType(
             list(payload_schema.fields) + [T.StructField("op", T.StringType(), True)]
         )
-        self._payload_cols = [f.name for f in payload_schema.fields]
         if SnapshotTable.exists(root + "/base"):
             self.base = SnapshotTable(spark, root + "/base")
             self.delta = SnapshotTable(spark, root + "/delta")

@@ -723,7 +723,12 @@ _N_MINHASH = 9
 _BAND_SIZE = 3
 
 
-def _minhash_oracle() -> str:
+def _minhash_cte(with_recursive: bool = False) -> str:
+    """The shared WITH-chain of every minhash-family oracle — shingles →
+    affine minhashes → bands → banded candidates → shingle-intersection
+    counts (``inter``; ``sizes`` comes from _SHINGLE_CTE). ONE source of
+    truth for the hash family so a tuning change cannot desynchronize the
+    oracles. ``with_recursive`` lets callers append recursive CTEs."""
     from data_hub_ejp_xml_pipeline_spark.operators.dedup import (
         MINHASH_P,
         minhash_coeffs,
@@ -747,8 +752,13 @@ def _minhash_oracle() -> str:
         f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
         for b in range(_N_MINHASH // _BAND_SIZE)
     )
+    head = (
+        _SHINGLE_CTE.replace("WITH words", "WITH RECURSIVE words")
+        if with_recursive
+        else _SHINGLE_CTE
+    )
     return (
-        _SHINGLE_CTE
+        head
         + f""",
 mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS (SELECT doc_id, {bands} FROM mh),
@@ -757,7 +767,14 @@ inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS c
   FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
   GROUP BY 1, 2
-)
+)"""
+    )
+
+
+def _minhash_oracle() -> str:
+    return (
+        _minhash_cte()
+        + """
 SELECT i.doc_a, i.doc_b, round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
@@ -784,41 +801,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_clusters_oracle() -> str:
     """Recursive-CTE transitive closure over the verified minhash pairs:
-    the oracle for turning near-dup pairs into per-doc cluster decisions."""
-    from data_hub_ejp_xml_pipeline_spark.operators.dedup import (
-        MINHASH_P,
-        minhash_coeffs,
-    )
-
-    base = "(('0x' || substring(md5(s), 1, 7))::BIGINT)"
-    mins = ", ".join(
-        f"min(({a} * {base} + {b}) % {MINHASH_P}) AS h{i}"
-        for i, (a, b) in enumerate(minhash_coeffs(_N_MINHASH))
-    )
-    bands = ", ".join(
-        "md5("
-        + " || '|' || ".join(
-            f"CAST(h{b * _BAND_SIZE + j} AS VARCHAR)" for j in range(_BAND_SIZE)
-        )
-        + f") AS band{b}"
-        for b in range(_N_MINHASH // _BAND_SIZE)
-    )
-    band_joins = "\nUNION\n".join(
-        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b "
-        f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
-        for b in range(_N_MINHASH // _BAND_SIZE)
-    )
+    the oracle for turning near-dup pairs into per-doc cluster decisions.
+    Shares the hash-family CTEs with _minhash_oracle via _minhash_cte."""
     return (
-        _SHINGLE_CTE.replace("WITH words", "WITH RECURSIVE words")
-        + f""",
-mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-bands AS (SELECT doc_id, {bands} FROM mh),
-cand AS ({band_joins}),
-inter AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS c
-  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
-  GROUP BY 1, 2
-),
+        _minhash_cte(with_recursive=True)
+        + """,
 pr AS (
   SELECT i.doc_a, i.doc_b FROM inter i
   JOIN sizes sa ON sa.doc_id = i.doc_a

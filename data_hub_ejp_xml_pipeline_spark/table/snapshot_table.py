@@ -398,9 +398,20 @@ class SnapshotTable:
         return F.pmod(hashed, F.lit(n)).cast("int")
 
     def add_columns(self, new_schema: T.StructType) -> CommitResult:
-        """Add-only recursive schema evolution (metadata-only commit)."""
+        """Add-only + widening recursive schema evolution (metadata-only
+        commit). The KEY column never widens here either — same hazard as
+        in ``_commit``: a widened key re-buckets every existing row."""
         m = self.manifest()
-        merged = merge_schemas(T.StructType.fromJson(m["schema"]), new_schema)
+        existing = T.StructType.fromJson(m["schema"])
+        merged = merge_schemas(existing, new_schema)
+        existing_key = _find_field(existing, m["key"])
+        if existing_key is not None:
+            merged = T.StructType(
+                [
+                    existing_key if f.name.lower() == m["key"].lower() else f
+                    for f in merged.fields
+                ]
+            )
         version = m["version"] + 1
         manifest = {
             **m,

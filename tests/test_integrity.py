@@ -48,3 +48,12 @@ def test_pinned_endpoints(spark):
     assert got == _oracle(lsns, lo=1, hi=25)
     # endpoints inside the observed range add nothing
     assert _gaps(spark, lsns, bucket_size=4, lo=10, hi=20) == _oracle(lsns)
+
+
+def test_empty_input_with_pinned_domain_reports_total_loss(spark):
+    empty = spark.createDataFrame([], "lsn long")
+    got = lsn_gaps(empty, lo=1, hi=1000).collect()
+    assert [(r.gap_start, r.gap_end, r.n_missing) for r in got] == [(1, 1000, 1000)]
+    # at most one endpoint pinned: no second endpoint → empty by design
+    assert lsn_gaps(empty, lo=1).collect() == []
+    assert lsn_gaps(empty).collect() == []

@@ -487,3 +487,23 @@ def test_nested_widening_inside_array_struct(spark, tmp_path):
     el = merged["items"].dataType.elementType
     assert el["qty"].dataType == T.LongType()
     assert [f.name for f in el.fields] == ["qty", "tag"]
+
+
+def test_add_columns_never_widens_the_key(spark, tmp_path):
+    """Metadata-only evolution has the same key-pin as merge: widening the
+    key would re-bucket every existing row."""
+    payload = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.IntegerType())]
+    )
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), payload, key="k",
+                                 n_buckets=4)
+    table.add_columns(
+        T.StructType(
+            [T.StructField("k", T.LongType()), T.StructField("v", T.LongType()),
+             T.StructField("extra", T.StringType())]
+        )
+    )
+    types = {f.name: f.dataType for f in table.schema().fields}
+    assert types["k"] == T.IntegerType()  # key pinned
+    assert types["v"] == T.LongType()  # payload widened
+    assert "extra" in types
