@@ -29,51 +29,66 @@ def lsn_gaps(
     bucket_size: int = 100_000,
     lo: int | None = None,
     hi: int | None = None,
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Missing LSN ranges as (gap_start, gap_end, n_missing), inclusive.
 
-    ``lo``/``hi`` optionally pin the expected domain endpoints: a gap
-    BEFORE the first observed lsn (lo..min-1) or AFTER the last one
-    (max+1..hi) is only detectable with an external expectation, so both
-    default to "trust the observed ends". With BOTH endpoints pinned an
-    EMPTY input reports the single total-loss gap (lo..hi) — the worst
-    loss shape must not read as "no gaps"; with at most one endpoint
-    pinned and no data there is no second endpoint to bound a gap, so
-    the result is empty by construction. Duplicate LSNs (replays) are
-    harmless — distinct-ified before the scan."""
+    ``partition_col`` switches to per-partition sequence domains — the
+    Kafka/topic-partition shape, where each partition's offsets are an
+    independent monotone sequence; every window/envelope below then
+    additionally partitions on it and the output carries the column.
+
+    ``lo``/``hi`` optionally pin the expected domain endpoints (per
+    partition when partitioned): a gap BEFORE the first observed lsn
+    (lo..min-1) or AFTER the last one (max+1..hi) is only detectable with
+    an external expectation, so both default to "trust the observed
+    ends". With BOTH endpoints pinned an EMPTY unpartitioned input
+    reports the single total-loss gap (lo..hi) — the worst loss shape
+    must not read as "no gaps". (Partitioned total loss is undetectable
+    from the data alone: an empty input names no partitions; keep the
+    expected partition list outside and anti-join.) Duplicate LSNs
+    (replays) are harmless — distinct-ified before the scan."""
+    parts = [partition_col] if partition_col else []
     lsn = F.col(lsn_col).cast("long")
-    d = df.select(lsn.alias("lsn")).distinct()
+    d = df.select(*parts, lsn.alias("lsn")).distinct()
     b = d.withColumn("b", (F.col("lsn") / F.lit(bucket_size)).cast("long"))
 
-    intra_w = W.partitionBy("b").orderBy("lsn")
+    intra_w = W.partitionBy(*parts, "b").orderBy("lsn")
     intra = (
         b.withColumn("next_lsn", F.lead("lsn").over(intra_w))
         .filter(F.col("next_lsn") > F.col("lsn") + 1)
         .select(
+            *parts,
             (F.col("lsn") + 1).alias("gap_start"),
             (F.col("next_lsn") - 1).alias("gap_end"),
         )
     )
 
-    # per-bucket envelope: ~n/bucket_size rows — the global ordering
-    # window below runs over THIS tiny aggregate, not the data
-    env = b.groupBy("b").agg(F.min("lsn").alias("bmin"), F.max("lsn").alias("bmax"))
-    env_w = W.orderBy("b")
+    # per-bucket envelope: ~n/bucket_size rows — the (per-partition)
+    # ordering window below runs over THIS tiny aggregate, not the data
+    env = b.groupBy(*parts, "b").agg(
+        F.min("lsn").alias("bmin"), F.max("lsn").alias("bmax")
+    )
+    env_w = W.partitionBy(*parts).orderBy("b") if parts else W.orderBy("b")
     inter = (
         env.withColumn("next_min", F.lead("bmin").over(env_w))
         .filter(F.col("next_min") > F.col("bmax") + 1)
         .select(
+            *parts,
             (F.col("bmax") + 1).alias("gap_start"),
             (F.col("next_min") - 1).alias("gap_end"),
         )
     )
 
     gaps = intra.unionByName(inter)
-    bounds = env.agg(F.min("bmin").alias("gmin"), F.max("bmax").alias("gmax"))
-    if lo is not None and hi is not None:
-        # empty input + fully pinned domain = total loss, one gap row
-        # (the NULL-bounds row would otherwise fail the > / < filters
-        # below and 100% loss would read as "no gaps")
+    bounds = env.groupBy(*parts).agg(
+        F.min("bmin").alias("gmin"), F.max("bmax").alias("gmax")
+    )
+    if lo is not None and hi is not None and not parts:
+        # empty input + fully pinned domain = total loss, one gap row.
+        # An unpartitioned global agg over empty input still yields ONE
+        # row (all-NULL bounds) — which would otherwise fail the > / <
+        # filters below and 100% loss would read as "no gaps".
         total_loss = bounds.filter(F.col("gmin").isNull()).select(
             F.lit(lo).cast("long").alias("gap_start"),
             F.lit(hi).cast("long").alias("gap_end"),
@@ -81,17 +96,20 @@ def lsn_gaps(
         gaps = gaps.unionByName(total_loss)
     if lo is not None:
         head = bounds.filter(F.col("gmin") > lo).select(
+            *parts,
             F.lit(lo).cast("long").alias("gap_start"),
             (F.col("gmin") - 1).alias("gap_end"),
         )
         gaps = gaps.unionByName(head)
     if hi is not None:
         tail = bounds.filter(F.col("gmax") < hi).select(
+            *parts,
             (F.col("gmax") + 1).alias("gap_start"),
             F.lit(hi).cast("long").alias("gap_end"),
         )
         gaps = gaps.unionByName(tail)
     return gaps.select(
+        *parts,
         "gap_start",
         "gap_end",
         (F.col("gap_end") - F.col("gap_start") + 1).alias("n_missing"),

@@ -57,3 +57,31 @@ def test_empty_input_with_pinned_domain_reports_total_loss(spark):
     # at most one endpoint pinned: no second endpoint → empty by design
     assert lsn_gaps(empty, lo=1).collect() == []
     assert lsn_gaps(empty).collect() == []
+
+
+def test_partitioned_gaps_kafka_shape(spark):
+    """Per-partition sequence domains: each partition's gaps detected
+    independently; pinned endpoints apply per partition."""
+    rows = (
+        [("p0", x) for x in [1, 2, 3, 7, 8]]        # gap 4-6
+        + [("p1", x) for x in [1, 2, 3, 4, 5]]      # clean
+        + [("p2", x) for x in [5, 6, 40]]           # gap 7-39; head 1-4 w/ lo
+    )
+    df = spark.createDataFrame(rows, ["part", "lsn"])
+    got = sorted(
+        (r.part, r.gap_start, r.gap_end, r.n_missing)
+        for r in lsn_gaps(df, bucket_size=10, partition_col="part").collect()
+    )
+    assert got == [("p0", 4, 6, 3), ("p2", 7, 39, 33)]
+
+    pinned = sorted(
+        (r.part, r.gap_start, r.gap_end)
+        for r in lsn_gaps(
+            df, bucket_size=10, partition_col="part", lo=1, hi=41
+        ).collect()
+    )
+    assert pinned == [
+        ("p0", 4, 6), ("p0", 9, 41),
+        ("p1", 6, 41),
+        ("p2", 1, 4), ("p2", 7, 39), ("p2", 41, 41),
+    ]
