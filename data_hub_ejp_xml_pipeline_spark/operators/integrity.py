@@ -48,6 +48,16 @@ def lsn_gaps(
     from the data alone: an empty input names no partitions; keep the
     expected partition list outside and anti-join.) Duplicate LSNs
     (replays) are harmless — distinct-ified before the scan."""
+    reserved = {"b", "lsn", "bmin", "bmax", "next_lsn", "next_min",
+                "gmin", "gmax", "gap_start", "gap_end", "n_missing"}
+    if partition_col and partition_col.lower() in reserved:
+        # "b" would be silently OVERWRITTEN by the bucket id (gaps would
+        # merge across partitions with no error); the rest collide with
+        # internal columns downstream — refuse instead of corrupting
+        raise ValueError(
+            f"partition_col {partition_col!r} collides with an internal "
+            f"column of lsn_gaps ({sorted(reserved)}) — alias it first"
+        )
     parts = [partition_col] if partition_col else []
     lsn = F.col(lsn_col).cast("long")
     d = df.select(*parts, lsn.alias("lsn")).distinct()

@@ -723,12 +723,10 @@ _N_MINHASH = 9
 _BAND_SIZE = 3
 
 
-def _minhash_cte(with_recursive: bool = False) -> str:
-    """The shared WITH-chain of every minhash-family oracle — shingles →
-    affine minhashes → bands → banded candidates → shingle-intersection
-    counts (``inter``; ``sizes`` comes from _SHINGLE_CTE). ONE source of
-    truth for the hash family so a tuning change cannot desynchronize the
-    oracles. ``with_recursive`` lets callers append recursive CTEs."""
+def _minhash_exprs() -> tuple[str, str]:
+    """(mins, bands) SQL fragments of the portable minhash family — the
+    ONE rendering of the affine-hash/band constants shared by every
+    minhash oracle (batch, clusters, incremental)."""
     from data_hub_ejp_xml_pipeline_spark.operators.dedup import (
         MINHASH_P,
         minhash_coeffs,
@@ -747,6 +745,16 @@ def _minhash_cte(with_recursive: bool = False) -> str:
         + f") AS band{b}"
         for b in range(_N_MINHASH // _BAND_SIZE)
     )
+    return mins, bands
+
+
+def _minhash_cte(with_recursive: bool = False) -> str:
+    """The shared WITH-chain of every minhash-family oracle — shingles →
+    affine minhashes → bands → banded candidates → shingle-intersection
+    counts (``inter``; ``sizes`` comes from _SHINGLE_CTE). ONE source of
+    truth for the hash family so a tuning change cannot desynchronize the
+    oracles. ``with_recursive`` lets callers append recursive CTEs."""
+    mins, bands = _minhash_exprs()
     band_joins = "\nUNION\n".join(
         f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b "
         f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
@@ -845,24 +853,7 @@ _WAVE_SQL = "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 
 
 
 def _incremental_minhash_oracle() -> str:
-    from data_hub_ejp_xml_pipeline_spark.operators.dedup import (
-        MINHASH_P,
-        minhash_coeffs,
-    )
-
-    base = "(('0x' || substring(md5(s), 1, 7))::BIGINT)"
-    mins = ", ".join(
-        f"min(({a} * {base} + {b}) % {MINHASH_P}) AS h{i}"
-        for i, (a, b) in enumerate(minhash_coeffs(_N_MINHASH))
-    )
-    bands = ", ".join(
-        "md5("
-        + " || '|' || ".join(
-            f"CAST(h{b * _BAND_SIZE + j} AS VARCHAR)" for j in range(_BAND_SIZE)
-        )
-        + f") AS band{b}"
-        for b in range(_N_MINHASH // _BAND_SIZE)
-    )
+    mins, bands = _minhash_exprs()
     # asymmetric candidacy: doc_b is a NEW doc; doc_a is corpus (any) or an
     # EARLIER new doc — mirrors incremental_minhash_flags exactly
     band_joins = "\nUNION\n".join(

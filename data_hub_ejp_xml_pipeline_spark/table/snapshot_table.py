@@ -403,15 +403,7 @@ class SnapshotTable:
         in ``_commit``: a widened key re-buckets every existing row."""
         m = self.manifest()
         existing = T.StructType.fromJson(m["schema"])
-        merged = merge_schemas(existing, new_schema)
-        existing_key = _find_field(existing, m["key"])
-        if existing_key is not None:
-            merged = T.StructType(
-                [
-                    existing_key if f.name.lower() == m["key"].lower() else f
-                    for f in merged.fields
-                ]
-            )
+        merged = _pin_key_type(merge_schemas(existing, new_schema), existing, m["key"])
         version = m["version"] + 1
         manifest = {
             **m,
@@ -553,26 +545,12 @@ class SnapshotTable:
         incoming_payload = T.StructType(
             [f for f in updates.schema.fields if f.name not in _NON_PAYLOAD]
         )
-        merged_schema = merge_schemas(existing_schema, incoming_payload)
-        # the KEY column must NEVER widen: murmur3/xxhash64 hash int and
-        # long values differently, so a widened key re-buckets every
-        # existing row — old files keep old-hash bucket labels, pruning
-        # misses them, and updates turn into phantom duplicate inserts.
-        # Incoming keys are cast to the existing type instead (ANSI cast
-        # fails loudly on genuine overflow, which is the right outcome).
-        existing_key = _find_field(existing_schema, key)
-        merged_key = _find_field(merged_schema, key)
-        if (
-            existing_key is not None
-            and merged_key is not None
-            and merged_key.dataType != existing_key.dataType
-        ):
-            merged_schema = T.StructType(
-                [
-                    existing_key if f.name.lower() == key.lower() else f
-                    for f in merged_schema.fields
-                ]
-            )
+        # the KEY column must NEVER widen (see _pin_key_type): incoming
+        # keys are cast to the existing type instead — the ANSI cast
+        # fails loudly on genuine overflow, which is the right outcome
+        merged_schema = _pin_key_type(
+            merge_schemas(existing_schema, incoming_payload), existing_schema, key
+        )
         # value equality, not field count: nested additions and scalar
         # widening evolve the schema without changing the top-level arity
         schema_evolved = merged_schema != existing_schema
@@ -1326,10 +1304,37 @@ def conform_col(df: DataFrame, field: T.StructField) -> F.Column:
 
 
 def _find_field(schema: T.StructType, name: str) -> T.StructField | None:
+    """Case-insensitive, like every other name match in the engine —
+    a case-mismatched key must not silently dodge the key-type pin."""
+    low = name.lower()
     for f in schema.fields:
-        if f.name == name:
+        if f.name.lower() == low:
             return f
     return None
+
+
+def _pin_key_type(
+    merged: T.StructType, existing: T.StructType, key: str
+) -> T.StructType:
+    """Force the KEY column's type back to its existing definition after a
+    schema merge — ONE implementation for both the merge path and the
+    metadata-only add_columns path. A widened key would change bucket
+    hashing (murmur3/xxhash64 hash int and long differently) and strand
+    every existing row in a stale-hash bucket."""
+    existing_key = _find_field(existing, key)
+    merged_key = _find_field(merged, key)
+    if (
+        existing_key is None
+        or merged_key is None
+        or merged_key.dataType == existing_key.dataType
+    ):
+        return merged
+    return T.StructType(
+        [
+            existing_key if f.name.lower() == key.lower() else f
+            for f in merged.fields
+        ]
+    )
 
 
 def _key_stats(md: Any, key: str) -> tuple[Any, Any]:

@@ -85,3 +85,9 @@ def test_partitioned_gaps_kafka_shape(spark):
         ("p1", 6, 41),
         ("p2", 1, 4), ("p2", 7, 39), ("p2", 41, 41),
     ]
+
+
+def test_partition_col_name_collision_rejected(spark):
+    df = spark.createDataFrame([(1, 2)], ["b", "lsn"])
+    with pytest.raises(ValueError, match="collides"):
+        lsn_gaps(df, partition_col="b")

@@ -507,3 +507,17 @@ def test_add_columns_never_widens_the_key(spark, tmp_path):
     assert types["k"] == T.IntegerType()  # key pinned
     assert types["v"] == T.LongType()  # payload widened
     assert "extra" in types
+
+
+def test_key_pin_is_case_insensitive(spark, tmp_path):
+    """A key declared with different casing than the schema field must not
+    dodge the never-widen pin (every other name match in the engine is
+    case-insensitive)."""
+    payload = T.StructType(
+        [T.StructField("doc_id", T.IntegerType()), T.StructField("v", T.IntegerType())]
+    )
+    table = SnapshotTable.create(spark, str(tmp_path / "t"), payload, key="DOC_ID",
+                                 n_buckets=4)
+    table.add_columns(T.StructType([T.StructField("Doc_Id", T.LongType())]))
+    types = {f.name.lower(): f.dataType for f in table.schema().fields}
+    assert types["doc_id"] == T.IntegerType()
