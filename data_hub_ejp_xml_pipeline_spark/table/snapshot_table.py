@@ -463,6 +463,8 @@ class SnapshotTable:
         validate_unique: bool = False,
         stats_df: DataFrame | None = None,
         profile_mode: str = "pre",
+        commit_retries: int = 0,
+        retry_backoff_sec: float = 0.5,
     ) -> CommitResult:
         """MERGE INTO semantics with an LSN guard:
 
@@ -504,6 +506,14 @@ class SnapshotTable:
           high-throughput CDC tail, where every file is touched anyway).
           Implies the sort-merge path (the broadcast-vs-SMJ choice also
           needs the pre-pass row count).
+
+        ``commit_retries`` re-runs the whole merge on
+        ``ConcurrentCommitError`` with exponential backoff (the
+        reference's 10-retries-with-backoff load loop,
+        ``BASELINE.md``) — safe because each attempt re-reads the
+        manifest (the LSN guard + ledger make re-application
+        idempotent) and a lost attempt's data files are unreferenced
+        orphans that ``expire_snapshots`` sweeps.
         """
         if validate_unique:
             key = self.manifest()["key"]
@@ -513,9 +523,24 @@ class SnapshotTable:
                     "merge() requires one row per key; got duplicates — "
                     "run operators.lww.reduce_latest first"
                 )
-        return self._commit(updates, operation="merge", batch_id=batch_id, merge=True,
-                            op_col=op_col, lsn_col=lsn_col, stats_df=stats_df,
-                            profile_mode=profile_mode)
+        attempt = 0
+        while True:
+            try:
+                return self._commit(
+                    updates, operation="merge", batch_id=batch_id, merge=True,
+                    op_col=op_col, lsn_col=lsn_col, stats_df=stats_df,
+                    profile_mode=profile_mode,
+                )
+            except ConcurrentCommitError:
+                if attempt >= commit_retries:
+                    raise
+                delay = retry_backoff_sec * (2 ** attempt)
+                _LOG.warning(
+                    "concurrent commit lost the CAS (attempt %d/%d) — "
+                    "retrying in %.2fs", attempt + 1, commit_retries, delay
+                )
+                time.sleep(delay)
+                attempt += 1
 
     # ------------------------------------------------------------ internals
     def _commit(

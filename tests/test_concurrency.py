@@ -61,3 +61,58 @@ def test_cas_manifest_create_is_atomic(spark, tmp_path, changelog_pdf):
     with open(path) as fh:
         assert json.load(fh)["snapshot_id"] == "snap-other"
     del b1
+
+
+def test_merge_commit_retries_win_after_concurrent_loss(spark, tmp_path, changelog_df):
+    """commit_retries: a merge that loses the CAS re-reads the manifest and
+    re-applies on top of the winner (reference: 10-retries backoff loop).
+    Simulated by advancing the table through a SECOND handle from inside
+    the loser's first manifest write."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
+    from data_hub_ejp_xml_pipeline_spark.schemas import TARGET_SCHEMA
+    from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+    from data_hub_ejp_xml_pipeline_spark.table.snapshot_table import (
+        ConcurrentCommitError,
+    )
+
+    payload = T.StructType([f for f in TARGET_SCHEMA.fields if f.name != "_lsn"])
+    root = str(tmp_path / "t")
+    table = SnapshotTable.create(spark, root, payload, n_buckets=4)
+    other = SnapshotTable(spark, root)
+
+    batch_a = reduce_latest(changelog_df.limit(500))
+    batch_b = reduce_latest(changelog_df.limit(1000))
+
+    real_write = SnapshotTable._write_manifest
+    fired = {"n": 0}
+
+    def racing_write(self, manifest, expected_parent_version=None):
+        # before the loser's FIRST commit lands, a competitor advances the
+        # table through the other handle (real path, real CAS)
+        if self is table and fired["n"] == 0:
+            fired["n"] = 1
+            real_write(other, {**other.manifest(),
+                               "version": other.current_version() + 1,
+                               "snapshot_id": "snap-racer",
+                               "parent": other.manifest()["snapshot_id"],
+                               "operation": "merge"},
+                       expected_parent_version=other.current_version())
+        return real_write(self, manifest, expected_parent_version)
+
+    SnapshotTable._write_manifest = racing_write
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            table.merge(batch_a, batch_id=0)  # no retries → surfaces
+        res = table.merge(batch_b, batch_id=1, commit_retries=3,
+                          retry_backoff_sec=0.01)
+        assert res.applied
+    finally:
+        SnapshotTable._write_manifest = real_write
+    # the retried merge applied on top of the racer's version
+    assert table.manifest()["parent"] in ("snap-racer",)
+    # live rows = per-key winners whose final op is not a delete
+    from pyspark.sql import functions as F
+
+    assert table.read().count() == batch_b.filter(F.col("op") != "D").count()
