@@ -7,12 +7,19 @@ Measures:
 * the primary BASELINE.json metric — sustained change-events/sec applied
   to the snapshot table (reduce + bucketed MERGE, 4 microbatches) on a
   deterministic generated changelog;
-* scaling evidence per the north rule: the same apply job at local[8]
-  and local[32]; efficiency = (throughput@32 / throughput@8) / 4.
+* scaling evidence per the north rule: the same apply job at two N→4N
+  thread pairs — 8→32 (headline) and 4→16 (where round-1 calibration
+  shows this VM can still scale); efficiency = (thpt@4N / thpt@N) / 4,
+  reported against CPU and shuffle-shaped machine ceilings.
+
+Output contract: the FINAL stdout line is ONE compact JSON object
+(metric/value/unit/queries/sf + scaling summary). Full per-trial detail
+is printed on an earlier "DETAIL " line and written to BENCH_DETAIL.json.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
 SPARK_GRAFT_BENCH_EVENTS (default 1,000,000),
-SPARK_GRAFT_BENCH_SCALING=0 to skip the two-parallelism run.
+SPARK_GRAFT_BENCH_SCALING=0 to skip the multi-parallelism run,
+SPARK_GRAFT_BENCH_QUERY_TRIALS (default 3, median reported).
 """
 
 from __future__ import annotations
@@ -20,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -55,9 +63,10 @@ HEADLINE = [
 ]
 
 # per-query trials: the sandbox VM is noisy (identical runs vary 2-3x);
-# best-of-N damps it and the recorded trials expose the spread so a
-# sub-second "regression" can be read against the noise band
-QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "2"))
+# MEDIAN-of-N damps it without letting one lucky trial set the headline,
+# and the recorded trials expose the spread so a sub-second "regression"
+# can be read against the noise band
+QUERY_TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "3"))
 
 
 def _bench_tmpdir() -> str:
@@ -166,7 +175,7 @@ def run_headline_queries(spark) -> dict[str, float]:
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             ts.append(round(time.time() - t0, 3))
-        times[name] = min(ts)
+        times[name] = round(statistics.median(ts), 3)
         trials[name] = ts
     return times, trials
 
@@ -293,99 +302,138 @@ def streaming_apply(spark, changelog_dir: str, n_events: int,
     return out
 
 
+# thread counts for the north-rule scaling evidence. 8→32 is the headline
+# N→4N pair; 4→16 is the SAME 4x ratio placed where this VM's memory
+# bandwidth is NOT yet the wall (round-1 calibration: 1→4 and 2→8 scale
+# near-linearly; 8→32 caps at ~0.5 no matter the job) — so 4→16 tests the
+# ENGINE's scaling where the hardware can express it.
+SCALING_THREADS = (4, 8, 16, 32)
+SCALING_PAIRS = ((8, 32), (4, 16))
+
+
+def run_scaling(scale_dir: str) -> dict:
+    """INTERLEAVED trials per thread count: the sandbox VM has noisy
+    neighbors (identical runs vary >2x, and a single contention window
+    can depress ALL of one thread-count's trials, biasing the ratio in
+    either direction). Alternating rounds across thread counts
+    decorrelates contention from thread count; best-of de-noises the
+    rest (median would still carry one bad window at 2 trials/round)."""
+    trials: dict[int, list[dict]] = {k: [] for k in SCALING_THREADS}
+    for _round in range(2):
+        for threads in SCALING_THREADS:
+            s = _fresh_spark(threads)
+            for i in range(2):
+                # 32 buckets = 32 write tasks: one wave at local[32],
+                # 2/4/8 waves at 16/8/4 threads — same total work
+                trials[threads].append(
+                    cdc_apply(s, scale_dir, SCALING_EVENTS, n_batches=2,
+                              n_buckets=32, warmup=(i == 0 and _round == 0))
+                )
+            s.stop()
+    per_thread = {}
+    for threads in SCALING_THREADS:
+        best = min(trials[threads], key=lambda r: r["elapsed_sec"])
+        best["all_trials_sec"] = [r["elapsed_sec"] for r in trials[threads]]
+        per_thread[f"local[{threads}]"] = best
+
+    calib = cpu_calibration(SCALING_THREADS)
+    shuf = shuffle_calibration(scale_dir, SCALING_THREADS)
+    out = {"scaling_events": SCALING_EVENTS, "per_thread": per_thread,
+           "cpu_calibration_sec": calib, "shuffle_calibration_sec": shuf,
+           "pairs": {}}
+    for lo, hi in SCALING_PAIRS:
+        ratio = hi / lo
+        tlo = per_thread[f"local[{lo}]"]["events_per_sec"]
+        thi = per_thread[f"local[{hi}]"]["events_per_sec"]
+        eff = round(thi / tlo / ratio, 3)
+        # ceilings: what a perfectly-parallel ALU-bound job (cpu) and a
+        # scan→shuffle-on-key→write of the SAME changelog (shuffle — the
+        # irreducible kernel of any CDC apply) achieve on this VM between
+        # the same two thread counts
+        machine_eff = round(calib[f"local[{lo}]"] / calib[f"local[{hi}]"] / ratio, 3)
+        shuffle_eff = round(shuf[f"local[{lo}]"] / shuf[f"local[{hi}]"] / ratio, 3)
+        out["pairs"][f"{lo}_to_{hi}"] = {
+            "events_per_sec_lo": tlo,
+            "events_per_sec_hi": thi,
+            "speedup": round(thi / tlo, 3),
+            "efficiency": eff,
+            "machine_ceiling_efficiency": machine_eff,
+            "efficiency_vs_machine_ceiling": round(eff / machine_eff, 3)
+            if machine_eff else None,
+            "shuffle_ceiling_efficiency": shuffle_eff,
+            "efficiency_vs_shuffle_ceiling": round(eff / shuffle_eff, 3)
+            if shuffle_eff else None,
+        }
+    return out
+
+
 def main() -> None:
     gen_dir = os.path.join(_bench_tmpdir(), f"changelog_{N_EVENTS}")
 
     spark = _fresh_spark(CPUS)
     ensure_changelog(spark, gen_dir, N_EVENTS)
     queries, query_trials = run_headline_queries(spark)
-    apply_main = min(
-        (cdc_apply(spark, gen_dir, N_EVENTS, n_buckets=32, warmup=(i == 0))
-         for i in range(3)),
-        key=lambda r: r["elapsed_sec"],
-    )
-    result = {
-        "metric": "cdc_upsert_apply_throughput",
-        "value": apply_main["elapsed_sec"],
-        "unit": "sec",
-        "queries": queries,
-        "queries_best_of": QUERY_TRIALS,
+    apply_trials = [
+        cdc_apply(spark, gen_dir, N_EVENTS, n_buckets=32, warmup=(i == 0))
+        for i in range(3)
+    ]
+    apply_main = sorted(apply_trials, key=lambda r: r["elapsed_sec"])[1]  # median
+    detail = {
+        "queries_trials": QUERY_TRIALS,
         "queries_trials_sec": query_trials,
         "queries_spread_sec": {
             n: round(max(ts) - min(ts), 3) for n, ts in query_trials.items()
         },
-        "sf": SF_DIR.rstrip("/").split("sf")[-1],
-        "events": N_EVENTS,
-        "events_per_sec": apply_main["events_per_sec"],
-        "final_rows": apply_main["final_rows"],
+        "apply_trials_sec": [r["elapsed_sec"] for r in apply_trials],
         "reduce_strategies_sec": reduce_strategy_comparison(spark, gen_dir),
     }
     if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "0") == "1":
-        result["streaming"] = min(
+        detail["streaming"] = min(
             (streaming_apply(spark, gen_dir, N_EVENTS) for _ in range(2)),
             key=lambda r: r["elapsed_sec"],
         )
     spark.stop()
 
+    scaling_compact = None
     if DO_SCALING:
-        # INTERLEAVED best-of per thread count: the sandbox VM has noisy
-        # neighbors (identical runs vary >2x, and a single contention
-        # window can depress ALL of one thread-count's trials, biasing the
-        # ratio in either direction). Alternating 8/32 rounds decorrelates
-        # the contention from the thread count; best-of de-noises the rest.
         scale_dir = os.path.join(_bench_tmpdir(), f"changelog_{SCALING_EVENTS}")
         sgen = _fresh_spark(CPUS)
         ensure_changelog(sgen, scale_dir, SCALING_EVENTS)
         sgen.stop()
-        trials: dict[int, list[dict]] = {8: [], 32: []}
-        for _round in range(2):
-            for threads in (8, 32):
-                s = _fresh_spark(threads)
-                for i in range(2):
-                    # 32 buckets = 32 write tasks: full one-wave parallelism
-                    # at local[32], 4 waves at local[8] — the rule's ratio
-                    trials[threads].append(
-                        cdc_apply(s, scale_dir, SCALING_EVENTS, n_batches=2,
-                                  n_buckets=32, warmup=(i == 0))
-                    )
-                s.stop()
-        scaling = {}
-        for threads in (8, 32):
-            best = min(trials[threads], key=lambda r: r["elapsed_sec"])
-            best["all_trials_sec"] = [r["elapsed_sec"] for r in trials[threads]]
-            scaling[f"local[{threads}]"] = best
-        t8 = scaling["local[8]"]["events_per_sec"]
-        t32 = scaling["local[32]"]["events_per_sec"]
-        calib = cpu_calibration()
-        machine_eff = round(calib["local[8]"] / calib["local[32]"] / 4.0, 3)
-        shuf = shuffle_calibration(scale_dir)
-        shuffle_eff = round(shuf["local[8]"] / shuf["local[32]"] / 4.0, 3)
-        eff = round(t32 / t8 / 4.0, 3)
-        result["scaling"] = {
-            "scaling_events": SCALING_EVENTS,
-            "events_per_sec_8": t8,
-            "events_per_sec_32": t32,
-            "speedup_8_to_32": round(t32 / t8, 3),
-            "efficiency": eff,
-            # what a perfectly-parallel CPU-bound job achieves on this VM —
-            # SMT + hypervisor neighbors cap real core scaling well below 4x
-            "machine_ceiling_efficiency": machine_eff,
-            "efficiency_vs_machine_ceiling": round(eff / machine_eff, 3)
-            if machine_eff
-            else None,
-            # the apples-to-apples ceiling: scan→shuffle-on-key→write of
-            # the SAME changelog — the irreducible kernel of any CDC apply.
-            # The ALU calibration above moves no memory; this one hits the
-            # same bandwidth wall the apply does, so apply-vs-shuffle is
-            # the engine's true parallel efficiency on this VM.
-            "shuffle_ceiling_efficiency": shuffle_eff,
-            "efficiency_vs_shuffle_ceiling": round(eff / shuffle_eff, 3)
-            if shuffle_eff
-            else None,
-            "cpu_calibration_sec": calib,
-            "shuffle_calibration_sec": shuf,
+        detail["scaling"] = run_scaling(scale_dir)
+        scaling_compact = {
+            pair: {
+                k: v
+                for k, v in stats.items()
+                if k in ("events_per_sec_lo", "events_per_sec_hi",
+                         "efficiency", "shuffle_ceiling_efficiency",
+                         "efficiency_vs_shuffle_ceiling")
+            }
+            for pair, stats in detail["scaling"]["pairs"].items()
         }
 
+    # full detail goes to a side file + an EARLIER stdout line; the FINAL
+    # stdout line is the compact driver contract (kept small so the
+    # driver's output-tail capture window always contains the whole line)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print("DETAIL " + json.dumps(detail))
+    sys.stdout.flush()
+
+    result = {
+        "metric": "cdc_upsert_apply_throughput",
+        "value": apply_main["elapsed_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "events": N_EVENTS,
+        "events_per_sec": apply_main["events_per_sec"],
+        "final_rows": apply_main["final_rows"],
+        "queries_stat": f"median_of_{QUERY_TRIALS}",
+    }
+    if scaling_compact is not None:
+        result["scaling"] = scaling_compact
     print(json.dumps(result))
 
 

@@ -338,29 +338,70 @@ def incremental_minhash_flags(
     cand = cand_corpus.unionByName(cand_batch)
 
     # verify shingles: the batch's (already built) + ONLY the corpus docs
-    # that appear as candidates (left-semi prunes the corpus scan)
+    # that appear as candidates (left-semi prunes the corpus scan). The
+    # corpus side is TAGGED: a doc_id can exist on BOTH sides (re-ingestion
+    # with content drift), and unioning both versions' shingles under one
+    # id would inflate sizes in jaccard_verify and under-report similarity
+    # — corpus pairs must verify against CORPUS shingles, batch pairs
+    # against BATCH shingles.
     matched_corpus_docs = corpus_docs.join(
         cand_corpus.select(F.col("matched_doc").alias(id_col)).distinct(),
         on=id_col,
         how="left_semi",
     )
-    sh_verify = sh_new.unionByName(shingle_table(matched_corpus_docs, id_col, text_col, k))
+    # verify keys are "side\\0id" string composites (NUL cannot appear in
+    # real ids); the ORIGINAL matched_doc/new_doc are carried alongside so
+    # the output keeps the caller's id type
+    tag_b = "b\u0000"
+    tag_c = "c\u0000"
+    sh_corpus = shingle_table(matched_corpus_docs, id_col, text_col, k).select(
+        F.concat(F.lit(tag_c), F.col("doc_id").cast("string")).alias("doc_id"), "s"
+    )
+    sh_verify = sh_new.select(
+        F.concat(F.lit(tag_b), F.col("doc_id").cast("string")).alias("doc_id"), "s"
+    ).unionByName(sh_corpus)
 
     pairs = cand.select(
-        F.col("matched_doc").alias("doc_a"),
-        F.col("new_doc").alias("doc_b"),
+        F.concat(
+            F.when(F.col("matched_in") == "corpus", F.lit(tag_c)).otherwise(
+                F.lit(tag_b)
+            ),
+            F.col("matched_doc").cast("string"),
+        ).alias("doc_a"),
+        F.concat(F.lit(tag_b), F.col("new_doc").cast("string")).alias("doc_b"),
+        F.col("new_doc"),
+        F.col("matched_doc"),
         "matched_in",
     )
     verified = jaccard_verify(pairs.select("doc_a", "doc_b"), sh_verify, threshold)
     return (
         verified.join(pairs, on=["doc_a", "doc_b"])
-        .select(
-            F.col("doc_b").alias("new_doc"),
-            F.col("doc_a").alias("matched_doc"),
-            "jaccard",
-            "matched_in",
-        )
+        .select("new_doc", "matched_doc", "jaccard", "matched_in")
     )
+
+
+def _persistent_rdd_ids(sc) -> set[int]:
+    """Ids of currently-persisted RDDs (JVM-side). Diffed around an eager
+    ``localCheckpoint`` to capture the checkpoint's block-backing RDD —
+    Spark exposes no public unpersist for local checkpoints. The diff
+    window is one eager materialization; a concurrent job persisting an
+    RDD inside it would be mis-captured (acceptable for this operator's
+    single-job rounds)."""
+    ids: set[int] = set()
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def _unpersist_rdd_ids(sc, ids: set[int]) -> None:
+    if not ids:
+        return
+    it = sc._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() in ids:
+            kv._2().unpersist(False)
 
 
 def connected_components(
@@ -390,9 +431,17 @@ def connected_components(
     the checkpointed blocks; on an unreliable cluster swap in
     ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``.
 
+    The PREVIOUS round's checkpoint blocks are freed as soon as the new
+    round has materialized (localCheckpoint has no public unpersist, so
+    the block ids are diffed around each checkpoint and released through
+    the JVM handle) — otherwise storage grows O(rounds × nodes). Only
+    rounds strictly before the returned labels are freed; the final
+    table's blocks stay (they ARE the result).
+
     ``nodes``: optional 1-column DataFrame of ALL node ids — isolated
     nodes (no edges) then appear as their own singleton components.
     """
+    sc = edges.sparkSession.sparkContext
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -403,7 +452,9 @@ def connected_components(
     if nodes is not None:
         only = nodes.toDF("node")
         labels = labels.unionByName(only).distinct()
+    before = _persistent_rdd_ids(sc)
     labels = labels.withColumn("comp", F.col("node")).localCheckpoint(eager=True)
+    labels_block_ids = _persistent_rdd_ids(sc) - before
 
     converged = False
     for _ in range(max_iter):
@@ -412,6 +463,7 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("ncomp"))
         )
+        before = _persistent_rdd_ids(sc)
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
@@ -422,7 +474,12 @@ def connected_components(
                 (F.col("ncomp") < F.col("comp")).alias("_changed"),
             )
         ).localCheckpoint(eager=True)
+        new_block_ids = _persistent_rdd_ids(sc) - before
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        # the new round is materialized — the previous round's checkpoint
+        # blocks can no longer be referenced; free them now
+        _unpersist_rdd_ids(sc, labels_block_ids)
+        labels_block_ids = new_block_ids
         labels = new_labels.drop("_changed")
         if changed == 0:
             converged = True

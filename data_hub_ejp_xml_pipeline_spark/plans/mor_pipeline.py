@@ -75,9 +75,18 @@ class MorPipeline:
         )
         if SnapshotTable.exists(root + "/base"):
             self.base = SnapshotTable(spark, root + "/base")
-            self.delta = SnapshotTable(spark, root + "/delta")
             # existing tables own their key (see MergePipeline)
             self.key = key = self.base.manifest()["key"]
+            if SnapshotTable.exists(root + "/delta"):
+                self.delta = SnapshotTable(spark, root + "/delta")
+            else:
+                # heal: a crash between the two creates below leaves the
+                # base without its delta — recreate it (empty, no data
+                # could have staged) instead of failing on first read
+                self.delta = SnapshotTable.create(
+                    spark, root + "/delta", delta_schema, key=key,
+                    n_buckets=self.base.manifest()["n_buckets"],
+                )
         else:
             self.base = SnapshotTable.create(
                 spark, root + "/base", payload_schema, key=key, n_buckets=n_buckets
@@ -85,7 +94,27 @@ class MorPipeline:
             self.delta = SnapshotTable.create(
                 spark, root + "/delta", delta_schema, key=key, n_buckets=n_buckets
             )
-        self._since_compact = 0
+        # staged-epoch count survives restarts: derived from the delta
+        # table's manifest chain (applied appends since the last truncate),
+        # not process-local state — otherwise a restart resets the counter
+        # and up to 2*k_compact-1 epochs stage before compaction triggers
+        self._since_compact = self._staged_epochs()
+        if self._since_compact >= self.k_compact:
+            self.compact()
+
+    def _staged_epochs(self) -> int:
+        """Applied append commits in the delta table since its last
+        truncate (or creation) — O(staged epochs) tiny JSON reads."""
+        v = self.delta.current_version()
+        n = 0
+        while v > 0:
+            m = self.delta.manifest(v)
+            if m.get("operation") == "truncate":
+                break
+            if m.get("operation") == "append":
+                n += 1
+            v -= 1
+        return n
 
     # ------------------------------------------------------------- ingest
     def apply(self, changelog: DataFrame, batch_id: int | None = None) -> CommitResult:

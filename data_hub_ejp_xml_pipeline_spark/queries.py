@@ -837,7 +837,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → DECISIONS: verified minhash near-dup pairs resolved into
     transitive clusters by min-label-propagation connected components
     (operators.dedup.connected_components — iterative DataFrame joins,
-    per-round persist/unpersist so the plan never grows), every document
+    per-round localCheckpoint with the previous round's blocks freed, so
+    neither the plan nor storage memory grows with rounds), every document
     labeled (singletons are their own cluster), one canonical doc per
     cluster. ``filter(is_canonical)`` IS the deduplicated corpus."""
     docs = _t(spark, sf_dir, "documents")

@@ -53,6 +53,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # no console progress bar: it interleaves with stdout and corrupts
+        # machine-readable output (the bench contract is ONE JSON line)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # file sources: bound partition size so a 100TB scan fans out
         .config("spark.sql.files.maxPartitionBytes", "134217728")

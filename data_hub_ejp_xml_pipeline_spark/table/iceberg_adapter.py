@@ -186,9 +186,12 @@ class IcebergSnapshotTable:
         if version is not None and snapshot_id is not None:
             raise ValueError("pass either version or snapshot_id, not both")
         if version is not None:  # sequential version → Iceberg snapshot id
+            # snapshot_id tie-breaks equal committed_at timestamps (two
+            # commits can land in the same timestamp granularity; without
+            # a total order the version mapping is nondeterministic)
             snaps = (
                 self.spark.read.table(f"{self.identifier}.snapshots")
-                .orderBy("committed_at")
+                .orderBy("committed_at", "snapshot_id")
                 .select("snapshot_id")
                 .collect()
             )

@@ -333,3 +333,52 @@ def test_racing_compactors_one_wins_cas(spark, tmp_path, changelog_pdf):
         a.final_state().select(COLS).toPandas(),
         expected_final_state_pandas(changelog_pdf),
     )
+
+
+def test_mor_heals_missing_delta_table(spark, tmp_path, changelog_pdf):
+    """Crash between base-create and delta-create: reopening the root must
+    recreate the (necessarily empty) delta table instead of failing on the
+    first delta read."""
+    import shutil
+
+    root = tmp_path / "heal"
+    MorPipeline(spark, str(root), n_buckets=4, k_compact=10)
+    shutil.rmtree(root / "delta")  # simulate the crash window
+    mor = MorPipeline(spark, str(root), n_buckets=4, k_compact=10)
+    b0, _ = _batches(changelog_pdf, 2)
+    mor.apply(spark_changelog_from_pandas(spark, b0), batch_id=0)
+    assert_final_state_equal(
+        mor.final_state().select(COLS).toPandas(), expected_final_state_pandas(b0)
+    )
+    # the healed delta inherits the base's bucket layout
+    assert mor.delta.manifest()["n_buckets"] == mor.base.manifest()["n_buckets"]
+
+
+def test_mor_staged_epoch_count_survives_restart(spark, tmp_path, changelog_pdf):
+    """The compaction trigger is derived from the delta ledger, not
+    process-local state: k_compact-1 epochs before a restart plus one
+    after must compact — a process-local counter would let up to
+    2*k_compact-1 epochs stage (unbounded read amplification on the
+    documented k_compact bound)."""
+    root = str(tmp_path / "restart")
+    batches = _batches(changelog_pdf, 4)
+    mor1 = MorPipeline(spark, root, n_buckets=4, k_compact=3)
+    for i in range(2):
+        mor1.apply(spark_changelog_from_pandas(spark, batches[i]), batch_id=i)
+    assert len(mor1.delta.manifest()["files"]) > 0  # 2 staged, not compacted
+
+    mor2 = MorPipeline(spark, root, k_compact=3)  # restart
+    assert mor2._since_compact == 2
+    mor2.apply(spark_changelog_from_pandas(spark, batches[2]), batch_id=2)
+    # third epoch triggered the compaction: deltas folded, table truncated
+    assert mor2.delta.manifest()["operation"] == "truncate"
+    assert mor2._since_compact == 0
+    assert_final_state_equal(
+        mor2.final_state().select(COLS).toPandas(),
+        expected_final_state_pandas(pd.concat(batches[:3], ignore_index=True)),
+    )
+    # a restart that lands ABOVE the threshold compacts immediately on open
+    mor3 = MorPipeline(spark, root, k_compact=1)
+    mor3.apply(spark_changelog_from_pandas(spark, batches[3]), batch_id=3)
+    mor4 = MorPipeline(spark, root, k_compact=1)
+    assert mor4._since_compact == 0

@@ -49,14 +49,20 @@ def test_schema_merge_idempotent(s):
 
 @given(a=_schemas(), b=_schemas())
 @settings(max_examples=200)
-def test_schema_merge_existing_wins_and_add_only(a, b):
+def test_schema_merge_names_and_add_only(a, b):
+    """Existing NAMES survive in order; added fields come only from b.
+
+    Type semantics are deliberately NOT asserted here: the engine diverges
+    from the reference's strict existing-wins (``get_new_merged_schema``,
+    ``bq_data_service.py:142-188``) by widening scalars along the lossless
+    Iceberg chains (int→long, float→double) — the north rule mandates
+    Iceberg-style evolution, and narrowing incoming data would overflow
+    under ANSI. The widening lattice is owned by ONE suite:
+    ``test_schema_merge_properties.py::test_scalar_types_only_widen_along_chains``.
+    """
     merged = merge_schemas(a, b)
-    # every existing field survives, in order, with its original type
+    # every existing field survives, in order, by name
     assert merged.fieldNames()[: len(a.fields)] == a.fieldNames()
-    for f in a.fields:
-        mf = next(m for m in merged.fields if m.name == f.name)
-        if not isinstance(f.dataType, T.StructType):
-            assert mf.dataType == f.dataType
     # added fields come only from b, and only when not present (ci) in a
     existing_lower = {f.name.lower() for f in a.fields}
     added = merged.fieldNames()[len(a.fields):]

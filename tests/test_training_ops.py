@@ -294,6 +294,27 @@ def test_incremental_minhash_flags_corpus_and_batch(spark, docs):
     assert rows2[(5, 0)] == "corpus"  # and the corpus twin is also reported
 
 
+def test_incremental_minhash_reingested_id_does_not_dilute_verify(spark):
+    """A doc_id present on BOTH sides (re-ingestion with content drift)
+    must not pool both versions' shingles under one id in the verify —
+    that inflates sizes and under-reports jaccard. Batch doc 20 is an
+    exact copy of CORPUS doc 10, while the batch also re-ingests doc 10
+    with totally different text: the (20, 10) corpus pair must verify at
+    jaccard 1.0 against the CORPUS version of doc 10."""
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    drift = "one two three four five six seven eight nine ten eleven twelve"
+    corpus = spark.createDataFrame([(10, text)], ["doc_id", "text"])
+    batch = spark.createDataFrame([(10, drift), (20, text)], ["doc_id", "text"])
+    state = dedup.minhash_band_state(corpus)
+    flags = dedup.incremental_minhash_flags(batch, corpus, state, threshold=0.8)
+    rows = {(r.new_doc, r.matched_doc, r.matched_in): r.jaccard
+            for r in flags.collect()}
+    assert rows[(20, 10, "corpus")] == 1.0
+    # output id columns keep the caller's (integer) type
+    assert dict(flags.dtypes)["new_doc"] == "bigint"
+    assert dict(flags.dtypes)["matched_doc"] == "bigint"
+
+
 def test_incremental_minhash_state_reuse_matches_batch_recompute(spark, docs):
     """Flags computed against appended per-epoch band state equal flags
     against state rebuilt from scratch — the state table is a faithful
@@ -362,3 +383,25 @@ def test_neardup_clusters_end_to_end(spark, docs):
     # exactly one canonical per cluster
     canon = [d for d, (_, c) in out.items() if c]
     assert sorted(canon) == [0, 3, 4]
+
+
+def test_connected_components_frees_intermediate_checkpoints(spark):
+    """Multi-round propagation must not accumulate checkpoint blocks:
+    after the run, at most the FINAL labels table's blocks remain
+    persisted (plus nothing from `und`, which is explicitly unpersisted).
+    A long chain forces many rounds, so a leak is O(rounds) new ids."""
+    from data_hub_ejp_xml_pipeline_spark.operators.dedup import (
+        _persistent_rdd_ids,
+        connected_components,
+    )
+
+    n = 12  # chain 0-1-2-...-12 → ~n rounds of min-label propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["src", "dst"]
+    )
+    before = _persistent_rdd_ids(spark.sparkContext)
+    cc = connected_components(edges, max_iter=2 * n)
+    rows = {r.node: r.comp for r in cc.collect()}
+    assert rows == {i: 0 for i in range(n + 1)}
+    leaked = _persistent_rdd_ids(spark.sparkContext) - before
+    assert len(leaked) <= 1, f"checkpoint blocks leaked: {sorted(leaked)}"
