@@ -2,11 +2,16 @@
 
 Images/audio/video are carried as ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow-
-batched pandas functions over ``mapInPandas``. The decode itself is
-STUBBED in this container (no image/audio libs): ``decode_mode='strict'``
-raises ``NotImplementedError`` at the decode site, ``'fake'`` produces a
-deterministic synthetic decode so the Spark-side plumbing — schema,
-partitioning, UDF signature, batch shape — is real and tested end-to-end.
+batched pandas functions over ``mapInPandas``. Two decode modes:
+
+* ``decode_mode='strict'`` — REAL byte-level decode via the
+  dependency-free codecs in :mod:`.codecs` (24-bit BMP, P6 PPM, 16-bit
+  PCM WAV); payloads in any other format raise ``NotImplementedError``
+  at the decode site (a PIL/pyav ``kernel=`` handles them on a cluster
+  with the libraries).
+* ``decode_mode='fake'`` — deterministic digest-seeded synthetic decode,
+  a TEST DOUBLE for exercising the Spark-side plumbing (schema,
+  partitioning, UDF signature, batch shape) with arbitrary bytes.
 
 **Pluggable kernel seam**: every operator also accepts ``kernel=`` — a
 batch-level callable that replaces the stub without touching the Spark
@@ -115,8 +120,11 @@ def extract_features(
                         f"kernel returned {len(feats)} outputs for "
                         f"{len(payloads)} payloads"
                     )
+            elif decode_mode == "strict":
+                from data_hub_ejp_xml_pipeline_spark.operators import codecs
+
+                feats = codecs.feature_any_kernel(payloads, dim)
             else:
-                _require_decoder(decode_mode)
                 feats = [_fake_decode(p, dim).tolist() for p in payloads]
             yield pd.DataFrame(
                 {
@@ -139,6 +147,13 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def _sniff_or(payload: bytes, fallback: str) -> str:
+    from data_hub_ejp_xml_pipeline_spark.operators import codecs
+
+    fmt = codecs.sniff_format(payload)
+    return fmt if fmt != "unknown" else fallback
+
+
 def _validate_mode(decode_mode: str) -> None:
     """Driver-side, eager: a typo'd mode must fail at call time, not as a
     serialized executor exception at action time (or never, on empty
@@ -147,13 +162,58 @@ def _validate_mode(decode_mode: str) -> None:
         raise ValueError(f"unknown decode_mode: {decode_mode!r}")
 
 
-def _require_decoder(decode_mode: str) -> None:
-    _validate_mode(decode_mode)
-    if decode_mode == "strict":
-        raise NotImplementedError(
-            "real media decode requires image/audio libraries not present "
-            "in this container; use decode_mode='fake'"
-        )
+DECODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),     # null for audio
+        T.StructField("height", T.IntegerType()),    # null for audio
+        T.StructField("n_bytes", T.IntegerType()),   # encoded payload size
+        T.StructField("n_values", T.IntegerType()),  # decoded samples/channels
+        T.StructField("sum_values", T.LongType()),   # checksum of decoded data
+    ]
+)
+
+
+def decode_stats(media: DataFrame) -> DataFrame:
+    """REAL decode of every payload (no fake path): per-media dimensions +
+    content checksum, the verification shape for a decode stage. Images
+    report (width, height, n_values = w*h*3, sum_values = Σ RGB bytes);
+    WAV reports (n_values = frames*channels, sum_values = Σ |samples|).
+    Unsupported bytes raise — silent skips would hide corrupt payloads.
+    Arrow-batched ``mapInPandas``, partition-local, no shuffle."""
+    from data_hub_ejp_xml_pipeline_spark.operators import codecs
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in DECODE_STATS_SCHEMA}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(p)
+                fmt = codecs.sniff_format(payload)
+                if fmt == "wav":
+                    _rate, samples = codecs.decode_wav(payload)
+                    w = h = None
+                    n_vals = int(samples.size)
+                    total = int(np.abs(samples.astype(np.int64)).sum())
+                else:
+                    img = codecs.decode_image(payload)  # raises on unknown
+                    h_, w_, _ = img.shape
+                    w, h = int(w_), int(h_)
+                    n_vals = int(img.size)
+                    total = int(img.astype(np.int64).sum())
+                rows["media_id"].append(mid)
+                rows["format"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_bytes"].append(len(payload))
+                rows["n_values"].append(n_vals)
+                rows["sum_values"].append(total)
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            yield out
+
+    return media.mapInPandas(run, schema=DECODE_STATS_SCHEMA)
 
 
 def resize_images(
@@ -184,8 +244,11 @@ def resize_images(
                         f"kernel returned {len(out_payloads)} outputs for "
                         f"{len(payloads)} payloads"
                     )
+            elif decode_mode == "strict":
+                from data_hub_ejp_xml_pipeline_spark.operators import codecs
+
+                out_payloads = codecs.image_resize_kernel(payloads, width, height)
             else:
-                _require_decoder(decode_mode)
                 out_payloads = []
                 for p in payloads:
                     digest = hashlib.md5(p).digest()
@@ -204,7 +267,7 @@ def resize_images(
                             # a real kernel's encoded output (e.g. JPEG)
                             # is not width*height bytes — record reality
                             "n_bytes": len(b),
-                            "format": "raw-resized",
+                            "format": _sniff_or(b, "raw-resized"),
                             "width": width,
                             "height": height,
                         }
@@ -244,8 +307,11 @@ def sample_frames(
                         f"kernel returned {len(per_media)} outputs for "
                         f"{len(raw)} payloads"
                     )
+            elif decode_mode == "strict":
+                from data_hub_ejp_xml_pipeline_spark.operators import codecs
+
+                per_media = codecs.wav_frame_kernel(raw, frame_interval_ms)
             else:
-                _require_decoder(decode_mode)
                 per_media = []
                 for p in raw:
                     digest = hashlib.md5(p).digest()

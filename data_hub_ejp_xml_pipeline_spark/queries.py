@@ -1704,6 +1704,77 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BMPs synthesized deterministically from documents.n_chars: seed-driven
+# size and a linear-congruential gray ramp, so a SQL oracle can predict
+# exactly what a REAL byte-level decode of the generated file must report
+# (dimensions from the parsed header, checksum from the parsed pixels).
+_BMP_W = "4 + n_chars % 5"
+_BMP_H = "3 + n_chars % 4"
+
+_MULTIMODAL_DECODE_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, n_chars AS seed, {_BMP_W} AS w, {_BMP_H} AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         (seed * 7 + unnest(generate_series(0, w * h - 1)) * 13) % 256 AS v
+  FROM d
+)
+SELECT
+  CAST(doc_id AS VARCHAR)                    AS media_id,
+  'bmp'                                      AS format,
+  CAST(w AS INTEGER)                         AS width,
+  CAST(h AS INTEGER)                         AS height,
+  -- 54-byte headers + 4-byte-padded BGR rows: the REAL file size
+  CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS INTEGER) AS n_bytes,
+  CAST(w * h * 3 AS INTEGER)                 AS n_values,
+  CAST(3 * sum(v) AS BIGINT)                 AS sum_values
+FROM px
+GROUP BY doc_id, w, h
+"""
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synthesize a deterministic 24-bit BMP
+    per document (pure-Python encoder, operators.codecs), then recover
+    dimensions + pixel checksum by PARSING the bytes back
+    (operators.multimodal.decode_stats — strict path, no fake decode).
+    The oracle predicts header size, dimensions, and checksum from the
+    generating formula — so a decoder bug (padding, BGR order, bottom-up
+    rows) breaks the hash match. Both stages are Arrow-batched
+    mapInPandas, partition-local, no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from data_hub_ejp_xml_pipeline_spark.operators import codecs
+    from data_hub_ejp_xml_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches):
+        for pdf in batches:
+            out = {"media_id": [], "media_type": [], "payload": [], "meta": []}
+            for doc_id, seed in zip(pdf["doc_id"], pdf["n_chars"]):
+                seed = int(seed)
+                w, h = 4 + seed % 5, 3 + seed % 4
+                v = (seed * 7 + np.arange(w * h, dtype=np.int64) * 13) % 256
+                img = np.repeat(v, 3).reshape(h, w, 3).astype(np.uint8)
+                payload = codecs.encode_bmp(img)
+                out["media_id"].append(str(doc_id))
+                out["media_type"].append("image")
+                out["payload"].append(payload)
+                out["meta"].append(
+                    {"n_bytes": len(payload), "format": "bmp", "width": w, "height": h}
+                )
+            yield pd.DataFrame(out)
+
+    media = docs.mapInPandas(synth, schema=MEDIA_SCHEMA)
+    return decode_stats(media)
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1814,6 +1885,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_ivf": (q_ann_ivf, _ann_ivf_oracle()),
     "embedding_neardup": (q_embedding_neardup, _NEARDUP_COS_ORACLE),
     "multimodal_meta": (q_multimodal_meta, _MULTIMODAL_ORACLE),
+    "multimodal_decode": (q_multimodal_decode, _MULTIMODAL_DECODE_ORACLE),
     "entity_tables_typed": (q_entity_tables_typed, _ENTITY_TYPED_ORACLE),
     "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_ORACLE),
     "sequence_pack_greedy": (q_sequence_pack_greedy, _SEQUENCE_PACK_GREEDY_ORACLE),
