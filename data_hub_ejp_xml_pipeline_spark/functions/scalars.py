@@ -122,6 +122,39 @@ def fuzzy_parse_timestamp(s: pd.Series) -> pd.Series:
     return s.map(one)
 
 
+STATE_DT_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def state_datetime_to_string(c: Column | str) -> Column:
+    """Render a timestamp in the reference's STATE-FILE codec format
+    ``%Y-%m-%d %H:%M:%S`` (timestamp.py:40-41, P10) — the format its
+    watermark state file stores. The engine's watermark state is the
+    Spark checkpoint (binary, Spark-native); this codec exists for
+    interop surfaces that exchange the reference's textual form
+    (diagnostics, migration of an existing state file)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.date_format(c, STATE_DT_FMT)
+
+
+def state_string_to_datetime(c: Column | str) -> Column:
+    """Parse the state-file codec back (timestamp.py:44-51, P10):
+    whitespace is stripped before parsing, exactly as the reference's
+    ``datetime_as_string.strip()``. The reference attaches the LOCAL
+    zone on parse (``tz.tzlocal()``); the engine runs sessions in UTC,
+    where that is the identity — documented divergence for non-UTC
+    deployments (the engine never round-trips state through local time)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.try_to_timestamp(F.trim(c), F.lit(STATE_DT_FMT))
+
+
+def to_default_tz_display_format(c: Column | str, tz: str = "US/Eastern") -> Column:
+    """Operator-facing display render ``%d %b %y  %H:%M:%S`` in the
+    reference's default zone (timestamp.py:34-37; display-only, feeds no
+    keys). Note the DOUBLE space — reproduced byte-for-byte."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.date_format(F.from_utc_timestamp(c, tz), "dd MMM yy  HH:mm:ss")
+
+
 # ------------------------------------------------------------------- keys
 
 MANUSCRIPT_NO_PATTERN = r".*e[Ll]ife.*-(\d{5,6})"

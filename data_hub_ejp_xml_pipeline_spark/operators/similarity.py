@@ -148,12 +148,20 @@ def ivf_centroids(
     seed_rem: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """(cid, centroid): deterministic seed vectors (``id % mod == rem``,
-    first ``n_centroids`` by id) refined by ONE Lloyd step — assign all
-    vectors to seeds, recompute elementwise means. At 100 TB you'd train
-    on a sample; the dataflow (broadcast-assign + posexplode/avg) is the
-    same shape either way."""
+    first ``n_centroids`` by id) refined by ONE Lloyd step — assign the
+    TRAINING set to seeds, recompute elementwise means.
+
+    ``train_fraction`` < 1 trains the Lloyd step on a deterministic
+    md5-hash sample of the corpus — the 100 TB shape: centroid quality
+    needs only a representative sample, and the full-corpus pass is saved
+    for the one real assignment in :func:`ann_ivf`. The sample predicate
+    is an md5 prefix mod 100 (not ``rand()``) so an independent SQL
+    engine reproduces the exact training set."""
+    if not 0.0 < train_fraction <= 1.0:
+        raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
     w_seed = W.orderBy(id_col)
     seeds = (
         emb.filter(F.pmod(F.col(id_col), F.lit(seed_mod)) == seed_rem)
@@ -164,9 +172,15 @@ def ivf_centroids(
             F.col(vec_col).cast("array<double>").alias("centroid"),
         )
     )
+    train = emb
+    if train_fraction < 1.0:
+        pct = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
+        ).cast("long") % 100
+        train = emb.filter(pct < int(round(train_fraction * 100)))
     assigned = _argmin_centroid(
-        emb.select(id_col, F.col(vec_col).alias("_v")), seeds, id_col, "_v"
-    ).join(emb.select(id_col, vec_col), id_col)
+        train.select(id_col, F.col(vec_col).alias("_v")), seeds, id_col, "_v"
+    ).join(train.select(id_col, vec_col), id_col)
     # elementwise mean per cluster: posexplode → avg per (cid, pos) →
     # re-collect in position order; dims rounded so both engines agree
     dims = assigned.select(
@@ -188,13 +202,16 @@ def ann_ivf(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF ANN: inverted lists on refined centroids; each query probes its
     ``n_probe`` nearest lists and reranks exactly. The big side shuffles
     once (on cid for the list join); centroids and queries broadcast.
     Approximate (recall < 1 when the true neighbor lives in an unprobed
-    list)."""
-    cents = ivf_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col)
+    list). ``train_fraction`` samples the centroid TRAINING pass only —
+    the inverted lists always cover the full corpus."""
+    cents = ivf_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col,
+                          train_fraction=train_fraction)
     lists = _argmin_centroid(
         emb.select(id_col, F.col(vec_col).alias("_v")), cents, id_col, "_v"
     ).join(emb.select(id_col, vec_col), id_col)

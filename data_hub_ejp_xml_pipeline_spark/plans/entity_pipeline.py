@@ -79,6 +79,7 @@ class EntityPipeline:
         config: PipelineConfig,
         n_buckets: int = 16,
         payload_mode: str = "json",
+        dedup_state=None,
     ):
         """``payload_mode``:
 
@@ -94,12 +95,19 @@ class EntityPipeline:
         A table keeps the mode it was created with — don't reopen a json
         table as typed (the payload column would be re-inferred as a
         string field).
+
+        ``dedup_state``: an optional :class:`plans.dedup_ingest.
+        DedupIngestState` — each epoch's LWW-reduced live payloads are
+        flagged against the persisted corpus band state and appended to
+        it (dedup-on-ingest). Requires a ``batch_id`` on every ``apply``
+        (the state tables' exactly-once rides the epoch ledger).
         """
         if payload_mode not in ("json", "typed"):
             raise ValueError(f"payload_mode must be json|typed, got {payload_mode!r}")
         self.spark = spark
         self.config = config
         self.payload_mode = payload_mode
+        self.dedup_state = dedup_state
         create_schema = (
             TYPED_BASE_SCHEMA if payload_mode == "typed" else ENTITY_PAYLOAD_SCHEMA
         )
@@ -156,6 +164,18 @@ class EntityPipeline:
         # the upstream plan (e.g. the zip parse mapInPandas) would re-execute
         # 8 times per epoch
         changelog = changelog.persist()
+        if self.dedup_state is not None:
+            if batch_id is None:
+                raise ValueError(
+                    "dedup-on-ingest requires a monotone batch_id — the "
+                    "band/flags state tables commit exactly-once per epoch"
+                )
+            # near-dup flags over the epoch's LWW winners (live rows only:
+            # a deleted doc's payload should not enter the corpus state)
+            live = reduce_latest(
+                changelog.select("lsn", "op", "doc_id", "payload")
+            ).filter(F.col("op") != "D")
+            self.dedup_state.apply(live, batch_id=batch_id, text_col="payload")
         applied = {}
         for entity, table in self.tables.items():
             slice_df = changelog.filter(F.col("source") == entity).select(

@@ -913,6 +913,72 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_state_oracle() -> str:
+    mins, bands = _minhash_exprs()
+    # epoch of a flag = the wave of its NEW side; matched side is an
+    # earlier wave ('corpus') or an earlier doc of the same wave ('batch').
+    # "earlier doc" compares the STRING ids, because the persisted state
+    # tables store doc_id as string (the engine's tie-break domain)
+    band_joins = "\nUNION\n".join(
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM wb a JOIN wb b "
+        f"ON a.band{b} = b.band{b} WHERE a.doc_id != b.doc_id "
+        f"AND (a.wave < b.wave OR (a.wave = b.wave "
+        f"AND CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)))"
+        for b in range(_N_MINHASH // _BAND_SIZE)
+    )
+    return (
+        _SHINGLE_CTE
+        + f""",
+waves AS (SELECT doc_id, {_WAVE_SQL} AS wave FROM documents),
+mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, {bands} FROM mh),
+wb AS (SELECT b.*, w.wave FROM bands b JOIN waves w USING (doc_id)),
+cand AS ({band_joins}),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS c
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND a.s = b.s
+  GROUP BY 1, 2
+)
+SELECT CAST(i.doc_b AS VARCHAR) AS new_doc,
+       CAST(i.doc_a AS VARCHAR) AS matched_doc,
+       round(i.c * 1.0 / (sa.n + sb.n - i.c), 4) AS jaccard,
+       CASE WHEN wa.wave < wb.wave THEN 'corpus' ELSE 'batch' END AS matched_in,
+       CAST(wb.wave AS BIGINT) AS epoch
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+JOIN waves wa ON wa.doc_id = i.doc_a
+JOIN waves wb ON wb.doc_id = i.doc_b
+WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.8
+"""
+    )
+
+
+def q_dedup_state_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest through the PERSISTED state tables
+    (plans.dedup_ingest.DedupIngestState): documents arrive as two epochs
+    (the deterministic md5-parity waves); each epoch flags its near-dups
+    against the band state accumulated by the EARLIER epochs, then appends
+    its own bands/docs/flags exactly-once. The returned DataFrame reads
+    the durable flags TABLE — epoch 0 carries wave-0's internal pairs,
+    epoch 1 carries wave-1-vs-corpus and wave-1-internal pairs."""
+    from data_hub_ejp_xml_pipeline_spark.plans.dedup_ingest import DedupIngestState
+
+    docs = _t(spark, sf_dir, "documents")
+    wave = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 2
+    )
+    root = _swept_scratch_dir("dedupstate")
+    state = DedupIngestState(
+        spark, root, threshold=0.8, n_hashes=_N_MINHASH, band_size=_BAND_SIZE,
+        n_buckets=8,
+    )
+    for epoch in (0, 1):
+        state.apply(docs.filter(wave == epoch), batch_id=epoch)
+    return state.all_flags()
+
+
 _STOPWORDS = TX.STOPWORDS  # the production constant — no drift
 _SW_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
 
@@ -1240,11 +1306,20 @@ FROM ranked WHERE rank <= {_ANN_K}
 _IVF_K = 8
 _IVF_PROBE = 3
 _IVF_MOD, _IVF_REM = 17, 3
+# sampled-training variant: md5-prefix percent, portable across engines
+_IVF_TRAIN_PCT = 50
+_IVF_SAMPLE_SQL = (
+    "(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT % 100)"
+)
 
 
-def _ann_ivf_oracle() -> str:
+def _ann_ivf_oracle(train_pct: int = 100) -> str:
+    train_where = (
+        f"WHERE {_IVF_SAMPLE_SQL} < {train_pct}" if train_pct < 100 else ""
+    )
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+train AS (SELECT * FROM e {train_where}),
 seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS centroid
   FROM (SELECT * FROM e WHERE vec_id % {_IVF_MOD} = {_IVF_REM}
@@ -1252,16 +1327,16 @@ seeds AS (
 ),
 a1x AS (
   SELECT vec_id, cid FROM (
-    SELECT e.vec_id, s.cid,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY round(list_cosine_similarity(e.v, s.centroid), 6) DESC, s.cid
+    SELECT t.vec_id, s.cid,
+           row_number() OVER (PARTITION BY t.vec_id
+             ORDER BY round(list_cosine_similarity(t.v, s.centroid), 6) DESC, s.cid
            ) AS rn
-    FROM e, seeds s) t WHERE rn = 1
+    FROM train t, seeds s) t WHERE rn = 1
 ),
 dims AS (
-  SELECT a.cid, u.pos, e.v[u.pos + 1] AS x
-  FROM a1x a JOIN e USING (vec_id),
-       UNNEST(range(len(e.v))) AS u(pos)
+  SELECT a.cid, u.pos, t.v[u.pos + 1] AS x
+  FROM a1x a JOIN train t USING (vec_id),
+       UNNEST(range(len(t.v))) AS u(pos)
 ),
 cents AS (
   SELECT cid, array_agg(m ORDER BY pos) AS centroid
@@ -1314,6 +1389,23 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ann_ivf(
         emb, queries, n_centroids=_IVF_K, n_probe=_IVF_PROBE, k=_ANN_K
+    )
+
+
+def q_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the Lloyd refinement trained on a deterministic 50%
+    md5-hash sample of the corpus — the 100 TB centroid-training shape
+    (inverted lists still cover every vector; only the training pass is
+    sampled). Same oracle pipeline with the sampled training set."""
+    from data_hub_ejp_xml_pipeline_spark.operators.similarity import ann_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return ann_ivf(
+        emb, queries, n_centroids=_IVF_K, n_probe=_IVF_PROBE, k=_ANN_K,
+        train_fraction=_IVF_TRAIN_PCT / 100,
     )
 
 
@@ -1883,9 +1975,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_lsh": (q_ann_lsh, _ann_lsh_oracle()),
     "ann_lsh_multiprobe": (q_ann_lsh_multiprobe, _ann_lsh_oracle(multiprobe=True)),
     "ann_ivf": (q_ann_ivf, _ann_ivf_oracle()),
+    "ann_ivf_sampled": (q_ann_ivf_sampled, _ann_ivf_oracle(_IVF_TRAIN_PCT)),
     "embedding_neardup": (q_embedding_neardup, _NEARDUP_COS_ORACLE),
     "multimodal_meta": (q_multimodal_meta, _MULTIMODAL_ORACLE),
     "multimodal_decode": (q_multimodal_decode, _MULTIMODAL_DECODE_ORACLE),
+    "dedup_state_flags": (q_dedup_state_flags, _dedup_state_oracle()),
     "entity_tables_typed": (q_entity_tables_typed, _ENTITY_TYPED_ORACLE),
     "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_ORACLE),
     "sequence_pack_greedy": (q_sequence_pack_greedy, _SEQUENCE_PACK_GREEDY_ORACLE),

@@ -206,3 +206,41 @@ def test_config_env_substitution():
     assert set(cfg.entity_tables) == {
         "person", "person_v2", "manuscript", "manuscript_version"
     }
+
+
+def test_state_datetime_codec_round_trip(spark):
+    """P10 (timestamp.py:40-51): the state-file codec renders
+    '%Y-%m-%d %H:%M:%S' and parses it back (whitespace-stripped).
+    Golden values computed with the reference's own strftime/strptime."""
+    ref = dt.datetime(2023, 7, 4, 15, 30, 45)
+    assert ref.strftime("%Y-%m-%d %H:%M:%S") == "2023-07-04 15:30:45"
+
+    df = spark.createDataFrame([(ref,)], ["ts"])
+    rendered = df.select(S.state_datetime_to_string("ts").alias("v")).first().v
+    assert rendered == "2023-07-04 15:30:45"
+
+    back = (
+        spark.createDataFrame([(rendered,), ("  2023-07-04 15:30:45  ",), ("junk",)], ["s"])
+        .select(S.state_string_to_datetime("s").alias("v"))
+        .collect()
+    )
+    assert back[0].v == ref
+    assert back[1].v == ref  # reference strips before strptime
+    assert back[2].v is None
+
+
+def test_display_format_eastern(spark):
+    """timestamp.py:34-37 analog: '%d %b %y  %H:%M:%S' (double space) in
+    US/Eastern. Golden values from the reference's strftime under both
+    EDT (UTC-4) and EST (UTC-5)."""
+    rows = [
+        (dt.datetime(2023, 7, 4, 16, 0, 5),),   # summer → EDT 12:00:05
+        (dt.datetime(2023, 1, 4, 16, 0, 5),),   # winter → EST 11:00:05
+    ]
+    out = [
+        r.v
+        for r in spark.createDataFrame(rows, ["ts"])
+        .select(S.to_default_tz_display_format("ts").alias("v"))
+        .collect()
+    ]
+    assert out == ["04 Jul 23  12:00:05", "04 Jan 23  11:00:05"]
