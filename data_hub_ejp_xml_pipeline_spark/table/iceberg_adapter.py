@@ -125,6 +125,40 @@ def widen_column_sql(identifier: str, field: T.StructField) -> str:
     )
 
 
+def evolution_sql(
+    identifier: str,
+    existing: T.StructType,
+    incoming: T.StructType,
+) -> list[str]:
+    """The full evolution plan for one batch as ordered DDL statements:
+    ADD COLUMNS for fields the table lacks, then one ALTER COLUMN TYPE
+    per lossless widening (int→bigint, float→double). Pure function so
+    the exact SQL a cluster deploy will run is pinned offline.
+
+    Unlike the local table (``_pin_key_type``), the KEY may widen here:
+    Iceberg's spec requires ``hashInt(v) == hashLong(v)`` (Appendix B —
+    integers hash as 64-bit), so a bucket(N, key) partition spec is
+    stable across int→bigint key widening; the local table's murmur3
+    bucket hash is width-sensitive, which is why it pins instead."""
+    from data_hub_ejp_xml_pipeline_spark.table.schema_evolution import _widened
+
+    by_lower = {f.name.lower(): f for f in existing.fields}
+    stmts: list[str] = []
+    new_fields = [f for f in incoming.fields if f.name.lower() not in by_lower]
+    if new_fields:
+        stmts.append(add_columns_sql(identifier, new_fields))
+    for f in incoming.fields:
+        ex = by_lower.get(f.name.lower())
+        if ex is None:
+            continue
+        wide = _widened(ex.dataType, f.dataType)
+        if wide is not None:
+            stmts.append(
+                widen_column_sql(identifier, T.StructField(ex.name, wide))
+            )
+    return stmts
+
+
 def vacuum_sql(identifier: str, older_than_lsn: int) -> str:
     """Physical tombstone removal once the stream has provably passed the
     watermark (no event with lsn <= watermark can still arrive)."""
@@ -222,24 +256,9 @@ class IcebergSnapshotTable:
         df.writeTo(self.identifier).append()
 
     def add_columns(self, new_schema: T.StructType) -> None:
-        from data_hub_ejp_xml_pipeline_spark.table.schema_evolution import _widened
-
-        existing = {
-            f.name.lower(): f
-            for f in self.read(include_tombstones=True).schema.fields
-        }
-        new_fields = [f for f in new_schema.fields if f.name.lower() not in existing]
-        if new_fields:
-            self.spark.sql(add_columns_sql(self.identifier, new_fields))
-        for f in new_schema.fields:
-            ex = existing.get(f.name.lower())
-            if ex is None:
-                continue
-            wide = _widened(ex.dataType, f.dataType)
-            if wide is not None:
-                self.spark.sql(
-                    widen_column_sql(self.identifier, T.StructField(ex.name, wide))
-                )
+        existing = self.read(include_tombstones=True).schema
+        for stmt in evolution_sql(self.identifier, existing, new_schema):
+            self.spark.sql(stmt)
 
     def merge(
         self,

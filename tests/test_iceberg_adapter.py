@@ -81,3 +81,84 @@ def test_widen_column_sql_golden():
     assert sql == "ALTER TABLE cat.db.docs ALTER COLUMN n_val TYPE bigint"
     sql = widen_column_sql("cat.db.docs", T.StructField("score", T.DoubleType()))
     assert sql == "ALTER TABLE cat.db.docs ALTER COLUMN score TYPE double"
+
+
+# ---------------------------------------------------------------- goldens
+# BYTE-EXACT statements for every operation the adapter can run on a
+# cluster. Without an Iceberg runtime in this container, these strings ARE
+# the deploy contract — an accidental edit to any generator must fail here,
+# not in a MERGE against a production catalog.
+
+
+def test_create_table_sql_byte_exact():
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    assert ia.create_table_sql("cat.db.seq", schema, key="doc_id", n_buckets=32) == (
+        "CREATE TABLE IF NOT EXISTS cat.db.seq ("
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "_lsn bigint, _deleted boolean) USING iceberg "
+        "PARTITIONED BY (bucket(32, doc_id))"
+    )
+
+
+def test_merge_sql_byte_exact():
+    assert ia.merge_sql("cat.db.seq", ["doc_id", "tokens", "n_tok"], key="doc_id") == (
+        "MERGE INTO cat.db.seq t USING updates s ON t.doc_id = s.doc_id "
+        "WHEN MATCHED AND s.lsn > t._lsn THEN UPDATE SET "
+        "t.tokens = s.tokens, t.n_tok = s.n_tok, "
+        "t._lsn = s.lsn, t._deleted = (s.op = 'D') "
+        "WHEN NOT MATCHED THEN INSERT (doc_id, tokens, n_tok, _lsn, _deleted) "
+        "VALUES (s.doc_id, s.tokens, s.n_tok, s.lsn, (s.op = 'D'))"
+    )
+
+
+def test_evolution_sql_byte_exact_add_and_widen():
+    """The per-batch evolution PLAN: adds first, then one widening ALTER
+    per lossless chain step — including the key (Iceberg's bucket
+    transform hashes int as long per spec Appendix B, so key widening is
+    bucket-stable there, unlike the local table's pinned key)."""
+    existing = T.StructType(
+        [
+            T.StructField("doc_id", T.IntegerType()),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("score", T.FloatType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    incoming = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),      # key widens (spec-safe)
+            T.StructField("n_tok", T.LongType()),       # widen
+            T.StructField("score", T.DoubleType()),     # widen
+            T.StructField("source", T.IntegerType()),   # cross-type: existing wins, no DDL
+            T.StructField("lang", T.StringType()),      # add
+            T.StructField("quality", T.DoubleType()),   # add
+        ]
+    )
+    assert ia.evolution_sql("cat.db.seq", existing, incoming) == [
+        "ALTER TABLE cat.db.seq ADD COLUMNS (lang string, quality double)",
+        "ALTER TABLE cat.db.seq ALTER COLUMN doc_id TYPE bigint",
+        "ALTER TABLE cat.db.seq ALTER COLUMN n_tok TYPE bigint",
+        "ALTER TABLE cat.db.seq ALTER COLUMN score TYPE double",
+    ]
+
+
+def test_evolution_sql_noop_cases():
+    same = T.StructType([T.StructField("doc_id", T.StringType())])
+    assert ia.evolution_sql("cat.db.seq", same, same) == []
+    # narrowing emits NOTHING (existing wins; data side casts)
+    wide = T.StructType([T.StructField("n", T.LongType())])
+    narrow = T.StructType([T.StructField("n", T.IntegerType())])
+    assert ia.evolution_sql("cat.db.seq", wide, narrow) == []
+    # case-insensitive name match, like the local merge
+    upper = T.StructType([T.StructField("N_TOK", T.IntegerType())])
+    lower = T.StructType([T.StructField("n_tok", T.LongType())])
+    assert ia.evolution_sql("cat.db.seq", upper, lower) == [
+        "ALTER TABLE cat.db.seq ALTER COLUMN N_TOK TYPE bigint"
+    ]
