@@ -60,6 +60,7 @@ HEADLINE = [
     "sequence_pack_tokens",
     "pii_scrub",
     "decontaminate",
+    "multimodal_decode",
 ]
 
 # per-query trials: the sandbox VM is noisy (identical runs vary 2-3x);
