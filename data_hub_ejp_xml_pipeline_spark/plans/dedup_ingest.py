@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -89,36 +89,16 @@ class DedupIngestState:
         self.band_size = band_size
         self.k = k
         self.docs_provider = docs_provider
-        self.bands = self._open(root + "/bands", BAND_SCHEMA, "band_hash", n_buckets)
-        self.flags = self._open(root + "/flags", FLAGS_SCHEMA, "new_doc", n_buckets)
+        self.bands = _open_table(spark, root + "/bands", BAND_SCHEMA,
+                                 "band_hash", n_buckets)
+        self.flags = _open_table(spark, root + "/flags", FLAGS_SCHEMA,
+                                 "new_doc", n_buckets)
         self.docs = (
             None
             if docs_provider is not None
-            else self._open(root + "/docs", DOCS_SCHEMA, "doc_id", n_buckets)
+            else _open_table(spark, root + "/docs", DOCS_SCHEMA, "doc_id",
+                             n_buckets)
         )
-
-    def _open(self, root: str, schema: T.StructType, key: str,
-              n_buckets: int) -> SnapshotTable:
-        if SnapshotTable.exists(root):
-            return SnapshotTable(self.spark, root)
-        return SnapshotTable.create(self.spark, root, schema, key=key,
-                                    n_buckets=n_buckets)
-
-    # ------------------------------------------------------------- epochs
-    def _version_before(self, table: SnapshotTable, batch_id: int) -> int | None:
-        """The table version immediately BEFORE ``batch_id`` was applied,
-        or None (current) when the epoch has not been applied yet. Walks
-        the manifest chain for the ledgered snapshot id — O(versions)
-        tiny JSON reads, replay-only path."""
-        snap = table.ledger().get(str(batch_id))
-        if snap is None:
-            return None
-        v = table.current_version()
-        while v > 0:
-            if table.manifest(v)["snapshot_id"] == snap:
-                return v - 1
-            v -= 1
-        return None
 
     def apply(self, batch_docs: DataFrame, batch_id: int,
               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -131,10 +111,10 @@ class DedupIngestState:
             F.col(text_col).cast("string").alias("text"),
         )
 
-        pre_bands_v = self._version_before(self.bands, batch_id)
+        pre_bands_v = _version_before(self.bands, batch_id)
         corpus_bands = self.bands.read(version=pre_bands_v)
         if self.docs is not None:
-            pre_docs_v = self._version_before(self.docs, batch_id)
+            pre_docs_v = _version_before(self.docs, batch_id)
             corpus_docs = self.docs.read(version=pre_docs_v)
         else:
             corpus_docs = self.docs_provider().select(
@@ -169,3 +149,126 @@ class DedupIngestState:
         """Distinct new_doc ids ever flagged — the left-anti filter side
         for a keep-canonical ingest policy."""
         return self.flags.read().select(F.col("new_doc").alias("doc_id")).distinct()
+
+
+TOKEN_FP_SCHEMA = T.StructType(
+    [
+        T.StructField("fp", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+    ]
+)
+
+TOKEN_FLAGS_SCHEMA = T.StructType(
+    [
+        T.StructField("new_doc", T.StringType()),
+        T.StructField("matched_doc", T.StringType()),
+        T.StructField("fp", T.StringType()),
+        T.StructField("matched_in", T.StringType()),
+        T.StructField("epoch", T.LongType()),
+    ]
+)
+
+
+class TokenDedupState:
+    """EXACT dedup-on-ingest for pre-tokenized sequence payloads — the
+    token-pipeline (MergePipeline/MorPipeline) sibling of
+    :class:`DedupIngestState`, which shingles TEXT.
+
+    Fingerprint = md5 of the token array (or its first ``prefix_k``
+    tokens — identical sequence STARTS are how exact dups of training
+    sequences usually manifest after truncation/packing). The corpus
+    state is one (fp, doc_id) table bucketed by fp, so the per-epoch
+    probe is an equi-join of the (small) batch fingerprints against a
+    co-located scan: O(batch + matches), never O(corpus). Same
+    exactly-once + replay-time-travel contract as DedupIngestState; the
+    fingerprint table stores NO token bytes, so unlike the docs table
+    there is no text duplication at any scale."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 prefix_k: int | None = None, n_buckets: int = 16):
+        self.spark = spark
+        self.prefix_k = prefix_k
+        self.fingerprints = _open_table(spark, root + "/fingerprints",
+                                        TOKEN_FP_SCHEMA, "fp", n_buckets)
+        self.flags = _open_table(spark, root + "/flags", TOKEN_FLAGS_SCHEMA,
+                                 "new_doc", n_buckets)
+
+    def fingerprint(self, tokens_col: Column | str) -> Column:
+        c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+        if self.prefix_k is not None:
+            c = F.slice(c, 1, self.prefix_k)
+        return F.md5(F.concat_ws(",", c.cast("array<string>")))
+
+    def apply(self, batch: DataFrame, batch_id: int,
+              id_col: str = "doc_id", tokens_col: str = "tokens") -> DataFrame:
+        """One epoch: flag batch docs whose fingerprint matches the
+        corpus (any) or an EARLIER doc of the same batch (smaller string
+        id), then append the batch's fingerprints and the flags —
+        exactly-once each, replay-stable via pre-epoch time travel."""
+        fps = batch.select(
+            self.fingerprint(tokens_col).alias("fp"),
+            F.col(id_col).cast("string").alias("doc_id"),
+        )
+        pre_v = _version_before(self.fingerprints, batch_id)
+        corpus = self.fingerprints.read(version=pre_v)
+
+        cand_corpus = (
+            fps.alias("n")
+            .join(
+                corpus.alias("c"),
+                (F.col("n.fp") == F.col("c.fp"))
+                & (F.col("n.doc_id") != F.col("c.doc_id")),
+            )
+            .select(
+                F.col("n.doc_id").alias("new_doc"),
+                F.col("c.doc_id").alias("matched_doc"),
+                F.col("n.fp").alias("fp"),
+                F.lit("corpus").alias("matched_in"),
+            )
+        )
+        a, b = fps.alias("a"), fps.alias("b")
+        cand_batch = (
+            a.join(
+                b,
+                (F.col("a.fp") == F.col("b.fp"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("b.doc_id").alias("new_doc"),
+                F.col("a.doc_id").alias("matched_doc"),
+                F.col("a.fp").alias("fp"),
+                F.lit("batch").alias("matched_in"),
+            )
+        )
+        flags = (
+            cand_corpus.unionByName(cand_batch)
+            .distinct()
+            .withColumn("epoch", F.lit(batch_id).cast("long"))
+        )
+        self.fingerprints.append(fps, batch_id=batch_id)
+        self.flags.append(flags, batch_id=batch_id)
+        return flags
+
+    def all_flags(self) -> DataFrame:
+        return self.flags.read().drop("_lsn")
+
+
+def _open_table(spark: SparkSession, root: str, schema: T.StructType,
+                key: str, n_buckets: int) -> SnapshotTable:
+    if SnapshotTable.exists(root):
+        return SnapshotTable(spark, root)
+    return SnapshotTable.create(spark, root, schema, key=key, n_buckets=n_buckets)
+
+
+def _version_before(table: SnapshotTable, batch_id: int) -> int | None:
+    """The table version immediately BEFORE ``batch_id`` was applied, or
+    None (current) when the epoch has not been applied yet."""
+    snap = table.ledger().get(str(batch_id))
+    if snap is None:
+        return None
+    v = table.current_version()
+    while v > 0:
+        if table.manifest(v)["snapshot_id"] == snap:
+            return v - 1
+        v -= 1
+    return None

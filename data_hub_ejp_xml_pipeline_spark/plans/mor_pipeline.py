@@ -64,12 +64,18 @@ class MorPipeline:
         reduce_strategy: str = "agg",
         payload_schema: T.StructType = PAYLOAD_SCHEMA,
         profile_mode: str = "pre",
+        dedup_state=None,
     ):
+        """``dedup_state``: an optional :class:`plans.dedup_ingest.
+        TokenDedupState` — each epoch's LWW-reduced live rows are
+        fingerprint-checked against the persisted corpus state and
+        appended to it (exact dedup-on-ingest for token payloads)."""
         self.spark = spark
         self.key = key
         self.k_compact = k_compact
         self.reduce_strategy = reduce_strategy
         self.profile_mode = profile_mode
+        self.dedup_state = dedup_state
         delta_schema = T.StructType(
             list(payload_schema.fields) + [T.StructField("op", T.StringType(), True)]
         )
@@ -135,6 +141,12 @@ class MorPipeline:
         reduced = reduce_latest(
             changelog, key=self.key, strategy=self.reduce_strategy
         )
+        if self.dedup_state is not None:
+            # exact token-fingerprint dedup over the epoch's LWW winners
+            # (deleted keys must not enter the corpus state)
+            self.dedup_state.apply(
+                reduced.filter(F.col("op") != "D"), batch_id=batch_id
+            )
         # raw batch feeds the stats/lineage pre-pass (narrow, no reduce);
         # the LWW reduce then executes exactly once, in the append's write
         res = self.delta.append(reduced, batch_id=batch_id, stats_df=changelog)

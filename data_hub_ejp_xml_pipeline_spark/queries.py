@@ -979,6 +979,50 @@ def q_dedup_state_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.all_flags()
 
 
+# token-prefix fingerprint dedup: first 8 whitespace tokens, md5 over the
+# comma-joined prefix — identical in Spark (concat_ws over slice) and
+# DuckDB (array_to_string over a 1-based inclusive slice)
+_TOKEN_PREFIX_K = 8
+
+_TOKEN_DEDUP_ORACLE = f"""
+WITH f AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         {_WAVE_SQL} AS wave,
+         md5(array_to_string(string_split(text, ' ')[1:{_TOKEN_PREFIX_K}], ',')) AS fp
+  FROM documents
+)
+SELECT b.doc_id AS new_doc, a.doc_id AS matched_doc, a.fp AS fp,
+       CASE WHEN a.wave < b.wave THEN 'corpus' ELSE 'batch' END AS matched_in,
+       CAST(b.wave AS BIGINT) AS epoch
+FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+WHERE a.wave < b.wave OR (a.wave = b.wave AND a.doc_id < b.doc_id)
+"""
+
+
+def q_dedup_token_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT dedup-on-ingest for token payloads through the persisted
+    fingerprint state (plans.dedup_ingest.TokenDedupState): documents
+    arrive as two epochs (tokens = whitespace split of text); each epoch
+    flags docs whose first-{k}-token fingerprint matches the corpus state
+    or an earlier doc of the same epoch, then appends its fingerprints
+    exactly-once. The fingerprint table stores no token bytes — the
+    O(batch) probe shape a 10^10-sequence ingest loop needs."""
+    from data_hub_ejp_xml_pipeline_spark.plans.dedup_ingest import TokenDedupState
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    wave = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+        .cast("long") % 2
+    )
+    root = _swept_scratch_dir("tokdedup")
+    state = TokenDedupState(spark, root, prefix_k=_TOKEN_PREFIX_K, n_buckets=8)
+    for epoch in (0, 1):
+        state.apply(docs.filter(wave == epoch), batch_id=epoch)
+    return state.all_flags()
+
+
 _STOPWORDS = TX.STOPWORDS  # the production constant — no drift
 _SW_SQL = "(" + ", ".join(f"'{w}'" for w in _STOPWORDS) + ")"
 
@@ -1980,6 +2024,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_meta": (q_multimodal_meta, _MULTIMODAL_ORACLE),
     "multimodal_decode": (q_multimodal_decode, _MULTIMODAL_DECODE_ORACLE),
     "dedup_state_flags": (q_dedup_state_flags, _dedup_state_oracle()),
+    "dedup_token_prefix": (q_dedup_token_prefix, _TOKEN_DEDUP_ORACLE),
     "entity_tables_typed": (q_entity_tables_typed, _ENTITY_TYPED_ORACLE),
     "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_ORACLE),
     "sequence_pack_greedy": (q_sequence_pack_greedy, _SEQUENCE_PACK_GREEDY_ORACLE),

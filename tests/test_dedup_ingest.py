@@ -143,3 +143,122 @@ def test_entity_pipeline_dedup_on_ingest(spark, tmp_path):
 
     with pytest.raises(ValueError, match="batch_id"):
         pipe.apply(spark.createDataFrame(rows2, schema))
+
+
+def test_streaming_entity_pipeline_feeds_dedup_state(spark, tmp_path):
+    """The streaming path: EntityPipeline.attach runs dedup-on-ingest from
+    foreachBatch with the STREAM's epoch ids; a second drain over the same
+    files (fresh checkpoint) must not duplicate state or flags (the ledger
+    no-ops the replayed epochs)."""
+    import json
+
+    from data_hub_ejp_xml_pipeline_spark.config import PipelineConfig
+    from data_hub_ejp_xml_pipeline_spark.plans.entity_pipeline import EntityPipeline
+
+    src = tmp_path / "stream-src"
+    src.mkdir()
+    rows = [
+        {"lsn": 1, "op": "U", "doc_id": "p1",
+         "payload": json.dumps({"name": BASE}),
+         "modified_timestamp": "2024-01-01T00:00:00Z", "source": "person",
+         "source_file": "f1", "offset": 0},
+        {"lsn": 2, "op": "U", "doc_id": "m1",
+         "payload": json.dumps({"name": BASE}),
+         "modified_timestamp": "2024-01-01T00:00:01Z", "source": "manuscript",
+         "source_file": "f1", "offset": 1},
+    ]
+    with open(src / "b0.json", "w") as fh:
+        fh.write("\n".join(json.dumps(r) for r in rows))
+
+    schema = ("lsn long, op string, doc_id string, payload string, "
+              "modified_timestamp string, source string, source_file string, "
+              "offset long")
+    cfg = PipelineConfig.from_dict(
+        {"zipPath": str(src), "warehouseRoot": str(tmp_path / "wh")},
+        deployment_env="test",
+    )
+    state = DedupIngestState(spark, str(tmp_path / "dstate"), n_buckets=4)
+    pipe = EntityPipeline(spark, cfg, n_buckets=4, dedup_state=state)
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    pipe.attach(stream, str(tmp_path / "ckpt"), available_now=True).awaitTermination()
+
+    flags = {(r.new_doc, r.matched_doc) for r in state.all_flags().collect()}
+    assert flags == {("p1", "m1")} or flags == {("m1", "p1")}
+    n_bands = state.bands.read().count()
+    n_flags = state.flags.read().count()
+
+    # replay with a FRESH checkpoint: same epoch ids re-delivered
+    pipe2 = EntityPipeline(spark, cfg, n_buckets=4, dedup_state=state)
+    stream2 = spark.readStream.schema(schema).json(str(src))
+    pipe2.attach(stream2, str(tmp_path / "ckpt2"), available_now=True).awaitTermination()
+    assert state.bands.read().count() == n_bands
+    assert state.flags.read().count() == n_flags
+
+
+def test_token_dedup_state_exact_and_replay(spark, tmp_path):
+    """Exact token-fingerprint dedup across epochs: full-array and
+    prefix fingerprints, replay no-op, crash convergence."""
+    from data_hub_ejp_xml_pipeline_spark.plans.dedup_ingest import TokenDedupState
+
+    root = str(tmp_path / "tok")
+    s = TokenDedupState(spark, root, n_buckets=4)
+    e1 = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", [9, 9])], "doc_id string, tokens array<int>"
+    )
+    e2 = spark.createDataFrame(
+        [("c", [1, 2, 3]), ("d", [7]), ("e", [1, 2, 3])],
+        "doc_id string, tokens array<int>",
+    )
+    assert s.apply(e1, batch_id=0).count() == 0
+    flags = {(r.new_doc, r.matched_doc): (r.matched_in, r.epoch)
+             for r in s.apply(e2, batch_id=1).collect()}
+    assert flags[("c", "a")] == ("corpus", 1)
+    assert flags[("e", "a")] == ("corpus", 1)
+    assert flags[("e", "c")] == ("batch", 1)
+    assert not any(n == "d" for (n, _) in flags)
+
+    # replay: same flags, no state growth
+    n_fp, n_fl = s.fingerprints.read().count(), s.flags.read().count()
+    replay = {(r.new_doc, r.matched_doc) for r in s.apply(e2, batch_id=1).collect()}
+    assert replay == set(flags)
+    assert s.fingerprints.read().count() == n_fp
+    assert s.flags.read().count() == n_fl
+
+
+def test_token_dedup_prefix_k(spark, tmp_path):
+    from data_hub_ejp_xml_pipeline_spark.plans.dedup_ingest import TokenDedupState
+
+    s = TokenDedupState(spark, str(tmp_path / "pfx"), prefix_k=2, n_buckets=4)
+    e1 = spark.createDataFrame([("a", [1, 2, 99])], "doc_id string, tokens array<int>")
+    e2 = spark.createDataFrame(
+        [("b", [1, 2, 55]), ("c", [3, 2, 55])], "doc_id string, tokens array<int>"
+    )
+    s.apply(e1, batch_id=0)
+    flags = {(r.new_doc, r.matched_doc) for r in s.apply(e2, batch_id=1).collect()}
+    assert flags == {("b", "a")}  # same 2-token prefix; c differs
+
+
+def test_mor_pipeline_token_dedup_on_ingest(spark, tmp_path):
+    """MorPipeline(dedup_state=): epoch 2's exact token dup of an epoch-1
+    doc is flagged via the persisted fingerprint state; deletes excluded."""
+    from data_hub_ejp_xml_pipeline_spark.plans.dedup_ingest import TokenDedupState
+    from data_hub_ejp_xml_pipeline_spark.plans.mor_pipeline import MorPipeline
+
+    state = TokenDedupState(spark, str(tmp_path / "tokstate"), n_buckets=4)
+    mor = MorPipeline(spark, str(tmp_path / "mor"), n_buckets=4, k_compact=10,
+                      dedup_state=state)
+    schema = ("lsn long, op string, doc_id string, tokens array<int>, "
+              "n_tok int, source string")
+    e1 = spark.createDataFrame(
+        [(1, "U", "x", [5, 6, 7], 3, "s"), (2, "D", "gone", [1, 1], 2, "s")],
+        schema,
+    )
+    e2 = spark.createDataFrame([(3, "U", "y", [5, 6, 7], 3, "s")], schema)
+    mor.apply(e1, batch_id=0)
+    mor.apply(e2, batch_id=1)
+    flags = {(r.new_doc, r.matched_doc, r.matched_in, r.epoch)
+             for r in state.all_flags().collect()}
+    assert flags == {("y", "x", "corpus", 1)}
+    # the deleted key's fingerprint never entered the corpus
+    assert {r.doc_id for r in state.fingerprints.read().collect()} == {"x", "y"}
