@@ -212,8 +212,11 @@ class TokenDedupState:
         pre_v = _version_before(self.fingerprints, batch_id)
         corpus = self.fingerprints.read(version=pre_v)
 
+        # the batch fingerprint table BROADCASTS into the corpus probe —
+        # one map-side scan of the (bucketed) corpus state, never a
+        # corpus shuffle (same shape as the MinHash band probe)
         cand_corpus = (
-            fps.alias("n")
+            F.broadcast(fps).alias("n")
             .join(
                 corpus.alias("c"),
                 (F.col("n.fp") == F.col("c.fp"))

@@ -66,3 +66,28 @@ def test_tpch_q1_pushes_filter_to_scan(spark, queries):
     plan = _plan(queries["tpch_q1"][0](spark, SF))
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "PushedFilters: [" in plan
     assert "partial_" in plan  # partial aggregation before the exchange
+
+
+def test_token_dedup_probe_broadcasts_batch_fingerprints(spark, tmp_path):
+    """TokenDedupState's corpus probe must be a broadcast hash join with
+    the BATCH side built — shuffling the corpus fingerprint table would
+    move the whole state per epoch (O(corpus) instead of O(batch))."""
+    from data_hub_ejp_xml_pipeline_spark.plans.dedup_ingest import TokenDedupState
+
+    s = TokenDedupState(spark, str(tmp_path / "tokplan"), n_buckets=4)
+    e1 = spark.createDataFrame([("a", [1, 2])], "doc_id string, tokens array<int>")
+    s.apply(e1, batch_id=0)
+    # build (don't execute) epoch 2's flag plan: corpus side now non-empty
+    e2 = spark.createDataFrame([("b", [1, 2])], "doc_id string, tokens array<int>")
+    fps = e2.select(s.fingerprint("tokens").alias("fp"), "doc_id")
+    from pyspark.sql import functions as F
+
+    corpus = s.fingerprints.read()
+    probe = F.broadcast(fps).alias("n").join(
+        corpus.alias("c"),
+        (F.col("n.fp") == F.col("c.fp")) & (F.col("n.doc_id") != F.col("c.doc_id")),
+    )
+    plan = _plan(probe)
+    assert "BroadcastHashJoin" in plan
+    # the corpus scan must not sit under an Exchange hashpartitioning
+    assert "Exchange hashpartitioning" not in plan
