@@ -56,6 +56,13 @@ def _build_parser() -> argparse.ArgumentParser:
                         "table's manifest key always wins")
     a.add_argument("--profile-mode", choices=("pre", "fused"), default="pre")
 
+    for sp in (t, a):
+        sp.add_argument("--dedup-state", default=None,
+                        help="TokenDedupState root: exact token-fingerprint "
+                             "dedup-on-ingest (flags + state per epoch)")
+        sp.add_argument("--dedup-prefix-k", type=int, default=None,
+                        help="fingerprint only the first K tokens")
+
     c = sub.add_parser("compact", help="compact data files (or fold MOR deltas)")
     table_arg(c)
     c.add_argument("--mor", action="store_true")
@@ -70,6 +77,11 @@ def _build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("show", help="table version/schema/files summary")
     table_arg(s)
+
+    d = sub.add_parser("dedup-flags", help="summarize the dedup-on-ingest flags table")
+    d.add_argument("--state", required=True, help="dedup state root")
+    d.add_argument("--token", action="store_true",
+                   help="TokenDedupState layout (default: MinHash DedupIngestState)")
     return p
 
 
@@ -81,6 +93,14 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     spark = spark or get_spark(app_name=f"cli-{args.cmd}")
     out: dict
 
+    def _dedup_state():
+        if getattr(args, "dedup_state", None) is None:
+            return None
+        from data_hub_ejp_xml_pipeline_spark.plans.dedup_ingest import TokenDedupState
+
+        return TokenDedupState(spark, args.dedup_state,
+                               prefix_k=args.dedup_prefix_k)
+
     if args.cmd == "tail":
         from data_hub_ejp_xml_pipeline_spark.plans.mor_pipeline import MorPipeline
         from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
@@ -90,11 +110,13 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             pipe = MorPipeline(spark, args.table, key=args.key,
                                n_buckets=args.n_buckets,
                                k_compact=args.k_compact,
-                               profile_mode=args.profile_mode)
+                               profile_mode=args.profile_mode,
+                               dedup_state=_dedup_state())
         else:
             pipe = MergePipeline(spark, args.table, key=args.key,
                                  n_buckets=args.n_buckets,
-                                 profile_mode=args.profile_mode)
+                                 profile_mode=args.profile_mode,
+                                 dedup_state=_dedup_state())
         tailer = ChangelogTailer(spark, pipeline=pipe)
         q = tailer.start(
             args.changelog,
@@ -118,7 +140,8 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
 
         pipe = MergePipeline(spark, args.table, key=args.key,
                              n_buckets=args.n_buckets,
-                             profile_mode=args.profile_mode)
+                             profile_mode=args.profile_mode,
+                             dedup_state=_dedup_state())
         res = pipe.apply(spark.read.parquet(args.changelog), batch_id=args.batch_id)
         out = {"cmd": "apply", "applied": res.applied, "snapshot_id": res.snapshot_id,
                "version": res.version, "n_events": res.n_events,
@@ -147,6 +170,25 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         table = SnapshotTable(spark, args.table)
         res = table.vacuum_tombstones(older_than_lsn=args.older_than_lsn)
         out = {"cmd": "vacuum", "applied": res.applied, "snapshot_id": res.snapshot_id}
+
+    elif args.cmd == "dedup-flags":
+        from pyspark.sql import functions as F
+
+        from data_hub_ejp_xml_pipeline_spark.plans.dedup_ingest import (
+            DedupIngestState,
+            TokenDedupState,
+        )
+
+        state = (TokenDedupState(spark, args.state) if args.token
+                 else DedupIngestState(spark, args.state))
+        flags = state.all_flags()
+        out = {
+            "cmd": "dedup-flags",
+            "flags": flags.count(),
+            "docs_flagged": flags.select("new_doc").distinct().count(),
+            "epochs": [r.epoch for r in
+                       flags.select("epoch").distinct().orderBy("epoch").collect()],
+        }
 
     else:  # show
         table = SnapshotTable(spark, args.table)

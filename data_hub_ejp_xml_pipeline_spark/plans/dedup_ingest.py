@@ -182,7 +182,14 @@ class TokenDedupState:
     co-located scan: O(batch + matches), never O(corpus). Same
     exactly-once + replay-time-travel contract as DedupIngestState; the
     fingerprint table stores NO token bytes, so unlike the docs table
-    there is no text duplication at any scale."""
+    there is no text duplication at any scale.
+
+    The state is APPEND-ONLY: when a doc's tokens change across epochs,
+    its earlier fingerprints remain — a later match against a superseded
+    version is still flagged (matching any HISTORICAL content is the
+    conservative choice for training-data dedup). A maintenance pass can
+    compact to latest-per-doc if current-content-only semantics are
+    wanted."""
 
     def __init__(self, spark: SparkSession, root: str,
                  prefix_k: int | None = None, n_buckets: int = 16):

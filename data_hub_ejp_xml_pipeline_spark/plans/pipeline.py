@@ -33,8 +33,14 @@ class MergePipeline:
         payload_schema: T.StructType = PAYLOAD_SCHEMA,
         files_per_bucket: int = 1,
         profile_mode: str = "pre",
+        dedup_state=None,
     ):
+        """``dedup_state``: an optional :class:`plans.dedup_ingest.
+        TokenDedupState` — each epoch's LWW winners are fingerprint-
+        checked against the persisted corpus state and appended to it
+        (exact dedup-on-ingest; requires batch ids)."""
         self.spark = spark
+        self.dedup_state = dedup_state
         if SnapshotTable.exists(table_root):
             self.table = SnapshotTable(spark, table_root)
             # the TABLE's manifest key is authoritative for an existing
@@ -55,6 +61,17 @@ class MergePipeline:
         reduced = reduce_latest(
             changelog, key=self.key, strategy=self.reduce_strategy, n_salts=self.n_salts
         )
+        if self.dedup_state is not None:
+            from pyspark.sql import functions as F
+
+            if batch_id is None:
+                raise ValueError(
+                    "dedup-on-ingest requires a monotone batch_id — the "
+                    "fingerprint/flags state commits exactly-once per epoch"
+                )
+            self.dedup_state.apply(
+                reduced.filter(F.col("op") != "D"), batch_id=batch_id
+            )
         # the raw batch feeds the stats/lineage job (no reduce needed there),
         # so the LWW reduce executes exactly once — in the merge-write job
         return self.table.merge(reduced, batch_id=batch_id, stats_df=changelog,

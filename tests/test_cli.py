@@ -64,3 +64,31 @@ def test_cli_apply_batch(spark, tmp_path, changelog_dir, changelog_pdf):
         spark=spark,
     )
     assert out["applied"] and out["n_events"] > 0
+
+
+def test_cli_dedup_state_tail_and_flags(spark, tmp_path, changelog_dir, changelog_pdf):
+    """--dedup-state on tail wires TokenDedupState through the stream;
+    dedup-flags summarizes the durable flags table. The generated
+    changelog re-updates keys with fresh token arrays, so exact dups are
+    rare — the contract under test is the wiring + exactly-once state,
+    not flag volume."""
+    root = str(tmp_path / "tbl")
+    dstate = str(tmp_path / "dstate")
+    main(
+        ["tail", "--changelog", changelog_dir, "--table", root,
+         "--checkpoint", str(tmp_path / "ckpt"), "--n-buckets", "4",
+         "--dedup-state", dstate, "--dedup-prefix-k", "4"],
+        spark=spark,
+    )
+    from data_hub_ejp_xml_pipeline_spark.plans.dedup_ingest import TokenDedupState
+
+    st = TokenDedupState(spark, dstate, prefix_k=4)
+    # every live key's fingerprint landed in the state exactly once
+    expected_live = expected_final_state_pandas(changelog_pdf)
+    fp_rows = st.fingerprints.read().collect()
+    assert len({r.doc_id for r in fp_rows}) <= len(fp_rows)  # dups allowed across epochs
+    assert {r.doc_id for r in fp_rows} >= set(expected_live["doc_id"].astype(str))
+
+    out = main(["dedup-flags", "--state", dstate, "--token"], spark=spark)
+    assert out["cmd"] == "dedup-flags"
+    assert out["flags"] >= 0 and isinstance(out["epochs"], list)
