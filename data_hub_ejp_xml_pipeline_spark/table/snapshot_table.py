@@ -605,24 +605,27 @@ class SnapshotTable:
             profile_thread: threading.Thread | None = None
             profile_box: dict[str, Any] = {}
             if fused:
-                # touch-all mode must not rewrite the whole table for an
-                # empty batch — a limit-1 probe is the cheap guard the
-                # pre-pass count normally provides (reference F4)
-                if stats_src.isEmpty():
-                    return CommitResult(
-                        m["snapshot_id"], m["version"], applied=False, n_events=0
-                    )
-
                 def _run_profile() -> None:
                     try:
                         profile_box["result"] = self._batch_profile(stats_src, key)
                     except BaseException as exc:  # surfaced on join below
                         profile_box["error"] = exc
 
+                # start the profile FIRST so the empty-batch probe below
+                # overlaps it instead of serializing in front of it (the
+                # probe is a limit-1 job: one driver round-trip per epoch)
                 profile_thread = threading.Thread(
                     target=_run_profile, name="batch-profile", daemon=True
                 )
                 profile_thread.start()
+                # touch-all mode must not rewrite the whole table for an
+                # empty batch — a limit-1 probe is the cheap guard the
+                # pre-pass count normally provides (reference F4)
+                if stats_src.isEmpty():
+                    profile_thread.join()  # profile of an empty batch: fast
+                    return CommitResult(
+                        m["snapshot_id"], m["version"], applied=False, n_events=0
+                    )
                 lineage_rows, bucket_ranges, batch_stats = [], {}, None
             else:
                 lineage_rows, bucket_ranges, batch_stats = self._batch_profile(
