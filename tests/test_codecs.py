@@ -160,3 +160,37 @@ def test_strict_features_real_decode(spark, real_media):
         dim=4,
     )[0]
     assert feats["img0"] == pytest.approx(local)
+
+
+# ------------------------------------------------- property round trips
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 9),   # crosses every w%4 padding case
+    h=st.integers(1, 7),
+    seed=st.integers(0, 2**16),
+)
+def test_bmp_round_trip_property(w, h, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    raw = codecs.encode_bmp(a)
+    # encoded size = 54-byte headers + padded rows (the oracle formula)
+    assert len(raw) == 54 + ((w * 3 + 3) // 4) * 4 * h
+    assert np.array_equal(codecs.decode_bmp(raw), a)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 500),
+    ch=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**16),
+)
+def test_wav_round_trip_property(n, ch, rate, seed):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32767, (n, ch), dtype=np.int16)
+    rate2, back = codecs.decode_wav(codecs.encode_wav(s, rate))
+    assert rate2 == rate and np.array_equal(back, s)
