@@ -262,3 +262,68 @@ def test_mor_pipeline_token_dedup_on_ingest(spark, tmp_path):
     assert flags == {("y", "x", "corpus", 1)}
     # the deleted key's fingerprint never entered the corpus
     assert {r.doc_id for r in state.fingerprints.read().collect()} == {"x", "y"}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.data())
+def test_incremental_flags_union_equals_one_shot_pairs(spark, data):
+    """THE semantic contract of dedup-on-ingest: for ANY partition of a
+    corpus into arrival epochs, the union of per-epoch flags equals the
+    pair set of a one-shot minhash_lsh_pairs over the whole corpus —
+    incremental arrival changes WHEN a pair is found, never WHETHER.
+    (Same bands, same shingles, same verify on both paths.)"""
+    import shutil
+    import tempfile
+
+    from data_hub_ejp_xml_pipeline_spark.operators import dedup
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+    n_docs = data.draw(st.integers(4, 8))
+    docs = []
+    for i in range(n_docs):
+        if i >= 2 and data.draw(st.booleans()):
+            # near/exact dup of an earlier doc (one optional word swap)
+            src_i = data.draw(st.integers(0, i - 1))
+            toks = docs[src_i][1].split(" ")
+            if data.draw(st.booleans()):
+                toks[data.draw(st.integers(0, len(toks) - 1))] = data.draw(
+                    st.sampled_from(words)
+                )
+            docs.append((f"d{i}", " ".join(toks)))
+        else:
+            docs.append(
+                (f"d{i}", " ".join(data.draw(st.sampled_from(words))
+                                   for _ in range(8)))
+            )
+    n_epochs = data.draw(st.integers(1, 3))
+    assignment = [data.draw(st.integers(0, n_epochs - 1)) for _ in docs]
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    root = tempfile.mkdtemp(prefix="dedup-prop-")
+    try:
+        s = DedupIngestState(spark, root + "/st", n_buckets=4, threshold=0.6)
+        incremental = set()
+        for e in range(n_epochs):
+            ids = [d for (d, _), a in zip(docs, assignment) if a == e]
+            if not ids:
+                continue
+            flags = s.apply(df.filter(F.col("doc_id").isin(ids)), batch_id=e)
+            incremental |= {
+                frozenset((r.new_doc, r.matched_doc)) for r in flags.collect()
+            }
+        one_shot = {
+            frozenset((r.doc_a, r.doc_b))
+            for r in dedup.minhash_lsh_pairs(df, threshold=0.6).collect()
+        }
+        assert incremental == one_shot
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
