@@ -172,15 +172,30 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         out = {"cmd": "vacuum", "applied": res.applied, "snapshot_id": res.snapshot_id}
 
     elif args.cmd == "dedup-flags":
-        from pyspark.sql import functions as F
-
         from data_hub_ejp_xml_pipeline_spark.plans.dedup_ingest import (
             DedupIngestState,
             TokenDedupState,
         )
 
+        # a SUMMARY command must be read-only: constructing a state object
+        # on a wrong path (or with the wrong layout flag) would CREATE
+        # empty tables there — check the layout's flags table first
+        layout_probe = (args.state.rstrip("/") + "/fingerprints" if args.token
+                        else args.state.rstrip("/") + "/bands")
+        if not SnapshotTable.exists(layout_probe) or not SnapshotTable.exists(
+            args.state.rstrip("/") + "/flags"
+        ):
+            out = {"cmd": "dedup-flags", "error":
+                   f"no {'token' if args.token else 'minhash'} dedup state "
+                   f"at {args.state}"}
+            print(json.dumps(out))
+            return out
+        # docs_provider stub keeps the MinHash open read-only too (no
+        # docs-table create on a provider-mode root); all_flags never
+        # touches the provider
         state = (TokenDedupState(spark, args.state) if args.token
-                 else DedupIngestState(spark, args.state))
+                 else DedupIngestState(spark, args.state,
+                                       docs_provider=lambda: None))
         flags = state.all_flags()
         out = {
             "cmd": "dedup-flags",

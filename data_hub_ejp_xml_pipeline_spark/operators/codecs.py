@@ -59,6 +59,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
      _used, _important) = _BMP_INFO_HEADER.unpack_from(data, _BMP_FILE_HEADER.size)
     if hdr_size < 40 or planes != 1:
         raise ValueError(f"unsupported BMP header (size={hdr_size})")
+    if w <= 0 or h == 0:
+        raise ValueError(f"non-positive BMP dimensions ({w}x{h})")
     if bpp != 24 or compression != 0:
         raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, comp={compression})")
     top_down = h < 0
@@ -103,6 +105,8 @@ def decode_ppm(data: bytes) -> np.ndarray:
         fields.append(int(data[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
+    if w <= 0 or h <= 0:
+        raise ValueError(f"non-positive PPM dimensions ({w}x{h})")
     if maxval != 255:
         raise ValueError(f"only maxval 255 supported, got {maxval}")
     if pos + w * h * 3 > len(data):
@@ -154,6 +158,8 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         raise ValueError("WAV missing fmt/data chunk")
     if not pcm or bits != 16:
         raise ValueError(f"only 16-bit PCM supported (fmt pcm={pcm}, bits={bits})")
+    if not channels:
+        raise ValueError("WAV fmt declares 0 channels")
     n = len(frames) // (2 * channels)
     arr = np.frombuffer(frames, dtype="<i2", count=n * channels).reshape(n, channels)
     return rate, arr.copy()

@@ -276,6 +276,7 @@ def incremental_minhash_flags(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist_registry: list | None = None,
 ) -> DataFrame:
     """Near-dup flags for a NEW batch against the already-ingested corpus —
     the CDC-shaped dedup: per epoch, only the batch is shingled/minhashed;
@@ -293,13 +294,17 @@ def incremental_minhash_flags(
     into the corpus scan). Batch-vs-batch candidates use the banded join,
     never all-pairs.
 
-    The batch shingle table is persisted for the session (it feeds band
-    generation AND the verify; the returned DataFrame stays lazy over it,
-    so it cannot be unpersisted here — same deliberate trade as
-    ``jaccard_pairs``). Long-running ingest loops calling this per epoch
-    should ``spark.catalog.clearCache()`` between epochs, or rely on
-    Spark's LRU eviction of storage memory."""
+    The batch shingle table is persisted (it feeds band generation AND
+    the verify; the returned DataFrame stays lazy over it, so it cannot
+    be unpersisted here). Long-running ingest loops calling this per
+    epoch pass ``persist_registry=`` — every DataFrame this call
+    persisted is appended to it, and the caller unpersists them once the
+    epoch's results are materialized (plans.dedup_ingest does this);
+    without a registry, rely on Spark's LRU eviction of storage memory
+    or ``spark.catalog.clearCache()`` between corpora."""
     sh_new = shingle_table(new_docs, id_col, text_col, k).persist()
+    if persist_registry is not None:
+        persist_registry.append(sh_new)
     bands_new = minhash_bands(sh_new, n_hashes, band_size)
 
     bn = F.broadcast(bands_new)

@@ -158,8 +158,12 @@ def ivf_centroids(
     md5-hash sample of the corpus — the 100 TB shape: centroid quality
     needs only a representative sample, and the full-corpus pass is saved
     for the one real assignment in :func:`ann_ivf`. The sample predicate
-    is an md5 prefix mod 100 (not ``rand()``) so an independent SQL
-    engine reproduces the exact training set."""
+    is an md5 prefix mod basis points (functions.sampling — not
+    ``rand()``) so an independent SQL engine reproduces the exact
+    training set; fractions that quantize to an empty sample raise
+    instead of silently returning zero neighbors."""
+    from data_hub_ejp_xml_pipeline_spark.functions import sampling
+
     if not 0.0 < train_fraction <= 1.0:
         raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
     w_seed = W.orderBy(id_col)
@@ -174,10 +178,10 @@ def ivf_centroids(
     )
     train = emb
     if train_fraction < 1.0:
-        pct = F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 7), 16, 10
-        ).cast("long") % 100
-        train = emb.filter(pct < int(round(train_fraction * 100)))
+        thr = sampling.sample_threshold(train_fraction)
+        train = emb.filter(
+            sampling.md5_mod_col(id_col, sampling.SAMPLE_BASIS) < thr
+        )
     assigned = _argmin_centroid(
         train.select(id_col, F.col(vec_col).alias("_v")), seeds, id_col, "_v"
     ).join(train.select(id_col, vec_col), id_col)

@@ -122,6 +122,7 @@ class DedupIngestState:
                 F.col(text_col).cast("string").alias("text"),
             )
 
+        persisted: list = []
         flags = dedup.incremental_minhash_flags(
             batch,
             corpus_docs,
@@ -130,6 +131,7 @@ class DedupIngestState:
             n_hashes=self.n_hashes,
             band_size=self.band_size,
             k=self.k,
+            persist_registry=persisted,
         ).withColumn("epoch", F.lit(batch_id).cast("long"))
 
         batch_bands = dedup.minhash_band_state(
@@ -139,6 +141,12 @@ class DedupIngestState:
         if self.docs is not None:
             self.docs.append(batch, batch_id=batch_id)
         self.flags.append(flags, batch_id=batch_id)
+        # the epoch's results are durable — free this epoch's cached
+        # shingles (a long-running tailer would otherwise accumulate one
+        # persisted table per epoch). The returned flags recompute lazily
+        # if re-collected; the pipelines consume only the durable table.
+        for df_cached in persisted:
+            df_cached.unpersist()
         return flags
 
     # -------------------------------------------------------------- reads
@@ -212,10 +220,14 @@ class TokenDedupState:
         corpus (any) or an EARLIER doc of the same batch (smaller string
         id), then append the batch's fingerprints and the flags —
         exactly-once each, replay-stable via pre-epoch time travel."""
+        # persisted for the epoch: fps feeds the corpus probe, the
+        # batch-internal self-join, the state append, and the flags append
+        # — without a cache the upstream (often an LWW reduce) would
+        # re-execute for each of those actions
         fps = batch.select(
             self.fingerprint(tokens_col).alias("fp"),
             F.col(id_col).cast("string").alias("doc_id"),
-        )
+        ).persist()
         pre_v = _version_before(self.fingerprints, batch_id)
         corpus = self.fingerprints.read(version=pre_v)
 
@@ -257,6 +269,7 @@ class TokenDedupState:
         )
         self.fingerprints.append(fps, batch_id=batch_id)
         self.flags.append(flags, batch_id=batch_id)
+        fps.unpersist()  # durable now; re-collecting `flags` recomputes
         return flags
 
     def all_flags(self) -> DataFrame:

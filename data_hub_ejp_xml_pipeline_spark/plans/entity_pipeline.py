@@ -171,9 +171,13 @@ class EntityPipeline:
                     "band/flags state tables commit exactly-once per epoch"
                 )
             # near-dup flags over the epoch's LWW winners (live rows only:
-            # a deleted doc's payload should not enter the corpus state)
+            # a deleted doc's payload should not enter the corpus state).
+            # The lineage cols ride along as the deterministic tie-break
+            # for equal (doc_id, lsn) rows — without them the persisted
+            # corpus/flags could differ between a run and its crash replay
             live = reduce_latest(
-                changelog.select("lsn", "op", "doc_id", "payload")
+                changelog.select("lsn", "op", "doc_id", "payload",
+                                 "source_file", "offset")
             ).filter(F.col("op") != "D")
             self.dedup_state.apply(live, batch_id=batch_id, text_col="payload")
         applied = {}

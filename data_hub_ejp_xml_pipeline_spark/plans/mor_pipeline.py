@@ -88,9 +88,19 @@ class MorPipeline:
             else:
                 # heal: a crash between the two creates below leaves the
                 # base without its delta — recreate it (empty, no data
-                # could have staged) instead of failing on first read
+                # could have staged) instead of failing on first read.
+                # Schema comes from the BASE's stored manifest, not the
+                # constructor default: the table may have been created
+                # with a custom payload and reopened without re-passing it
+                base_payload = [
+                    f for f in self.base.schema().fields
+                    if f.name not in (LSN_COL, DELETED_COL)
+                ]
+                healed_schema = T.StructType(
+                    base_payload + [T.StructField("op", T.StringType(), True)]
+                )
                 self.delta = SnapshotTable.create(
-                    spark, root + "/delta", delta_schema, key=key,
+                    spark, root + "/delta", healed_schema, key=key,
                     n_buckets=self.base.manifest()["n_buckets"],
                 )
         else:

@@ -73,7 +73,10 @@ class MergePipeline:
                 reduced.filter(F.col("op") != "D"), batch_id=batch_id
             )
         # the raw batch feeds the stats/lineage job (no reduce needed there),
-        # so the LWW reduce executes exactly once — in the merge-write job
+        # so the LWW reduce executes once in the merge-write job — plus one
+        # extra execution when dedup_state is set (materializing the cached
+        # fingerprint table; TokenDedupState persists it so its own three
+        # consumers don't re-reduce)
         return self.table.merge(reduced, batch_id=batch_id, stats_df=changelog,
                                 profile_mode=self.profile_mode)
 

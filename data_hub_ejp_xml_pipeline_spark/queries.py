@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from data_hub_ejp_xml_pipeline_spark.functions import scalars as S
 from data_hub_ejp_xml_pipeline_spark.operators import dedup as D
+from data_hub_ejp_xml_pipeline_spark.functions import sampling as SA
 from data_hub_ejp_xml_pipeline_spark.operators import text as TX
 from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
 
@@ -850,7 +851,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # deterministic engine-portable 2-way split for the incremental-dedup query:
 # wave 0 = the already-ingested corpus, wave 1 = the incoming batch
-_WAVE_SQL = "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 2)"
+_WAVE_SQL = SA.md5_mod_sql("doc_id", 2)
 
 
 def _incremental_minhash_oracle() -> str:
@@ -898,10 +899,7 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     over a candidate-bounded corpus re-shingle (left-semi pushdown).
     Production operator: operators.dedup.incremental_minhash_flags."""
     docs = _t(spark, sf_dir, "documents")
-    wave = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
-        .cast("long") % 2
-    )
+    wave = SA.md5_mod_col("doc_id", 2)
     corpus = docs.filter(wave == 0)
     new_batch = docs.filter(wave == 1)
     state = D.minhash_band_state(
@@ -965,10 +963,7 @@ def q_dedup_state_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_hub_ejp_xml_pipeline_spark.plans.dedup_ingest import DedupIngestState
 
     docs = _t(spark, sf_dir, "documents")
-    wave = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
-        .cast("long") % 2
-    )
+    wave = SA.md5_mod_col("doc_id", 2)
     root = _swept_scratch_dir("dedupstate")
     state = DedupIngestState(
         spark, root, threshold=0.8, n_hashes=_N_MINHASH, band_size=_BAND_SIZE,
@@ -1012,10 +1007,7 @@ def q_dedup_token_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("tokens")
     )
-    wave = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
-        .cast("long") % 2
-    )
+    wave = SA.md5_mod_col("doc_id", 2)
     root = _swept_scratch_dir("tokdedup")
     state = TokenDedupState(spark, root, prefix_k=_TOKEN_PREFIX_K, n_buckets=8)
     for epoch in (0, 1):
@@ -1350,16 +1342,16 @@ FROM ranked WHERE rank <= {_ANN_K}
 _IVF_K = 8
 _IVF_PROBE = 3
 _IVF_MOD, _IVF_REM = 17, 3
-# sampled-training variant: md5-prefix percent, portable across engines
-_IVF_TRAIN_PCT = 50
-_IVF_SAMPLE_SQL = (
-    "(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 7))::BIGINT % 100)"
-)
+# sampled-training variant: md5-prefix basis points, portable across
+# engines (functions.sampling owns the idiom)
+_IVF_TRAIN_FRACTION = 0.5
 
 
-def _ann_ivf_oracle(train_pct: int = 100) -> str:
+def _ann_ivf_oracle(train_fraction: float = 1.0) -> str:
     train_where = (
-        f"WHERE {_IVF_SAMPLE_SQL} < {train_pct}" if train_pct < 100 else ""
+        f"WHERE {SA.md5_mod_sql('vec_id', SA.SAMPLE_BASIS)} "
+        f"< {SA.sample_threshold(train_fraction)}"
+        if train_fraction < 1.0 else ""
     )
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -1449,7 +1441,7 @@ def q_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ann_ivf(
         emb, queries, n_centroids=_IVF_K, n_probe=_IVF_PROBE, k=_ANN_K,
-        train_fraction=_IVF_TRAIN_PCT / 100,
+        train_fraction=_IVF_TRAIN_FRACTION,
     )
 
 
@@ -2019,7 +2011,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_lsh": (q_ann_lsh, _ann_lsh_oracle()),
     "ann_lsh_multiprobe": (q_ann_lsh_multiprobe, _ann_lsh_oracle(multiprobe=True)),
     "ann_ivf": (q_ann_ivf, _ann_ivf_oracle()),
-    "ann_ivf_sampled": (q_ann_ivf_sampled, _ann_ivf_oracle(_IVF_TRAIN_PCT)),
+    "ann_ivf_sampled": (q_ann_ivf_sampled, _ann_ivf_oracle(_IVF_TRAIN_FRACTION)),
     "embedding_neardup": (q_embedding_neardup, _NEARDUP_COS_ORACLE),
     "multimodal_meta": (q_multimodal_meta, _MULTIMODAL_ORACLE),
     "multimodal_decode": (q_multimodal_decode, _MULTIMODAL_DECODE_ORACLE),

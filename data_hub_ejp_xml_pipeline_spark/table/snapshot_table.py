@@ -623,6 +623,11 @@ class SnapshotTable:
                 # pre-pass count normally provides (reference F4)
                 if stats_src.isEmpty():
                     profile_thread.join()  # profile of an empty batch: fast
+                    if "error" in profile_box:
+                        # a broken stats/profile pipeline must surface on
+                        # EVERY epoch, empty ones included — swallowing it
+                        # here would hide the failure until a non-empty batch
+                        raise profile_box["error"]
                     return CommitResult(
                         m["snapshot_id"], m["version"], applied=False, n_events=0
                     )

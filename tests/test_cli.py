@@ -92,3 +92,18 @@ def test_cli_dedup_state_tail_and_flags(spark, tmp_path, changelog_dir, changelo
     out = main(["dedup-flags", "--state", dstate, "--token"], spark=spark)
     assert out["cmd"] == "dedup-flags"
     assert out["flags"] >= 0 and isinstance(out["epochs"], list)
+
+
+def test_cli_dedup_flags_is_read_only_on_missing_state(spark, tmp_path):
+    """A summary command must not CREATE state tables on a wrong path or
+    wrong layout flag."""
+    import os
+
+    bogus = str(tmp_path / "nope")
+    out = main(["dedup-flags", "--state", bogus], spark=spark)
+    assert "error" in out and "no minhash dedup state" in out["error"]
+    assert not os.path.exists(bogus)  # nothing was minted
+
+    out2 = main(["dedup-flags", "--state", bogus, "--token"], spark=spark)
+    assert "error" in out2 and "token" in out2["error"]
+    assert not os.path.exists(bogus)

@@ -194,3 +194,22 @@ def test_wav_round_trip_property(n, ch, rate, seed):
     s = rng.integers(-32768, 32767, (n, ch), dtype=np.int16)
     rate2, back = codecs.decode_wav(codecs.encode_wav(s, rate))
     assert rate2 == rate and np.array_equal(back, s)
+
+
+def test_degenerate_headers_rejected():
+    """Zero-dimension images and 0-channel WAVs are malformed-header
+    ValueErrors, not downstream numpy/arithmetic crashes."""
+    import struct
+
+    zero_w = bytearray(codecs.encode_bmp(np.zeros((1, 1, 3), np.uint8)))
+    struct.pack_into("<i", zero_w, 18, 0)  # biWidth = 0
+    with pytest.raises(ValueError, match="dimensions"):
+        codecs.decode_bmp(bytes(zero_w))
+
+    with pytest.raises(ValueError, match="dimensions"):
+        codecs.decode_ppm(b"P6\n0 1\n255\n")
+
+    wav = bytearray(codecs.encode_wav(np.zeros(4, np.int16)))
+    struct.pack_into("<H", wav, wav.index(b"fmt ") + 8 + 2, 0)  # channels = 0
+    with pytest.raises(ValueError, match="0 channels"):
+        codecs.decode_wav(bytes(wav))

@@ -382,3 +382,29 @@ def test_mor_staged_epoch_count_survives_restart(spark, tmp_path, changelog_pdf)
     mor3.apply(spark_changelog_from_pandas(spark, batches[3]), batch_id=3)
     mor4 = MorPipeline(spark, root, k_compact=1)
     assert mor4._since_compact == 0
+
+
+def test_mor_heal_uses_base_manifest_schema(spark, tmp_path):
+    """The healed delta must inherit the BASE's stored payload schema, not
+    the constructor default — the root is typically reopened without
+    re-passing a custom schema."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    custom = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("body", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    root = tmp_path / "healsch"
+    MorPipeline(spark, str(root), n_buckets=4, payload_schema=custom)
+    shutil.rmtree(root / "delta")
+    mor = MorPipeline(spark, str(root), n_buckets=4)  # no schema re-passed
+    got = {f.name: f.dataType.simpleString()
+           for f in mor.delta.schema().fields if f.name != "op"}
+    want = {f.name: f.dataType.simpleString() for f in custom.fields}
+    # delta payload = base payload (custom), plus the op column
+    assert {k: v for k, v in got.items() if k in want} == want
+    assert "op" in [f.name for f in mor.delta.schema().fields]
+    assert "tokens" not in got  # the default PAYLOAD_SCHEMA did NOT leak in

@@ -405,3 +405,16 @@ def test_connected_components_frees_intermediate_checkpoints(spark):
     assert rows == {i: 0 for i in range(n + 1)}
     leaked = _persistent_rdd_ids(spark.sparkContext) - before
     assert len(leaked) <= 1, f"checkpoint blocks leaked: {sorted(leaked)}"
+
+
+def test_ivf_train_fraction_guards(spark):
+    """A fraction that quantizes to an empty sample must raise, not return
+    zero neighbors silently; out-of-range fractions are refused."""
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="empty sample"):
+        similarity.ivf_centroids(emb, 4, train_fraction=0.000001)
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        similarity.ivf_centroids(emb, 4, train_fraction=1.5)
