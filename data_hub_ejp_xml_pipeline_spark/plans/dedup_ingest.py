@@ -219,15 +219,24 @@ class TokenDedupState:
         """One epoch: flag batch docs whose fingerprint matches the
         corpus (any) or an EARLIER doc of the same batch (smaller string
         id), then append the batch's fingerprints and the flags —
-        exactly-once each, replay-stable via pre-epoch time travel."""
-        # persisted for the epoch: fps feeds the corpus probe, the
-        # batch-internal self-join, the state append, and the flags append
-        # — without a cache the upstream (often an LWW reduce) would
-        # re-execute for each of those actions
+        exactly-once each, replay-stable via pre-epoch time travel.
+
+        ``batch`` must be one row per key (e.g. already LWW-reduced).
+        Pipelines should prefer :meth:`apply_changelog` — it fingerprints
+        the RAW rows first so the reduce here shuffles ~50-byte
+        (doc_id, fp) rows instead of token payloads."""
         fps = batch.select(
             self.fingerprint(tokens_col).alias("fp"),
             F.col(id_col).cast("string").alias("doc_id"),
-        ).persist()
+        )
+        return self._apply_fps(fps, batch_id)
+
+    def _apply_fps(self, fps: DataFrame, batch_id: int) -> DataFrame:
+        # persisted for the epoch: fps feeds the corpus probe, the
+        # batch-internal self-join, the state append, and the flags append
+        # — without a cache the upstream (a reduce) would re-execute for
+        # each of those actions
+        fps = fps.persist()
         pre_v = _version_before(self.fingerprints, batch_id)
         corpus = self.fingerprints.read(version=pre_v)
 
@@ -271,6 +280,37 @@ class TokenDedupState:
         self.flags.append(flags, batch_id=batch_id)
         fps.unpersist()  # durable now; re-collecting `flags` recomputes
         return flags
+
+    def apply_changelog(self, changelog: DataFrame, batch_id: int,
+                        id_col: str = "doc_id", tokens_col: str = "tokens",
+                        lsn_col: str = "lsn", op_col: str = "op") -> DataFrame:
+        """Fingerprint-then-reduce entry point for a RAW changelog batch:
+        the md5 prefix fingerprint is computed per row in whole-stage
+        codegen, then the per-key LWW winner is picked over
+        (doc_id, lsn, fp, op) ONLY — the shuffle never carries the token
+        payload and the pipeline's own reduce is not re-executed
+        (measured: the naive reduced-batch path costs a second full
+        payload shuffle per epoch). Deletes are dropped after the reduce
+        (a key whose winner is a delete must not enter the corpus).
+
+        Tie-break on equal (doc_id, lsn): max (fp, op) pair — internally
+        deterministic, though a tie may pick a different sibling than the
+        main table's lineage-based tie-break (the state then records the
+        tied twin's identical-length prefix; content-identical in every
+        case that matters for dedup)."""
+        rows = changelog.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.col(lsn_col).alias("_l"),
+            self.fingerprint(tokens_col).alias("fp"),
+            F.col(op_col).alias("_o"),
+        )
+        winner = rows.groupBy("doc_id").agg(
+            F.max_by(F.struct("fp", "_o"), F.struct("_l", "fp", "_o")).alias("w")
+        )
+        live = winner.filter(F.col("w._o") != "D").select(
+            F.col("w.fp").alias("fp"), "doc_id"
+        )
+        return self._apply_fps(live, batch_id)
 
     def all_flags(self) -> DataFrame:
         return self.flags.read().drop("_lsn")

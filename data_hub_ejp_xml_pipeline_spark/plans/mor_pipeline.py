@@ -67,9 +67,10 @@ class MorPipeline:
         dedup_state=None,
     ):
         """``dedup_state``: an optional :class:`plans.dedup_ingest.
-        TokenDedupState` — each epoch's LWW-reduced live rows are
-        fingerprint-checked against the persisted corpus state and
-        appended to it (exact dedup-on-ingest for token payloads)."""
+        TokenDedupState` — each epoch's per-key LWW-winning fingerprint
+        (computed from the RAW rows) is checked against the persisted
+        corpus state and appended to it (exact dedup-on-ingest for token
+        payloads)."""
         self.spark = spark
         self.key = key
         self.k_compact = k_compact
@@ -152,11 +153,10 @@ class MorPipeline:
             changelog, key=self.key, strategy=self.reduce_strategy
         )
         if self.dedup_state is not None:
-            # exact token-fingerprint dedup over the epoch's LWW winners
-            # (deleted keys must not enter the corpus state)
-            self.dedup_state.apply(
-                reduced.filter(F.col("op") != "D"), batch_id=batch_id
-            )
+            # fingerprint-then-reduce over the RAW batch (deleted keys'
+            # winners never enter the corpus state); the dedup shuffle
+            # carries fingerprints, not token payloads
+            self.dedup_state.apply_changelog(changelog, batch_id=batch_id)
         # raw batch feeds the stats/lineage pre-pass (narrow, no reduce);
         # the LWW reduce then executes exactly once, in the append's write
         res = self.delta.append(reduced, batch_id=batch_id, stats_df=changelog)

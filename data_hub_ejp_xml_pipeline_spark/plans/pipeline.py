@@ -36,7 +36,8 @@ class MergePipeline:
         dedup_state=None,
     ):
         """``dedup_state``: an optional :class:`plans.dedup_ingest.
-        TokenDedupState` — each epoch's LWW winners are fingerprint-
+        TokenDedupState` — each epoch's per-key LWW-winning fingerprint
+        (computed from the RAW rows, payload never re-shuffled) is
         checked against the persisted corpus state and appended to it
         (exact dedup-on-ingest; requires batch ids)."""
         self.spark = spark
@@ -62,21 +63,19 @@ class MergePipeline:
             changelog, key=self.key, strategy=self.reduce_strategy, n_salts=self.n_salts
         )
         if self.dedup_state is not None:
-            from pyspark.sql import functions as F
-
             if batch_id is None:
                 raise ValueError(
                     "dedup-on-ingest requires a monotone batch_id — the "
                     "fingerprint/flags state commits exactly-once per epoch"
                 )
-            self.dedup_state.apply(
-                reduced.filter(F.col("op") != "D"), batch_id=batch_id
-            )
+            # fingerprint-then-reduce over the RAW batch: the dedup shuffle
+            # carries (doc_id, lsn, fp, op) only — never the token payload,
+            # and never a second execution of the merge's LWW reduce
+            self.dedup_state.apply_changelog(changelog, batch_id=batch_id)
         # the raw batch feeds the stats/lineage job (no reduce needed there),
-        # so the LWW reduce executes once in the merge-write job — plus one
-        # extra execution when dedup_state is set (materializing the cached
-        # fingerprint table; TokenDedupState persists it so its own three
-        # consumers don't re-reduce)
+        # so the LWW reduce executes exactly once — in the merge-write job
+        # (the dedup path above reduces its own lightweight fingerprint
+        # rows, never this payload reduce)
         return self.table.merge(reduced, batch_id=batch_id, stats_df=changelog,
                                 profile_mode=self.profile_mode)
 
