@@ -98,8 +98,13 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             return None
         from data_hub_ejp_xml_pipeline_spark.plans.dedup_ingest import TokenDedupState
 
-        return TokenDedupState(spark, args.dedup_state,
-                               prefix_k=args.dedup_prefix_k)
+        # only pass prefix_k when the flag was given: an existing state
+        # ADOPTS its stored value (passing an explicit conflicting one,
+        # including an implicit None, is a refused identity change)
+        kwargs = {}
+        if args.dedup_prefix_k is not None:
+            kwargs["prefix_k"] = args.dedup_prefix_k
+        return TokenDedupState(spark, args.dedup_state, **kwargs)
 
     if args.cmd == "tail":
         from data_hub_ejp_xml_pipeline_spark.plans.mor_pipeline import MorPipeline
@@ -196,13 +201,20 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         state = (TokenDedupState(spark, args.state) if args.token
                  else DedupIngestState(spark, args.state,
                                        docs_provider=lambda: None))
-        flags = state.all_flags()
+        from pyspark.sql import functions as F
+
+        # one job over one scan (three separate actions would re-read
+        # the flags table three times)
+        row = state.all_flags().agg(
+            F.count(F.lit(1)).alias("flags"),
+            F.countDistinct("new_doc").alias("docs_flagged"),
+            F.sort_array(F.collect_set("epoch")).alias("epochs"),
+        ).first()
         out = {
             "cmd": "dedup-flags",
-            "flags": flags.count(),
-            "docs_flagged": flags.select("new_doc").distinct().count(),
-            "epochs": [r.epoch for r in
-                       flags.select("epoch").distinct().orderBy("epoch").collect()],
+            "flags": row.flags,
+            "docs_flagged": row.docs_flagged,
+            "epochs": list(row.epochs),
         }
 
     else:  # show

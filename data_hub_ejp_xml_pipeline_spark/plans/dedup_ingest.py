@@ -199,20 +199,55 @@ class TokenDedupState:
     compact to latest-per-doc if current-content-only semantics are
     wanted."""
 
+    _UNSET = object()
+
     def __init__(self, spark: SparkSession, root: str,
-                 prefix_k: int | None = None, n_buckets: int = 16):
+                 prefix_k=_UNSET, n_buckets: int = 16):
         self.spark = spark
+        # prefix_k is part of the state's IDENTITY: fingerprints taken with
+        # different K never match, so reopening with another K would
+        # silently stop flagging real duplicates. The value is persisted
+        # at the root on create and ADOPTED on open (like a table's key);
+        # an explicitly-passed conflicting value raises.
+        import json as _json
+        import os as _os
+
+        meta_path = _os.path.join(root, "dedup_meta.json")
+        stored = None
+        if _os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                stored = _json.load(fh).get("prefix_k")
+        if prefix_k is TokenDedupState._UNSET:
+            prefix_k = stored  # adopt (None = full-array fingerprints)
+        elif stored is not None or _os.path.exists(meta_path):
+            if prefix_k != stored:
+                raise ValueError(
+                    f"state at {root} was created with prefix_k={stored}; "
+                    f"reopening with prefix_k={prefix_k} would mix "
+                    "incompatible fingerprints"
+                )
+        if prefix_k is not None and prefix_k < 1:
+            raise ValueError(f"prefix_k must be >= 1, got {prefix_k}")
         self.prefix_k = prefix_k
+        if not _os.path.exists(meta_path):
+            _os.makedirs(root, exist_ok=True)
+            with open(meta_path, "w") as fh:
+                _json.dump({"prefix_k": prefix_k}, fh)
         self.fingerprints = _open_table(spark, root + "/fingerprints",
                                         TOKEN_FP_SCHEMA, "fp", n_buckets)
         self.flags = _open_table(spark, root + "/flags", TOKEN_FLAGS_SCHEMA,
                                  "new_doc", n_buckets)
 
     def fingerprint(self, tokens_col: Column | str) -> Column:
+        """NULL for null/EMPTY token arrays — concat_ws would otherwise
+        fold them all onto md5('') and flag every empty doc as a dup of
+        every other (one hot key, quadratic flags); null fps are dropped
+        before the state append and never join."""
         c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-        if self.prefix_k is not None:
-            c = F.slice(c, 1, self.prefix_k)
-        return F.md5(F.concat_ws(",", c.cast("array<string>")))
+        sliced = F.slice(c, 1, self.prefix_k) if self.prefix_k is not None else c
+        return F.when(
+            c.isNull() | (F.size(c) == 0), F.lit(None).cast("string")
+        ).otherwise(F.md5(F.concat_ws(",", sliced.cast("array<string>"))))
 
     def apply(self, batch: DataFrame, batch_id: int,
               id_col: str = "doc_id", tokens_col: str = "tokens") -> DataFrame:
@@ -235,8 +270,9 @@ class TokenDedupState:
         # persisted for the epoch: fps feeds the corpus probe, the
         # batch-internal self-join, the state append, and the flags append
         # — without a cache the upstream (a reduce) would re-execute for
-        # each of those actions
-        fps = fps.persist()
+        # each of those actions. Null fps (empty/absent token arrays)
+        # carry no dedup signal — drop them here.
+        fps = fps.filter(F.col("fp").isNotNull()).persist()
         pre_v = _version_before(self.fingerprints, batch_id)
         corpus = self.fingerprints.read(version=pre_v)
 
@@ -293,19 +329,27 @@ class TokenDedupState:
         payload shuffle per epoch). Deletes are dropped after the reduce
         (a key whose winner is a delete must not enter the corpus).
 
-        Tie-break on equal (doc_id, lsn): max (fp, op) pair — internally
-        deterministic, though a tie may pick a different sibling than the
-        main table's lineage-based tie-break (the state then records the
-        tied twin's identical-length prefix; content-identical in every
-        case that matters for dedup)."""
+        Tie-break on equal (doc_id, lsn): the SAME lineage columns the
+        main reduce uses (operators.lww._ORDER_COLS: offset, source_file
+        — when present), so the dedup winner and the table's winner are
+        the same row; an equal-lsn update/delete sibling pair cannot make
+        the table keep the update while the dedup path drops the key as
+        deleted. Without lineage columns, falls back to (fp, op)."""
+        from data_hub_ejp_xml_pipeline_spark.operators.lww import _ORDER_COLS
+
+        tie = [c for c in _ORDER_COLS[1:] if c in changelog.columns]
         rows = changelog.select(
             F.col(id_col).cast("string").alias("doc_id"),
             F.col(lsn_col).alias("_l"),
             self.fingerprint(tokens_col).alias("fp"),
             F.col(op_col).alias("_o"),
+            *[F.col(c) for c in tie],
+        )
+        order = (
+            F.struct("_l", *tie) if tie else F.struct("_l", "fp", "_o")
         )
         winner = rows.groupBy("doc_id").agg(
-            F.max_by(F.struct("fp", "_o"), F.struct("_l", "fp", "_o")).alias("w")
+            F.max_by(F.struct("fp", "_o"), order).alias("w")
         )
         live = winner.filter(F.col("w._o") != "D").select(
             F.col("w.fp").alias("fp"), "doc_id"

@@ -327,3 +327,67 @@ def test_incremental_flags_union_equals_one_shot_pairs(spark, data):
         assert incremental == one_shot
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_token_dedup_prefix_k_is_state_identity(spark, tmp_path):
+    """prefix_k persists at the root: reopening adopts it, an explicit
+    conflicting value is refused (mixed-K fingerprints never match, so a
+    silent K change would collapse recall), and degenerate K is refused
+    up front."""
+    from data_hub_ejp_xml_pipeline_spark.plans.dedup_ingest import TokenDedupState
+
+    root = str(tmp_path / "ident")
+    TokenDedupState(spark, root, prefix_k=8, n_buckets=4)
+    assert TokenDedupState(spark, root, n_buckets=4).prefix_k == 8  # adopt
+    assert TokenDedupState(spark, root, prefix_k=8, n_buckets=4).prefix_k == 8
+    with pytest.raises(ValueError, match="incompatible fingerprints"):
+        TokenDedupState(spark, root, prefix_k=4, n_buckets=4)
+    with pytest.raises(ValueError, match="incompatible fingerprints"):
+        TokenDedupState(spark, root, prefix_k=None, n_buckets=4)
+    with pytest.raises(ValueError, match=">= 1"):
+        TokenDedupState(spark, str(tmp_path / "bad"), prefix_k=0, n_buckets=4)
+
+
+def test_token_dedup_empty_tokens_never_flag(spark, tmp_path):
+    """Null/empty token arrays carry no dedup signal: they must not pool
+    onto md5('') and flag each other (quadratic hot-key flags), and they
+    never enter the corpus state."""
+    from data_hub_ejp_xml_pipeline_spark.plans.dedup_ingest import TokenDedupState
+
+    s = TokenDedupState(spark, str(tmp_path / "empty"), n_buckets=4)
+    e1 = spark.createDataFrame(
+        [("a", []), ("b", None), ("c", [1, 2])],
+        "doc_id string, tokens array<int>",
+    )
+    e2 = spark.createDataFrame(
+        [("d", []), ("e", None), ("f", [1, 2])],
+        "doc_id string, tokens array<int>",
+    )
+    assert s.apply(e1, batch_id=0).count() == 0
+    flags = {(r.new_doc, r.matched_doc) for r in s.apply(e2, batch_id=1).collect()}
+    assert flags == {("f", "c")}  # only the real content pair
+    assert {r.doc_id for r in s.fingerprints.read().collect()} == {"c", "f"}
+
+
+def test_token_dedup_equal_lsn_delete_update_sibling(spark, tmp_path):
+    """apply_changelog's tie-break uses the SAME lineage columns as the
+    main reduce, so an equal-(doc_id, lsn) update/delete sibling pair
+    resolves identically: the lineage-later row wins on BOTH paths."""
+    from data_hub_ejp_xml_pipeline_spark.plans.dedup_ingest import TokenDedupState
+
+    schema = ("lsn long, op string, doc_id string, tokens array<int>, "
+              "offset long, source_file string")
+    # update has the HIGHER offset → it wins the lineage tie-break
+    batch = spark.createDataFrame(
+        [(5, "D", "k", None, 1, "f"), (5, "U", "k", [9, 9, 9], 2, "f")], schema
+    )
+    s = TokenDedupState(spark, str(tmp_path / "tie"), n_buckets=4)
+    s.apply_changelog(batch, batch_id=0)
+    assert {r.doc_id for r in s.fingerprints.read().collect()} == {"k"}
+
+    # reversed lineage: the delete wins → the key stays out of the corpus
+    batch2 = spark.createDataFrame(
+        [(5, "D", "k2", None, 2, "f"), (5, "U", "k2", [9, 9, 9], 1, "f")], schema
+    )
+    s.apply_changelog(batch2, batch_id=1)
+    assert not any(r.doc_id == "k2" for r in s.fingerprints.read().collect())
