@@ -277,6 +277,7 @@ def incremental_minhash_flags(
     id_col: str = "doc_id",
     text_col: str = "text",
     persist_registry: list | None = None,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Near-dup flags for a NEW batch against the already-ingested corpus —
     the CDC-shaped dedup: per epoch, only the batch is shingled/minhashed;
@@ -307,7 +308,10 @@ def incremental_minhash_flags(
         persist_registry.append(sh_new)
     bands_new = minhash_bands(sh_new, n_hashes, band_size)
 
-    bn = F.broadcast(bands_new)
+    # broadcast is right while the batch band set fits the executor
+    # broadcast budget (any realistic microbatch); disable for extreme
+    # batches and let both sides shuffle on (band_no, band_hash)
+    bn = F.broadcast(bands_new) if broadcast_batch else bands_new
     cand_corpus = (
         bn.alias("n")
         .join(

@@ -202,7 +202,8 @@ class TokenDedupState:
     _UNSET = object()
 
     def __init__(self, spark: SparkSession, root: str,
-                 prefix_k=_UNSET, n_buckets: int = 16):
+                 prefix_k=_UNSET, n_buckets: int = 16,
+                 probe_broadcast: bool = True):
         self.spark = spark
         # prefix_k is part of the state's IDENTITY: fingerprints taken with
         # different K never match, so reopening with another K would
@@ -229,6 +230,12 @@ class TokenDedupState:
         if prefix_k is not None and prefix_k < 1:
             raise ValueError(f"prefix_k must be >= 1, got {prefix_k}")
         self.prefix_k = prefix_k
+        # broadcast the batch fingerprints into the corpus probe (default):
+        # right whenever the corpus state dwarfs the epoch — the corpus
+        # never shuffles. For extreme microbatches whose key set exceeds
+        # the executor broadcast budget (~10^8 keys), set False: both
+        # sides then shuffle on fp and AQE picks the join
+        self.probe_broadcast = probe_broadcast
         if not _os.path.exists(meta_path):
             _os.makedirs(root, exist_ok=True)
             with open(meta_path, "w") as fh:
@@ -279,8 +286,9 @@ class TokenDedupState:
         # the batch fingerprint table BROADCASTS into the corpus probe —
         # one map-side scan of the (bucketed) corpus state, never a
         # corpus shuffle (same shape as the MinHash band probe)
+        probe = F.broadcast(fps) if self.probe_broadcast else fps
         cand_corpus = (
-            F.broadcast(fps).alias("n")
+            probe.alias("n")
             .join(
                 corpus.alias("c"),
                 (F.col("n.fp") == F.col("c.fp"))
