@@ -158,6 +158,18 @@ class DedupIngestState:
         for a keep-canonical ingest policy."""
         return self.flags.read().select(F.col("new_doc").alias("doc_id")).distinct()
 
+    def expire(self, keep_last: int = 2) -> dict:
+        """Reclaim old snapshots/orphans across the state tables (the
+        per-epoch appends mint one snapshot per table per epoch; a
+        long-running tailer needs this swept like any other table)."""
+        out = {
+            "bands": self.bands.expire_snapshots(keep_last=keep_last),
+            "flags": self.flags.expire_snapshots(keep_last=keep_last),
+        }
+        if self.docs is not None:
+            out["docs"] = self.docs.expire_snapshots(keep_last=keep_last)
+        return out
+
 
 TOKEN_FP_SCHEMA = T.StructType(
     [
@@ -320,7 +332,12 @@ class TokenDedupState:
             .distinct()
             .withColumn("epoch", F.lit(batch_id).cast("long"))
         )
-        self.fingerprints.append(fps, batch_id=batch_id)
+        # the epoch id rides in as the rows' _lsn so compact_latest has a
+        # real "appended later" ordering (appends otherwise store _lsn=0)
+        self.fingerprints.append(
+            fps.withColumn("lsn", F.lit(batch_id).cast("long")),
+            batch_id=batch_id,
+        )
         self.flags.append(flags, batch_id=batch_id)
         fps.unpersist()  # durable now; re-collecting `flags` recomputes
         return flags
@@ -363,6 +380,41 @@ class TokenDedupState:
             F.col("w.fp").alias("fp"), "doc_id"
         )
         return self._apply_fps(live, batch_id)
+
+    def compact_latest(self, batch_id: int | None = None):
+        """Maintenance: rewrite the fingerprint state to ONE row per doc
+        (the last-appended fingerprint wins via the rows' commit ``_lsn``,
+        tie-broken by fp for same-commit duplicates). Switches the state
+        from match-any-HISTORICAL-version semantics (the append-only
+        default) to match-current-content-only — run it when superseded
+        versions should stop attracting flags, and to bound state growth
+        under heavy re-ingestion. One shuffle on doc_id + a truncate +
+        re-append; exactly-once via ``batch_id`` on the re-append."""
+        latest = (
+            self.fingerprints.read()
+            .groupBy("doc_id")
+            .agg(
+                F.max_by(
+                    F.struct("fp", F.col("_lsn").alias("lsn")),
+                    F.struct(F.col("_lsn"), F.col("fp")),
+                ).alias("w")
+            )
+            .select(F.col("w.fp").alias("fp"), "doc_id",
+                    F.col("w.lsn").alias("lsn"))
+            .persist()
+        )
+        latest.count()  # materialize BEFORE truncate drops the source files
+        self.fingerprints.truncate()
+        res = self.fingerprints.append(latest, batch_id=batch_id)
+        latest.unpersist()
+        return res
+
+    def expire(self, keep_last: int = 2) -> dict:
+        """Reclaim old snapshots/orphans across the state tables."""
+        return {
+            "fingerprints": self.fingerprints.expire_snapshots(keep_last=keep_last),
+            "flags": self.flags.expire_snapshots(keep_last=keep_last),
+        }
 
     def all_flags(self) -> DataFrame:
         return self.flags.read().drop("_lsn")

@@ -391,3 +391,49 @@ def test_token_dedup_equal_lsn_delete_update_sibling(spark, tmp_path):
     )
     s.apply_changelog(batch2, batch_id=1)
     assert not any(r.doc_id == "k2" for r in s.fingerprints.read().collect())
+
+
+def test_token_dedup_compact_latest_and_expire(spark, tmp_path):
+    """compact_latest switches the state to current-content-only: a doc's
+    superseded fingerprint stops attracting flags; expire reclaims old
+    snapshots on all state tables."""
+    from data_hub_ejp_xml_pipeline_spark.plans.dedup_ingest import TokenDedupState
+
+    s = TokenDedupState(spark, str(tmp_path / "cmp"), n_buckets=4)
+    s.apply_changelog(spark.createDataFrame(
+        [(1, "U", "a", [1, 2, 3])],
+        "lsn long, op string, doc_id string, tokens array<int>"), batch_id=0)
+    # a's content changes in epoch 1
+    s.apply_changelog(spark.createDataFrame(
+        [(2, "U", "a", [7, 8, 9])],
+        "lsn long, op string, doc_id string, tokens array<int>"), batch_id=1)
+    # append-only default: a match against a's OLD content flags
+    f_old = s.apply_changelog(spark.createDataFrame(
+        [(3, "U", "b", [1, 2, 3])],
+        "lsn long, op string, doc_id string, tokens array<int>"), batch_id=2)
+    assert {(r.new_doc, r.matched_doc) for r in f_old.collect()} == {("b", "a")}
+
+    s.compact_latest(batch_id=100)
+    assert s.fingerprints.read().count() == 2  # one per doc (a latest, b)
+    # after compaction, old content no longer matches; current does
+    f2 = s.apply_changelog(spark.createDataFrame(
+        [(4, "U", "c", [1, 2, 3]), (5, "U", "d", [7, 8, 9])],
+        "lsn long, op string, doc_id string, tokens array<int>"), batch_id=3)
+    got = {(r.new_doc, r.matched_doc, r.matched_in) for r in f2.collect()}
+    assert ("d", "a", "corpus") in got
+    assert not any(n == "c" and m == "a" for (n, m, _) in got)
+    # 'c' matches 'b' (b kept [1,2,3]); compaction preserved b's row
+    assert ("c", "b", "corpus") in got
+
+    ex = s.expire(keep_last=1)
+    assert ex["fingerprints"]["removed_manifests"] >= 1  # pre-compaction history swept
+
+
+def test_minhash_state_expire(spark, tmp_path):
+    s = DedupIngestState(spark, str(tmp_path / "exp"), n_buckets=4)
+    for e, d in enumerate([[("a", BASE)], [("b", OTHER)], [("c", BASE)]]):
+        s.apply(_docs(spark, d), batch_id=e)
+    before = s.all_flags().count()
+    ex = s.expire(keep_last=1)
+    assert set(ex) == {"bands", "flags", "docs"}
+    assert s.all_flags().count() == before  # current state untouched
