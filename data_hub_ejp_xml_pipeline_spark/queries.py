@@ -1445,6 +1445,95 @@ def q_ann_ivf_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_index_state_oracle() -> str:
+    """Persistent-index semantics: centroids trained on the WAVE-0 corpus
+    only and frozen; inverted lists cover ALL vectors (both epochs);
+    probes + exact rerank as usual. neighbor_id is a VARCHAR (the state
+    table's id domain), so the rank tie-break compares strings."""
+    w0 = f"{SA.md5_mod_sql('vec_id', 2)} = 0"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+w0 AS (SELECT * FROM e WHERE {w0}),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS centroid
+  FROM (SELECT * FROM w0 WHERE vec_id % {_IVF_MOD} = {_IVF_REM}
+        ORDER BY vec_id LIMIT {_IVF_K})
+),
+a1x AS (
+  SELECT vec_id, cid FROM (
+    SELECT t.vec_id, s.cid,
+           row_number() OVER (PARTITION BY t.vec_id
+             ORDER BY round(list_cosine_similarity(t.v, s.centroid), 6) DESC, s.cid
+           ) AS rn
+    FROM w0 t, seeds s) t WHERE rn = 1
+),
+dims AS (
+  SELECT a.cid, u.pos, t.v[u.pos + 1] AS x
+  FROM a1x a JOIN w0 t USING (vec_id),
+       UNNEST(range(len(t.v))) AS u(pos)
+),
+cents AS (
+  SELECT cid, array_agg(m ORDER BY pos) AS centroid
+  FROM (SELECT cid, pos, round(avg(x), 9) AS m FROM dims GROUP BY 1, 2) d
+  GROUP BY cid
+),
+lists AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.centroid), 6) DESC, c.cid
+           ) AS rn
+    FROM e, cents c) t WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qe FROM e WHERE vec_id < {_ANN_NQ}),
+probes AS (
+  SELECT query_id, qe, cid FROM (
+    SELECT q.query_id, q.qe, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qe, c.centroid), 6) DESC, c.cid
+           ) AS rn
+    FROM q, cents c) t WHERE rn <= {_IVF_PROBE}
+),
+scored AS (
+  SELECT p.query_id, CAST(l.vec_id AS VARCHAR) AS neighbor_id,
+         round(list_cosine_similarity(p.qe, e.v), 6) AS sim6
+  FROM probes p JOIN lists l ON l.cid = p.cid AND l.vec_id <> p.query_id
+  JOIN e ON e.vec_id = l.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim6,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY sim6 DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(sim6, 4) AS cosine
+FROM ranked WHERE rank <= {_ANN_K}
+"""
+
+
+def q_ann_index_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN served from the PERSISTENT index (plans.ann_index.
+    IvfIndexState): centroids trained once on the wave-0 corpus and
+    frozen; the wave-0 and wave-1 epochs appended to the cid-bucketed
+    inverted-lists table exactly-once; queries probe their n_probe
+    nearest centroids and scan ONLY the probed lists' bucket files
+    (manifest-level file pruning — the growth path a serving index
+    needs)."""
+    from data_hub_ejp_xml_pipeline_spark.plans.ann_index import IvfIndexState
+
+    emb = _t(spark, sf_dir, "embeddings")
+    wave = SA.md5_mod_col("vec_id", 2)
+    root = _swept_scratch_dir("annidx")
+    idx = IvfIndexState(spark, root, n_centroids=_IVF_K, n_buckets=8)
+    idx.train(emb.filter(wave == 0))
+    idx.apply(emb.filter(wave == 0), batch_id=0)
+    idx.apply(emb.filter(wave == 1), batch_id=1)
+    queries = emb.filter(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    return idx.query(queries, k=_ANN_K, n_probe=_IVF_PROBE)
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: signature-bucket join + exact rerank —
     the scale path (one shuffle on the bucket instead of a cross product)."""
@@ -2012,6 +2101,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_lsh_multiprobe": (q_ann_lsh_multiprobe, _ann_lsh_oracle(multiprobe=True)),
     "ann_ivf": (q_ann_ivf, _ann_ivf_oracle()),
     "ann_ivf_sampled": (q_ann_ivf_sampled, _ann_ivf_oracle(_IVF_TRAIN_FRACTION)),
+    "ann_index_state": (q_ann_index_state, _ann_index_state_oracle()),
     "embedding_neardup": (q_embedding_neardup, _NEARDUP_COS_ORACLE),
     "multimodal_meta": (q_multimodal_meta, _MULTIMODAL_ORACLE),
     "multimodal_decode": (q_multimodal_decode, _MULTIMODAL_DECODE_ORACLE),
