@@ -1030,6 +1030,74 @@ FROM words
 """
 
 
+def _corpus_curation_oracle() -> str:
+    """The full curation flow in SQL: quality filter → minhash pairs over
+    the SURVIVORS only → transitive closure → canonical flags. Reuses the
+    shared minhash CTE chain with its document source swapped to the
+    quality-filtered subset (one hash family, one source of truth)."""
+    body = _minhash_cte(with_recursive=True).replace(
+        "FROM documents", "FROM good"
+    )
+    good_cte = f"""WITH RECURSIVE qual AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '), x -> x IN {_SW_SQL})) * 1.0
+           / len(string_split(text, ' ')) AS swr
+  FROM documents
+),
+good AS (
+  SELECT doc_id, text, n_words FROM qual
+  WHERE n_words >= 20 AND swr > 0.01
+),"""
+    body = body.replace("WITH RECURSIVE words AS (", good_cte + "\nwords AS (")
+    return (
+        body
+        + """,
+pr AS (
+  SELECT i.doc_a, i.doc_b FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE i.c * 1.0 / (sa.n + sb.n - i.c) >= 0.8
+),
+e AS (SELECT doc_a AS s, doc_b AS d FROM pr UNION SELECT doc_b, doc_a FROM pr),
+reach AS (
+  SELECT doc_id AS node, doc_id AS comp FROM good
+  UNION
+  SELECT e.d, r.comp FROM reach r JOIN e ON e.s = r.node
+)
+SELECT g.doc_id, CAST(g.n_words AS INTEGER) AS n_words,
+       c.cluster_id, c.is_canonical
+FROM good g
+JOIN (
+  SELECT node AS doc_id, min(comp) AS cluster_id,
+         (node = min(comp)) AS is_canonical
+  FROM reach GROUP BY node
+) c USING (doc_id)
+"""
+    )
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation flow END TO END in one plan: quality
+    filter (Gopher-style length/stopword heuristics) → MinHash+LSH
+    near-dup pairs over the survivors only (the filter prunes BEFORE the
+    expensive shingle explode — order matters at 100 TB) → transitive
+    cluster closure → one canonical doc per cluster.
+    ``filter(is_canonical)`` is the corpus a tokenizer should see."""
+    docs = _t(spark, sf_dir, "documents")
+    good = (
+        TX.quality_metrics(docs)
+        .filter(F.col("quality_label") == "good")
+        .select("doc_id", "text", "n_words")
+    )
+    pairs = D.minhash_lsh_pairs(
+        good, threshold=0.8, n_hashes=_N_MINHASH, band_size=_BAND_SIZE
+    )
+    clusters = D.neardup_clusters(good, pairs)
+    return good.join(clusters, "doc_id").select(
+        "doc_id", "n_words", "cluster_id", "is_canonical"
+    )
+
+
 _REPETITION_ORACLE = """
 WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 uni AS (SELECT doc_id, unnest(w) AS word FROM words),
@@ -2102,6 +2170,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ann_ivf": (q_ann_ivf, _ann_ivf_oracle()),
     "ann_ivf_sampled": (q_ann_ivf_sampled, _ann_ivf_oracle(_IVF_TRAIN_FRACTION)),
     "ann_index_state": (q_ann_index_state, _ann_index_state_oracle()),
+    "corpus_curation": (q_corpus_curation, _corpus_curation_oracle()),
     "embedding_neardup": (q_embedding_neardup, _NEARDUP_COS_ORACLE),
     "multimodal_meta": (q_multimodal_meta, _MULTIMODAL_ORACLE),
     "multimodal_decode": (q_multimodal_decode, _MULTIMODAL_DECODE_ORACLE),

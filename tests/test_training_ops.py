@@ -418,3 +418,16 @@ def test_ivf_train_fraction_guards(spark):
         similarity.ivf_centroids(emb, 4, train_fraction=0.000001)
     with pytest.raises(ValueError, match="in \\(0, 1\\]"):
         similarity.ivf_centroids(emb, 4, train_fraction=1.5)
+
+
+def test_corpus_curation_composition(spark):
+    """Quality filter runs BEFORE dedup (low-quality docs can neither be
+    canonical nor suppress a good doc), and near-dups among survivors
+    collapse to one canonical."""
+    from data_hub_ejp_xml_pipeline_spark.queries import q_corpus_curation
+
+    out = q_corpus_curation(spark, "/root/testdata/sf0.001").toPandas()
+    assert (out.groupby("cluster_id")["is_canonical"].sum() == 1).all()
+    assert out["is_canonical"].sum() <= len(out)
+    # every surviving doc meets the quality bar (n_words >= 20)
+    assert (out["n_words"] >= 20).all()
