@@ -157,7 +157,10 @@ class IvfIndexState:
         """Top-k neighbors per query row (``query_id``, ``qe``): probe the
         ``n_probe`` nearest centroids, read ONLY those lists' buckets
         (file-pruned scan), rerank exactly. The probed-cid collect is
-        O(n_centroids) — never data-sized."""
+        O(n_centroids) — never data-sized. Raises on an untrained index
+        (like :meth:`apply`) rather than silently returning zero rows."""
+        if not self.trained:
+            raise RuntimeError("train() the index before querying")
         cents = self.centroids.read().select("cid", "centroid")
         probe_scored = queries.join(F.broadcast(cents)).select(
             "query_id", "qe", "cid",
@@ -173,8 +176,19 @@ class IvfIndexState:
         )
         probed_cids = [r.cid for r in probes.select("cid").distinct().collect()]
         if not probed_cids:
+            # empty-queries short-circuit: schema must match the non-empty
+            # path exactly — query_id in the CALLER's type, neighbor_id
+            # string (vec_id is stored as string) — so unions across the
+            # two branches never mismatch
             return self.spark.createDataFrame(
-                [], "query_id long, neighbor_id long, rank int, cosine double"
+                [],
+                T.StructType([
+                    T.StructField("query_id",
+                                  queries.schema["query_id"].dataType),
+                    T.StructField("neighbor_id", T.StringType()),
+                    T.StructField("rank", T.IntegerType(), False),
+                    T.StructField("cosine", T.DoubleType()),
+                ]),
             )
         lists = self.lists.read(buckets=self._buckets_for_cids(probed_cids))
         scored = F.broadcast(probes).join(

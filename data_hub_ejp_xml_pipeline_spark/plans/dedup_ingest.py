@@ -25,7 +25,11 @@ flag recompute sees the identical pre-N corpus, and the missing appends
 apply. (With ``docs_provider`` the text side cannot be time-traveled here;
 if the provider's text for a matched doc changed between run and replay,
 recomputed ``jaccard`` values may differ — the flags LEDGER still
-prevents double emission, so only the crash-window recompute sees drift.)
+prevents double emission, so only the crash-window recompute sees drift.
+Provider mode therefore keeps a slim ``texthash`` table of append-time
+``md5(text)`` per doc and, on a replayed epoch, DETECTS drift by
+comparing the provider's current hashes against it — surfaced as
+``last_replay_drift`` / a warning, never a failure.)
 
 Reference analog: the pipeline-level "seen files" dedup
 (``dags/s3_xml_import_pipeline.py`` named-literals query) persisted as
@@ -34,6 +38,7 @@ engine state rather than a warehouse query.
 
 from __future__ import annotations
 
+import logging
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -42,6 +47,8 @@ from pyspark.sql import types as T
 
 from data_hub_ejp_xml_pipeline_spark.operators import dedup
 from data_hub_ejp_xml_pipeline_spark.table.snapshot_table import SnapshotTable
+
+_LOG = logging.getLogger(__name__)
 
 BAND_SCHEMA = T.StructType(
     [
@@ -55,6 +62,13 @@ DOCS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType()),
         T.StructField("text", T.StringType()),
+    ]
+)
+
+TEXTHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("text_md5", T.StringType()),
     ]
 )
 
@@ -99,6 +113,17 @@ class DedupIngestState:
             else _open_table(spark, root + "/docs", DOCS_SCHEMA, "doc_id",
                              n_buckets)
         )
+        # provider mode cannot time-travel the text side, so a slim
+        # (doc_id, md5(text)) table is kept to DETECT replay-window drift
+        # (see apply); owned-docs mode time-travels and needs no detector
+        self.texthash = (
+            _open_table(spark, root + "/texthash", TEXTHASH_SCHEMA,
+                        "doc_id", n_buckets)
+            if docs_provider is not None
+            else None
+        )
+        self.last_replay_drift: DataFrame | None = None
+        self.last_replay_drift_count: int = 0
 
     def apply(self, batch_docs: DataFrame, batch_id: int,
               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -111,16 +136,39 @@ class DedupIngestState:
             F.col(text_col).cast("string").alias("text"),
         )
 
+        # provider-mode drift detection: on a REPLAYED epoch, compare the
+        # provider's current text hashes against the hashes stored at
+        # append time — surfaced, not fatal (the flags ledger prevents
+        # double emission; only a crash-window recompute can see drift)
+        self.last_replay_drift = None
+        self.last_replay_drift_count = 0
+        if self.texthash is not None and _applied(self.bands, batch_id):
+            self._check_provider_drift(id_col, text_col)
+
+        # replay fast path: flags commit LAST, so a ledgered flags append
+        # proves the whole epoch is durable — the stored flags ARE the
+        # deterministic recompute (and stay available after the pre-epoch
+        # manifests expire)
+        if _applied(self.flags, batch_id):
+            return _epoch_flags(self.flags, batch_id)
+
         pre_bands_v = _version_before(self.bands, batch_id)
-        corpus_bands = self.bands.read(version=pre_bands_v)
-        if self.docs is not None:
-            pre_docs_v = _version_before(self.docs, batch_id)
-            corpus_docs = self.docs.read(version=pre_docs_v)
-        else:
-            corpus_docs = self.docs_provider().select(
-                F.col(id_col).cast("string").alias("doc_id"),
-                F.col(text_col).cast("string").alias("text"),
-            )
+        try:
+            corpus_bands = self.bands.read(version=pre_bands_v)
+            if self.docs is not None:
+                pre_docs_v = _version_before(self.docs, batch_id)
+                corpus_docs = self.docs.read(version=pre_docs_v)
+            else:
+                corpus_docs = self.docs_provider().select(
+                    F.col(id_col).cast("string").alias("doc_id"),
+                    F.col(text_col).cast("string").alias("text"),
+                )
+        except FileNotFoundError:
+            # the pre-epoch version is ledger-derived, so the epoch's state
+            # appends ARE applied; their pre-epoch snapshots just fell out
+            # of the retention window. Provably done — converge on the
+            # durable flags (possibly empty) instead of failing the replay.
+            return _epoch_flags(self.flags, batch_id)
 
         persisted: list = []
         flags = dedup.incremental_minhash_flags(
@@ -140,6 +188,11 @@ class DedupIngestState:
         self.bands.append(batch_bands, batch_id=batch_id)
         if self.docs is not None:
             self.docs.append(batch, batch_id=batch_id)
+        if self.texthash is not None:
+            self.texthash.append(
+                batch.select("doc_id", F.md5("text").alias("text_md5")),
+                batch_id=batch_id,
+            )
         self.flags.append(flags, batch_id=batch_id)
         # the epoch's results are durable — free this epoch's cached
         # shingles (a long-running tailer would otherwise accumulate one
@@ -148,6 +201,36 @@ class DedupIngestState:
         for df_cached in persisted:
             df_cached.unpersist()
         return flags
+
+    def _check_provider_drift(self, id_col: str, text_col: str) -> None:
+        """Provider-mode replay diagnostic: anti-check the provider's
+        CURRENT text hashes against the hashes stored when each doc was
+        appended. A mismatch means a crash-window replay would verify
+        jaccard against drifted text — surfaced via
+        ``last_replay_drift`` (doc_id, stored_md5, current_md5) and a
+        logged warning, never a failure. One O(corpus-hashes) scan, paid
+        only on replayed epochs."""
+        stored = self.texthash.read().select("doc_id", "text_md5")
+        current = self.docs_provider().select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.md5(F.col(text_col).cast("string")).alias("current_md5"),
+        )
+        drifted = (
+            stored.join(current, "doc_id")
+            .filter(F.col("text_md5") != F.col("current_md5"))
+            .select("doc_id", F.col("text_md5").alias("stored_md5"),
+                    "current_md5")
+        )
+        self.last_replay_drift = drifted
+        self.last_replay_drift_count = drifted.count()
+        if self.last_replay_drift_count:
+            _LOG.warning(
+                "docs_provider text drifted for %d doc(s) since their "
+                "original append — a replayed epoch's recomputed jaccard "
+                "may differ from the original run (flags ledger still "
+                "prevents double emission)",
+                self.last_replay_drift_count,
+            )
 
     # -------------------------------------------------------------- reads
     def all_flags(self) -> DataFrame:
@@ -168,6 +251,8 @@ class DedupIngestState:
         }
         if self.docs is not None:
             out["docs"] = self.docs.expire_snapshots(keep_last=keep_last)
+        if self.texthash is not None:
+            out["texthash"] = self.texthash.expire_snapshots(keep_last=keep_last)
         return out
 
 
@@ -213,9 +298,14 @@ class TokenDedupState:
 
     _UNSET = object()
 
+    # auto probe mode flips from broadcast to shuffle above this many batch
+    # fingerprints — the documented executor broadcast budget (~10^8 keys
+    # of ~50-byte rows). Class attr so tests can pin the flip.
+    probe_broadcast_max_keys: int = 100_000_000
+
     def __init__(self, spark: SparkSession, root: str,
                  prefix_k=_UNSET, n_buckets: int = 16,
-                 probe_broadcast: bool = True):
+                 probe_broadcast: bool | None = None):
         self.spark = spark
         # prefix_k is part of the state's IDENTITY: fingerprints taken with
         # different K never match, so reopening with another K would
@@ -242,11 +332,14 @@ class TokenDedupState:
         if prefix_k is not None and prefix_k < 1:
             raise ValueError(f"prefix_k must be >= 1, got {prefix_k}")
         self.prefix_k = prefix_k
-        # broadcast the batch fingerprints into the corpus probe (default):
-        # right whenever the corpus state dwarfs the epoch — the corpus
-        # never shuffles. For extreme microbatches whose key set exceeds
-        # the executor broadcast budget (~10^8 keys), set False: both
-        # sides then shuffle on fp and AQE picks the join
+        # broadcast the batch fingerprints into the corpus probe: right
+        # whenever the corpus state dwarfs the epoch — the corpus never
+        # shuffles. For extreme microbatches whose key set exceeds the
+        # executor broadcast budget (~10^8 keys), both sides shuffle on fp
+        # and AQE picks the join. None (default) = AUTO: decide per epoch
+        # from the batch's actual fingerprint count (the count also
+        # materializes the epoch cache, which every downstream action
+        # reuses); an explicit bool skips the count and is always honored.
         self.probe_broadcast = probe_broadcast
         if not _os.path.exists(meta_path):
             _os.makedirs(root, exist_ok=True)
@@ -258,15 +351,21 @@ class TokenDedupState:
                                  "new_doc", n_buckets)
 
     def fingerprint(self, tokens_col: Column | str) -> Column:
-        """NULL for null/EMPTY token arrays — concat_ws would otherwise
-        fold them all onto md5('') and flag every empty doc as a dup of
-        every other (one hot key, quadratic flags); null fps are dropped
-        before the state append and never join."""
+        """md5 over the JSON rendering of the (sliced) token array.
+        ``to_json`` is INJECTIVE where a separator join is not: a
+        comma-join folds ["a,b"] onto ["a","b"] (false dups for free-text
+        tokens) and silently drops null elements, folding [x, null] onto
+        [x]; the JSON form quotes/escapes strings and renders nulls, and
+        DuckDB's ``to_json`` emits the identical bytes, so the oracle
+        stays expressible. NULL for null/EMPTY token arrays — a shared
+        empty fingerprint would flag every empty doc as a dup of every
+        other (one hot key, quadratic flags); null fps are dropped before
+        the state append and never join."""
         c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
         sliced = F.slice(c, 1, self.prefix_k) if self.prefix_k is not None else c
         return F.when(
             c.isNull() | (F.size(c) == 0), F.lit(None).cast("string")
-        ).otherwise(F.md5(F.concat_ws(",", sliced.cast("array<string>"))))
+        ).otherwise(F.md5(F.to_json(sliced)))
 
     def apply(self, batch: DataFrame, batch_id: int,
               id_col: str = "doc_id", tokens_col: str = "tokens") -> DataFrame:
@@ -286,6 +385,12 @@ class TokenDedupState:
         return self._apply_fps(fps, batch_id)
 
     def _apply_fps(self, fps: DataFrame, batch_id: int) -> DataFrame:
+        # replay fast path: a ledgered flags append means the whole epoch
+        # is durable — return the stored flags instead of re-probing
+        # (also the path that stays correct after expire_snapshots has
+        # reclaimed the pre-epoch manifests the recompute would need)
+        if _applied(self.flags, batch_id):
+            return _epoch_flags(self.flags, batch_id)
         # persisted for the epoch: fps feeds the corpus probe, the
         # batch-internal self-join, the state append, and the flags append
         # — without a cache the upstream (a reduce) would re-execute for
@@ -293,12 +398,43 @@ class TokenDedupState:
         # carry no dedup signal — drop them here.
         fps = fps.filter(F.col("fp").isNotNull()).persist()
         pre_v = _version_before(self.fingerprints, batch_id)
-        corpus = self.fingerprints.read(version=pre_v)
+        try:
+            corpus = self.fingerprints.read(version=pre_v)
+        except FileNotFoundError:
+            # pre_v is ledger-derived, so the epoch's fingerprint append IS
+            # applied; its pre-epoch snapshot just fell out of the retention
+            # window. The epoch is provably done — converge on the durable
+            # flags (possibly empty) instead of failing the replay.
+            fps.unpersist()
+            return _epoch_flags(self.flags, batch_id)
 
         # the batch fingerprint table BROADCASTS into the corpus probe —
         # one map-side scan of the (bucketed) corpus state, never a
         # corpus shuffle (same shape as the MinHash band probe)
-        probe = F.broadcast(fps) if self.probe_broadcast else fps
+        if self.probe_broadcast is None:
+            do_broadcast = fps.count() <= self.probe_broadcast_max_keys
+        else:
+            do_broadcast = self.probe_broadcast
+        flags = self._candidate_flags(fps, corpus, do_broadcast).withColumn(
+            "epoch", F.lit(batch_id).cast("long")
+        )
+        # the epoch id rides in as the rows' _lsn so compact_latest has a
+        # real "appended later" ordering (appends otherwise store _lsn=0)
+        self.fingerprints.append(
+            fps.withColumn("lsn", F.lit(batch_id).cast("long")),
+            batch_id=batch_id,
+        )
+        self.flags.append(flags, batch_id=batch_id)
+        fps.unpersist()  # durable now; re-collecting `flags` recomputes
+        return flags
+
+    def _candidate_flags(self, fps: DataFrame, corpus: DataFrame,
+                         do_broadcast: bool) -> DataFrame:
+        """The epoch's candidate plan, side-effect-free (plan tests build
+        it directly): batch-vs-corpus equi-join on fp — batch side
+        broadcast when ``do_broadcast``, so the corpus state never
+        shuffles — unioned with the batch-internal earlier-id self-join."""
+        probe = F.broadcast(fps) if do_broadcast else fps
         cand_corpus = (
             probe.alias("n")
             .join(
@@ -327,20 +463,7 @@ class TokenDedupState:
                 F.lit("batch").alias("matched_in"),
             )
         )
-        flags = (
-            cand_corpus.unionByName(cand_batch)
-            .distinct()
-            .withColumn("epoch", F.lit(batch_id).cast("long"))
-        )
-        # the epoch id rides in as the rows' _lsn so compact_latest has a
-        # real "appended later" ordering (appends otherwise store _lsn=0)
-        self.fingerprints.append(
-            fps.withColumn("lsn", F.lit(batch_id).cast("long")),
-            batch_id=batch_id,
-        )
-        self.flags.append(flags, batch_id=batch_id)
-        fps.unpersist()  # durable now; re-collecting `flags` recomputes
-        return flags
+        return cand_corpus.unionByName(cand_batch).distinct()
 
     def apply_changelog(self, changelog: DataFrame, batch_id: int,
                         id_col: str = "doc_id", tokens_col: str = "tokens",
@@ -388,8 +511,14 @@ class TokenDedupState:
         from match-any-HISTORICAL-version semantics (the append-only
         default) to match-current-content-only — run it when superseded
         versions should stop attracting flags, and to bound state growth
-        under heavy re-ingestion. One shuffle on doc_id + a truncate +
-        re-append; exactly-once via ``batch_id`` on the re-append."""
+        under heavy re-ingestion. One shuffle on doc_id into a single
+        atomic ``replace`` commit: the manifest pointer swaps from
+        all-old-files to all-new-files in one step, so a crash anywhere
+        leaves either the full pre-compaction state or the full compacted
+        state — never an emptied table — and a replayed ``batch_id``
+        no-ops the whole rewrite on the ledger (the earlier
+        truncate-then-append sequence failed both: the unconditional
+        truncate could run while the ledgered re-append no-opped)."""
         latest = (
             self.fingerprints.read()
             .groupBy("doc_id")
@@ -401,13 +530,8 @@ class TokenDedupState:
             )
             .select(F.col("w.fp").alias("fp"), "doc_id",
                     F.col("w.lsn").alias("lsn"))
-            .persist()
         )
-        latest.count()  # materialize BEFORE truncate drops the source files
-        self.fingerprints.truncate()
-        res = self.fingerprints.append(latest, batch_id=batch_id)
-        latest.unpersist()
-        return res
+        return self.fingerprints.replace(latest, batch_id=batch_id)
 
     def expire(self, keep_last: int = 2) -> dict:
         """Reclaim old snapshots/orphans across the state tables."""
@@ -420,6 +544,30 @@ class TokenDedupState:
         return self.flags.read().drop("_lsn")
 
 
+def _epoch_flags(flags_table: SnapshotTable, batch_id: int) -> DataFrame:
+    """The durable flags of an already-applied epoch — byte-identical to
+    the deterministic recompute (flags commit LAST within an epoch, so a
+    ledgered flags append proves every earlier append of the epoch
+    landed)."""
+    return (
+        flags_table.read()
+        .filter(F.col("epoch") == F.lit(batch_id).cast("long"))
+        .drop("_lsn")
+    )
+
+
+def _applied(table: SnapshotTable, batch_id: int | None) -> bool:
+    """Whether ``batch_id`` is provably applied to ``table`` — in the
+    ledger, or below its eviction watermark (monotone streaming ids)."""
+    if batch_id is None:
+        return False
+    m = table.manifest()
+    if m["ledger"].get(str(batch_id)) is not None:
+        return True
+    evicted_below = m.get("ledger_evicted_below")
+    return evicted_below is not None and batch_id < evicted_below
+
+
 def _open_table(spark: SparkSession, root: str, schema: T.StructType,
                 key: str, n_buckets: int) -> SnapshotTable:
     if SnapshotTable.exists(root):
@@ -429,11 +577,22 @@ def _open_table(spark: SparkSession, root: str, schema: T.StructType,
 
 def _version_before(table: SnapshotTable, batch_id: int) -> int | None:
     """The table version immediately BEFORE ``batch_id`` was applied, or
-    None (current) when the epoch has not been applied yet."""
-    snap = table.ledger().get(str(batch_id))
+    None (current) when the epoch has not been applied yet.
+
+    O(1): the manifest's ``ledger_pre_versions`` records the pre-commit
+    version per ledgered batch_id (evicted in lockstep with the ledger).
+    States written before that map existed fall back to the manifest-chain
+    walk; a walk broken by ``expire_snapshots`` (missing old manifests)
+    raises FileNotFoundError — callers treat that as "epoch provably
+    applied, pre-state unavailable" and fall back to the durable flags."""
+    m = table.manifest()
+    snap = m["ledger"].get(str(batch_id))
     if snap is None:
         return None
-    v = table.current_version()
+    pre = m.get("ledger_pre_versions", {}).get(str(batch_id))
+    if pre is not None:
+        return pre
+    v = m["version"]
     while v > 0:
         if table.manifest(v)["snapshot_id"] == snap:
             return v - 1

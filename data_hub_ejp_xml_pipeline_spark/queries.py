@@ -975,15 +975,17 @@ def q_dedup_state_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # token-prefix fingerprint dedup: first 8 whitespace tokens, md5 over the
-# comma-joined prefix — identical in Spark (concat_ws over slice) and
-# DuckDB (array_to_string over a 1-based inclusive slice)
+# JSON rendering of the prefix — injective (a separator join folds
+# ["a,b"] onto ["a","b"] and drops nulls) and byte-identical between
+# Spark's to_json and DuckDB's to_json (verified incl. commas, quotes,
+# unicode, nulls); the slice is 1-based inclusive in both engines
 _TOKEN_PREFIX_K = 8
 
 _TOKEN_DEDUP_ORACLE = f"""
 WITH f AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          {_WAVE_SQL} AS wave,
-         md5(array_to_string(string_split(text, ' ')[1:{_TOKEN_PREFIX_K}], ',')) AS fp
+         md5(to_json(string_split(text, ' ')[1:{_TOKEN_PREFIX_K}])::VARCHAR) AS fp
   FROM documents
 )
 SELECT b.doc_id AS new_doc, a.doc_id AS matched_doc, a.fp AS fp,

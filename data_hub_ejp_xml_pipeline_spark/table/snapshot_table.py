@@ -175,6 +175,7 @@ class SnapshotTable:
             "schema": json.loads(schema.json()),
             "files": [],
             "ledger": {},
+            "ledger_pre_versions": {},
             "ledger_evicted_below": None,
             "ts": time.time(),
         }
@@ -454,6 +455,25 @@ class SnapshotTable:
         self._write_manifest(manifest, expected_parent_version=m["version"])
         return CommitResult(manifest["snapshot_id"], version, applied=True)
 
+    def replace(
+        self,
+        df: DataFrame,
+        batch_id: int | None = None,
+        stats_df: DataFrame | None = None,
+    ) -> CommitResult:
+        """Atomic full rewrite: ONE commit whose manifest references only
+        the newly-written files — truncate+append fused, so there is no
+        intermediate state a crash can expose (a truncate-then-append
+        sequence is NOT replay-safe: the truncate is unconditional while
+        the ledgered append no-ops, silently emptying the table). Ledgered
+        like :meth:`append`; replaying a ledgered ``batch_id`` no-ops the
+        whole rewrite. ``df`` may read FROM this table — the new files
+        land in a fresh snapshot dir while the scan reads the old ones.
+        The empty-batch guard applies: replacing with an EMPTY DataFrame
+        is a no-op; use :meth:`truncate` to empty a table."""
+        return self._commit(df, operation="replace", batch_id=batch_id,
+                            merge=False, stats_df=stats_df, replace=True)
+
     def merge(
         self,
         updates: DataFrame,
@@ -553,6 +573,7 @@ class SnapshotTable:
         lsn_col: str = "lsn",
         stats_df: DataFrame | None = None,
         profile_mode: str = "pre",
+        replace: bool = False,
     ) -> CommitResult:
         if profile_mode not in ("pre", "fused"):
             raise ValueError(f"profile_mode must be 'pre' or 'fused', got {profile_mode!r}")
@@ -707,7 +728,7 @@ class SnapshotTable:
                 return CommitResult(
                     m["snapshot_id"], m["version"], applied=False, n_events=0
                 )
-            carried = list(m["files"])
+            carried = [] if replace else list(m["files"])
             est_rows = batch_stats["n_events"]
             # _lsn must be derived BEFORE the conforming projection — it
             # drops every non-payload column, including the lsn source
@@ -778,7 +799,9 @@ class SnapshotTable:
         new_files = _list_bucket_files(snap_dir, snap_rel, key)
         rows_written = sum(f["rows"] for f in new_files)
 
-        ledger, evicted_below = self._advance_ledger(m, batch_id, snapshot_id)
+        ledger, pre_versions, evicted_below = self._advance_ledger(
+            m, batch_id, snapshot_id
+        )
         manifest = {
             "version": version,
             "snapshot_id": snapshot_id,
@@ -791,6 +814,7 @@ class SnapshotTable:
             "schema": json.loads(merged_schema.json()),
             "files": carried + new_files,
             "ledger": ledger,
+            "ledger_pre_versions": pre_versions,
             "ledger_evicted_below": evicted_below,
             "ts": time.time(),
         }
@@ -961,11 +985,19 @@ class SnapshotTable:
 
     def _advance_ledger(
         self, m: dict[str, Any], batch_id: int | None, snapshot_id: str
-    ) -> tuple[dict[str, str], int | None]:
+    ) -> tuple[dict[str, str], dict[str, int], int | None]:
+        """Returns (ledger, pre_versions, evicted_below). ``pre_versions``
+        maps batch_id → the table version BEFORE that epoch's commit — the
+        O(1) lookup replay needs to time-travel to the pre-epoch state
+        (without it, replay walks the manifest chain, which breaks once
+        ``expire_snapshots`` removes old manifests). Evicted in lockstep
+        with the ledger, so its size is bounded by ``ledger_window``."""
         evicted_below = m.get("ledger_evicted_below")
+        pre_versions = dict(m.get("ledger_pre_versions", {}))
         if batch_id is None:
-            return m["ledger"], evicted_below
+            return m["ledger"], pre_versions, evicted_below
         ledger = {**m["ledger"], str(batch_id): snapshot_id}
+        pre_versions[str(batch_id)] = m["version"]
         if len(ledger) > self.ledger_window:
             numeric = sorted(int(k) for k in ledger if k.lstrip("-").isdigit())
             if numeric:
@@ -976,7 +1008,8 @@ class SnapshotTable:
                     if not (k.lstrip("-").isdigit() and int(k) < cutoff)
                 }
                 evicted_below = max(evicted_below, cutoff) if evicted_below is not None else cutoff
-        return ledger, evicted_below
+        pre_versions = {k: v for k, v in pre_versions.items() if k in ledger}
+        return ledger, pre_versions, evicted_below
 
     # ------------------------------------------------------------ maintenance
     def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
