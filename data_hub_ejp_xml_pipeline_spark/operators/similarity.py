@@ -150,9 +150,13 @@ def ivf_centroids(
     vec_col: str = "embedding",
     train_fraction: float = 1.0,
 ) -> DataFrame:
-    """(cid, centroid): deterministic seed vectors (``id % mod == rem``,
-    first ``n_centroids`` by id) refined by ONE Lloyd step — assign the
-    TRAINING set to seeds, recompute elementwise means.
+    """(cid, centroid): deterministic seed vectors (md5-hash of the id
+    mod ``seed_mod`` == ``seed_rem``, first ``n_centroids`` by id)
+    refined by ONE Lloyd step — assign the TRAINING set to seeds,
+    recompute elementwise means. The seed predicate hashes the id (the
+    shared ``functions.sampling`` idiom, reproducible in SQL) rather
+    than casting it numerically, so non-numeric vector ids work — a raw
+    ``id % mod`` predicate fails Spark's ANSI cast on string ids.
 
     ``train_fraction`` < 1 trains the Lloyd step on a deterministic
     md5-hash sample of the corpus — the 100 TB shape: centroid quality
@@ -168,7 +172,7 @@ def ivf_centroids(
         raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
     w_seed = W.orderBy(id_col)
     seeds = (
-        emb.filter(F.pmod(F.col(id_col), F.lit(seed_mod)) == seed_rem)
+        emb.filter(sampling.md5_mod_col(id_col, seed_mod) == seed_rem)
         .orderBy(id_col)
         .limit(n_centroids)
         .select(

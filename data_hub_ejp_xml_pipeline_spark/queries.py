@@ -1428,7 +1428,7 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 train AS (SELECT * FROM e {train_where}),
 seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS centroid
-  FROM (SELECT * FROM e WHERE vec_id % {_IVF_MOD} = {_IVF_REM}
+  FROM (SELECT * FROM e WHERE {SA.md5_mod_sql('vec_id', _IVF_MOD)} = {_IVF_REM}
         ORDER BY vec_id LIMIT {_IVF_K})
 ),
 a1x AS (
@@ -1526,7 +1526,7 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 w0 AS (SELECT * FROM e WHERE {w0}),
 seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS centroid
-  FROM (SELECT * FROM w0 WHERE vec_id % {_IVF_MOD} = {_IVF_REM}
+  FROM (SELECT * FROM w0 WHERE {SA.md5_mod_sql('vec_id', _IVF_MOD)} = {_IVF_REM}
         ORDER BY vec_id LIMIT {_IVF_K})
 ),
 a1x AS (

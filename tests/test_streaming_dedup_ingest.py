@@ -42,7 +42,10 @@ def test_streaming_token_dedup_crash_restart_converges(
     from data_hub_ejp_xml_pipeline_spark.plans.mor_pipeline import MorPipeline
 
     def build(root: str, **tailer_kw):
-        state = TokenDedupState(spark, root + "/ds", prefix_k=4, n_buckets=4)
+        # prefix_k=1: the generator draws tokens from a 50k vocab, so only
+        # a single-token prefix yields birthday collisions at test scale —
+        # the point here is flag traffic through the stream, not recall
+        state = TokenDedupState(spark, root + "/ds", prefix_k=1, n_buckets=4)
         pipe = MorPipeline(spark, root + "/mor", n_buckets=4, k_compact=3,
                            dedup_state=state)
         return state, ChangelogTailer(spark, pipeline=pipe, **tailer_kw)
