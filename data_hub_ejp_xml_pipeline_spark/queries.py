@@ -2181,10 +2181,18 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "entity_tables_typed": (q_entity_tables_typed, _ENTITY_TYPED_ORACLE),
     "sequence_pack": (q_sequence_pack, _SEQUENCE_PACK_ORACLE),
     "sequence_pack_greedy": (q_sequence_pack_greedy, _SEQUENCE_PACK_GREEDY_ORACLE),
+}
+
+# the round-4 driver record stopped at exactly 50 of the (then) 54
+# registered queries, dropping whatever sat LAST in insertion order. The
+# four it dropped now lead the registry so any budget-truncated sweep
+# covers them first; scripts/correctness_sweep.py always runs all of it.
+QUERIES = {
     "sequence_pack_tokens": (q_sequence_pack_tokens, _SEQUENCE_PACK_TOKENS_ORACLE),
     "pii_scrub": (q_pii_scrub, _PII_ORACLE),
     "train_val_split": (q_train_val_split, _SPLIT_ORACLE),
     "decontaminate": (q_decontaminate, _DECONTAMINATE_ORACLE),
+    **QUERIES,
 }
 
 
