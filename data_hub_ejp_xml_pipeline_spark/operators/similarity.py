@@ -144,19 +144,21 @@ def _argmin_centroid(
 def ivf_centroids(
     emb: DataFrame,
     n_centroids: int = 8,
-    seed_mod: int = 17,
-    seed_rem: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_fraction: float = 1.0,
 ) -> DataFrame:
-    """(cid, centroid): deterministic seed vectors (md5-hash of the id
-    mod ``seed_mod`` == ``seed_rem``, first ``n_centroids`` by id)
-    refined by ONE Lloyd step — assign the TRAINING set to seeds,
-    recompute elementwise means. The seed predicate hashes the id (the
-    shared ``functions.sampling`` idiom, reproducible in SQL) rather
-    than casting it numerically, so non-numeric vector ids work — a raw
-    ``id % mod`` predicate fails Spark's ANSI cast on string ids.
+    """(cid, centroid): deterministic seed vectors (the ``n_centroids``
+    rows with the smallest ``md5(id)`` — a hash-rank, so seeds spread
+    pseudo-randomly across the id domain yet exist for ANY non-empty
+    corpus, unlike a hash-residue filter whose expected hit count on a
+    tiny corpus is fractional) refined by ONE Lloyd step — assign the
+    TRAINING set to seeds, recompute elementwise means. Hashing the id
+    keeps non-numeric ids working (a raw ``id % mod`` predicate fails
+    Spark's ANSI cast on string ids), and ``md5`` renders identically in
+    DuckDB, so the oracle reproduces the exact seed set. The
+    ``orderBy(...).limit(n)`` pair compiles to TakeOrderedAndProject —
+    a distributed per-partition top-k merge, never a global sort.
 
     ``train_fraction`` < 1 trains the Lloyd step on a deterministic
     md5-hash sample of the corpus — the 100 TB shape: centroid quality
@@ -172,8 +174,7 @@ def ivf_centroids(
         raise ValueError(f"train_fraction must be in (0, 1], got {train_fraction}")
     w_seed = W.orderBy(id_col)
     seeds = (
-        emb.filter(sampling.md5_mod_col(id_col, seed_mod) == seed_rem)
-        .orderBy(id_col)
+        emb.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
         .limit(n_centroids)
         .select(
             (F.row_number().over(w_seed) - 1).alias("cid"),

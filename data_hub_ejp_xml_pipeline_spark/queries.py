@@ -1411,7 +1411,6 @@ FROM ranked WHERE rank <= {_ANN_K}
 
 _IVF_K = 8
 _IVF_PROBE = 3
-_IVF_MOD, _IVF_REM = 17, 3
 # sampled-training variant: md5-prefix basis points, portable across
 # engines (functions.sampling owns the idiom)
 _IVF_TRAIN_FRACTION = 0.5
@@ -1428,8 +1427,8 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 train AS (SELECT * FROM e {train_where}),
 seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS centroid
-  FROM (SELECT * FROM e WHERE {SA.md5_mod_sql('vec_id', _IVF_MOD)} = {_IVF_REM}
-        ORDER BY vec_id LIMIT {_IVF_K})
+  FROM (SELECT * FROM e
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K})
 ),
 a1x AS (
   SELECT vec_id, cid FROM (
@@ -1526,8 +1525,8 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 w0 AS (SELECT * FROM e WHERE {w0}),
 seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS centroid
-  FROM (SELECT * FROM w0 WHERE {SA.md5_mod_sql('vec_id', _IVF_MOD)} = {_IVF_REM}
-        ORDER BY vec_id LIMIT {_IVF_K})
+  FROM (SELECT * FROM w0
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_K})
 ),
 a1x AS (
   SELECT vec_id, cid FROM (

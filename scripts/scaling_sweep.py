@@ -2,14 +2,16 @@
 """Epoch-size x bucket-count scaling sweep at one N->4N thread pair.
 
 Hunts the raw >=0.8 efficiency crossing the north rule asks for (or pins
-the ceiling argument if the crossing does not exist on this VM): for each
-(events-per-epoch, n_buckets) config, runs bench.cdc_apply at both thread
-counts in INTERLEAVED rounds (a VM contention window hits both sides),
-plus the scan->shuffle->write calibration at the same working set — the
-fair ceiling for the apply's dataflow shape.
+the ceiling argument if the crossing does not exist on this VM). The
+measurement lesson from the r4->r5 A/B adjudication: this VM drifts up
+to 2.8x BETWEEN minutes, so a ceiling measured in a different minute
+than the apply is meaningless. Here every (round, thread-count) session
+runs the shuffle-calibration kernel AND the apply back-to-back, so the
+raw efficiency and the ceiling efficiency are computed from trials that
+sampled the same contention windows.
 
 Usage: python scripts/scaling_sweep.py [--lo 4] [--hi 16]
-           [--events 8000000,12000000] [--buckets 16,32,64] [--rounds 2]
+           [--events 8000000,16000000] [--buckets 16] [--rounds 3]
 Prints one SWEEPRESULT JSON line per config and a final SWEEPSUMMARY.
 """
 from __future__ import annotations
@@ -17,6 +19,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -25,58 +28,76 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 
 
+def _calibration_trial(spark, changelog_dir: str, out: str) -> float:
+    """One timed run of the apply-shaped speed-of-light kernel: scan the
+    changelog parquet, hash-shuffle on the key with a map-side-combining
+    agg carrying the token payload, write parquet (bench.shuffle_calibration
+    kernel, but a single trial inside the CALLER'S session so it shares
+    the apply's VM window)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(changelog_dir)
+    expr = [F.max("lsn").alias("lsn"), F.max_by("tokens", "lsn").alias("tokens")]
+    df.limit(1000).groupBy("doc_id").agg(*expr).count()  # warm codegen
+    t0 = time.time()
+    df.groupBy("doc_id").agg(*expr).write.mode("overwrite").parquet(out)
+    return time.time() - t0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--lo", type=int, default=4)
     ap.add_argument("--hi", type=int, default=16)
-    ap.add_argument("--events", default="8000000,12000000")
-    ap.add_argument("--buckets", default="16,32,64")
-    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--events", default="8000000,16000000")
+    ap.add_argument("--buckets", default="16")
+    ap.add_argument("--rounds", type=int, default=3)
     args = ap.parse_args()
     events_list = [int(x) for x in args.events.split(",")]
     buckets_list = [int(x) for x in args.buckets.split(",")]
     pair = (args.lo, args.hi)
 
     results = []
+    calib_out = os.path.join(bench._bench_tmpdir(), "sweepcal-out")
     for n_events in events_list:
         s = bench._fresh_spark(8)
         changelog = bench.ensure_changelog(
             s, os.path.join(bench._bench_tmpdir(), f"sweep_{n_events}"), n_events
         )
         s.stop()
-        shuf = bench.shuffle_calibration(changelog, pair)
-        ceiling = round(
-            shuf[f"local[{pair[0]}]"] / shuf[f"local[{pair[1]}]"]
-            / (pair[1] / pair[0]),
-            3,
-        )
         for n_buckets in buckets_list:
-            best = {k: 1e18 for k in pair}
-            trials = {k: [] for k in pair}
+            apply_t: dict[int, list[float]] = {k: [] for k in pair}
+            calib_t: dict[int, list[float]] = {k: [] for k in pair}
             for rnd in range(args.rounds):
                 for threads in pair:  # interleave inside each round
                     sp = bench._fresh_spark(threads)
+                    calib_t[threads].append(
+                        round(_calibration_trial(sp, changelog, calib_out), 3)
+                    )
                     r = bench.cdc_apply(
                         sp, changelog, n_events, n_batches=2,
                         n_buckets=n_buckets, warmup=(rnd == 0),
                     )
                     sp.stop()
-                    trials[threads].append(r["elapsed_sec"])
-                    best[threads] = min(best[threads], r["elapsed_sec"])
-            eff = round(best[pair[0]] / best[pair[1]] / (pair[1] / pair[0]), 3)
+                    apply_t[threads].append(r["elapsed_sec"])
+            best_a = {k: min(v) for k, v in apply_t.items()}
+            best_c = {k: min(v) for k, v in calib_t.items()}
+            ratio = pair[1] / pair[0]
+            eff = round(best_a[pair[0]] / best_a[pair[1]] / ratio, 3)
+            ceiling = round(best_c[pair[0]] / best_c[pair[1]] / ratio, 3)
             row = {
                 "events": n_events,
                 "n_buckets": n_buckets,
                 "pair": f"{pair[0]}->{pair[1]}",
-                "trials_sec": trials,
-                "best_sec": {str(k): round(v, 3) for k, v in best.items()},
-                "eps_hi": round(n_events / best[pair[1]], 1),
+                "apply_trials_sec": apply_t,
+                "calib_trials_sec": calib_t,
+                "eps_hi": round(n_events / best_a[pair[1]], 1),
                 "raw_eff": eff,
                 "shuffle_ceiling_eff": ceiling,
-                "apply_over_ceiling": round(eff / ceiling, 3),
+                "apply_over_ceiling": round(eff / ceiling, 3) if ceiling else None,
             }
             results.append(row)
             print("SWEEPRESULT " + json.dumps(row), flush=True)
+    shutil.rmtree(calib_out, ignore_errors=True)
     summary = {
         "pair": f"{pair[0]}->{pair[1]}",
         "best_raw_eff": max(r["raw_eff"] for r in results),
