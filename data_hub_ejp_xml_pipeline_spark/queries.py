@@ -284,6 +284,65 @@ def q_cdc_engine_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_LOOKUP_ORACLE = f"""
+SELECT CAST(user_id AS VARCHAR) AS doc_id,
+       event_type AS final_event_type,
+       round(value, 4) AS final_value,
+       event_id AS last_lsn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+  AND {SA.md5_mod_sql('user_id', SA.SAMPLE_BASIS)} < 3000
+"""
+
+
+def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-path end-to-end: events applied through the REAL snapshot
+    table (2 incremental merges), then a deterministic md5-mod sample of
+    keys is fetched back through :meth:`SnapshotTable.lookup` — the
+    bucket-pruned / range-pruned / bloom-assisted point-lookup path — and
+    must equal the one-shot SQL LWW view restricted to the same sample.
+    The sample predicate is the shared cross-engine idiom
+    (functions/sampling.py), so the oracle reproduces the exact key set
+    without the oracle ever seeing the collected list."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("final_event_type"),
+        F.round("value", 4).alias("final_value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("final_event_type", T.StringType()),
+            T.StructField("final_value", T.DoubleType()),
+        ]
+    )
+    root = _swept_scratch_dir("cdclkp") + "/tbl"
+    table = SnapshotTable.create(spark, root, payload, key="doc_id", n_buckets=8)
+    lo, hi = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    table.merge(reduce_latest(changelog.filter(F.col("lsn") <= mid)), batch_id=0)
+    table.merge(reduce_latest(changelog.filter(F.col("lsn") > mid)), batch_id=1)
+    keys = [
+        r[0]
+        for r in changelog.select("doc_id")
+        .distinct()
+        .filter(SA.md5_mod_col(F.col("doc_id"), SA.SAMPLE_BASIS) < 3000)
+        .collect()
+    ]
+    return table.lookup(keys).select(
+        "doc_id", "final_event_type", "final_value", F.col("_lsn").alias("last_lsn")
+    )
+
+
 def q_cdc_mor_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same end-to-end engine check as ``cdc_engine_final_state`` run
     through the MERGE-ON-READ pipeline (plans.mor_pipeline): 3 epochs are
@@ -2072,6 +2131,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lww_salted": (q_lww_salted, _LWW_ORACLE),
     "cdc_engine_final_state": (q_cdc_engine_final_state, _CDC_FINAL_ORACLE),
     "cdc_mor_final_state": (q_cdc_mor_final_state, _CDC_FINAL_ORACLE),
+    "cdc_point_lookup": (q_cdc_point_lookup, _CDC_LOOKUP_ORACLE),
     "lsn_gaps": (q_lsn_gaps, _LSN_GAPS_ORACLE),
     "cdc_snapshot_diff": (q_cdc_snapshot_diff, _CDC_DIFF_ORACLE),
     "watermark_per_source": (

@@ -47,6 +47,7 @@ Design for 100 TB:
 from __future__ import annotations
 
 import itertools
+import bisect
 import json
 import logging
 import os
@@ -361,6 +362,99 @@ class SnapshotTable:
             return self.spark.createDataFrame([], schema)
         # explicit schema: old files lacking newly added columns → nulls
         return self.spark.read.schema(schema).parquet(*paths)
+
+    # --------------------------------------------------------------- lookup
+    #: lookup() builds a literal IN predicate; beyond this many keys the
+    #: expression tree and the driver-side pruning stop being "point"
+    #: lookups — use a join against read() (or merge machinery) instead.
+    LOOKUP_MAX_KEYS = 100_000
+
+    def lookup(
+        self,
+        keys,
+        version: int | None = None,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Point-lookup serve path: the current (or time-traveled) rows for
+        an explicit, bounded set of keys, touching as few files as the
+        manifest allows.
+
+        Three pruning layers, each independent of table size:
+
+        1. **bucket prune** — the keys' buckets are computed with the
+           table's RECORDED hash (one tiny Spark job over the key list, so
+           the function is Spark's own, never a Python re-implementation);
+           only those buckets' files are considered. O(total files) driver
+           work, O(files-in-probed-buckets) read.
+        2. **range prune** — a candidate file is dropped when no key falls
+           inside its manifest ``key_min``/``key_max`` (tight after
+           compaction's range-partitioned rewrite).
+        3. **row-group prune** — the pushed ``key IN (...)`` filter meets
+           the parquet bloom filter every write attaches to the key column
+           (``_with_key_bloom``), skipping row groups inside files that
+           survive 1–2: within a bucket, every uncompacted epoch file
+           spans nearly the full key range, so only the bloom prunes there.
+
+        Semantics are exactly ``read(version=...).filter(key IN keys)``
+        (tombstones filtered the same way); the plan is what differs.
+        Raises on more than :attr:`LOOKUP_MAX_KEYS` keys — that is a join,
+        not a lookup.
+        """
+        keys = list(keys)
+        if len(keys) > self.LOOKUP_MAX_KEYS:
+            raise ValueError(
+                f"lookup() got {len(keys)} keys (> {self.LOOKUP_MAX_KEYS}); "
+                "join the key set against read() instead"
+            )
+        m = self.manifest(version)
+        schema = T.StructType.fromJson(m["schema"])
+        key = m["key"]
+        if not keys:
+            df = self.spark.createDataFrame([], schema)
+            if include_tombstones:
+                return df
+            return df.filter(
+                ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+            ).drop(DELETED_COL)
+        entries = self._lookup_entries(keys, m)
+        df = self._read_file_entries(entries, schema).filter(
+            F.col(key).isin(keys)
+        )
+        if include_tombstones:
+            return df
+        return df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
+
+    def _lookup_entries(self, keys: list, m: dict) -> list[dict[str, Any]]:
+        """Manifest entries a :meth:`lookup` for ``keys`` must read —
+        bucket-pruned with the table's recorded hash, then range-pruned
+        against per-file key stats. Split out so tests can pin the pruning
+        without instrumenting the scan."""
+        key = m["key"]
+        key_field = _find_field(T.StructType.fromJson(m["schema"]), key)
+        ktype = key_field.dataType if key_field is not None else T.StringType()
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([T.StructField(key, ktype)])
+        )
+        n = m["n_buckets"]
+        fn = m.get("bucket_hash", "xxhash64")
+        hashed = F.hash(F.col(key)) if fn == "murmur3" else F.xxhash64(F.col(key))
+        bucket = F.pmod(hashed, F.lit(n)).cast("int")
+        probed = {r[0] for r in kdf.select(bucket).distinct().collect()}
+        skeys = sorted(keys)
+
+        def overlaps(f: dict[str, Any]) -> bool:
+            kmin, kmax = f.get("key_min"), f.get("key_max")
+            if kmin is None or kmax is None:
+                return True  # missing stats → must read (safe)
+            try:
+                i = bisect.bisect_left(skeys, kmin)
+                return i < len(skeys) and skeys[i] <= kmax
+            except TypeError:  # incomparable stat/key types → don't prune
+                return True
+
+        return [
+            f for f in m["files"] if f["bucket"] in probed and overlaps(f)
+        ]
 
     # ---------------------------------------------------------------- write
     def _bucket_expr(self, key: str) -> F.Column:
@@ -781,7 +875,7 @@ class SnapshotTable:
                 n_parts, F.col("_bucket"), F.col(key)
             ).sortWithinPartitions("_bucket", key)
         (
-            writer.write.mode("overwrite")
+            _with_key_bloom(writer.write.mode("overwrite"), key, rows_per_file)
             .partitionBy("_bucket")
             .parquet(snap_dir)
         )
@@ -1105,13 +1199,19 @@ class SnapshotTable:
         (
             # fan out to the EFFECTIVE threshold (the override, when given)
             # so a caller-requested tighter file count actually converges
-            df.repartitionByRange(
-                max(len(victims) * fpb, 1),
-                F.col("_bucket"),
-                F.col(key),
+            _with_key_bloom(
+                df.repartitionByRange(
+                    max(len(victims) * fpb, 1),
+                    F.col("_bucket"),
+                    F.col(key),
+                )
+                .sortWithinPartitions("_bucket", key)
+                .write.mode("overwrite"),
+                key,
+                sum(f["rows"] for f in victim_entries)
+                // max(len(victims) * fpb, 1)
+                + 1,
             )
-            .sortWithinPartitions("_bucket", key)
-            .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(snap_dir)
         )
@@ -1148,14 +1248,20 @@ class SnapshotTable:
         snap_rel = _snap_dir_name(version)
         snap_dir = os.path.join(self.root, snap_rel)
         (
-            live.withColumn("_bucket", self._bucket_expr(key))
-            .repartitionByRange(
-                m["n_buckets"] * m.get("files_per_bucket", 1),
-                F.col("_bucket"),
-                F.col(key),
+            _with_key_bloom(
+                live.withColumn("_bucket", self._bucket_expr(key))
+                .repartitionByRange(
+                    m["n_buckets"] * m.get("files_per_bucket", 1),
+                    F.col("_bucket"),
+                    F.col(key),
+                )
+                .sortWithinPartitions("_bucket", key)
+                .write.mode("overwrite"),
+                key,
+                sum(f["rows"] for f in m["files"])
+                // max(m["n_buckets"] * m.get("files_per_bucket", 1), 1)
+                + 1,
             )
-            .sortWithinPartitions("_bucket", key)
-            .write.mode("overwrite")
             .partitionBy("_bucket")
             .parquet(snap_dir)
         )
@@ -1327,6 +1433,21 @@ def _merge_rows(
         F.col("_bucket"),
     )
     return merged.unionByName(inserts)
+
+
+def _with_key_bloom(writer, key: str, ndv_per_file: int):
+    """Attach a parquet bloom filter on the key column to a DataFrameWriter.
+
+    The point-lookup serve path (:meth:`SnapshotTable.lookup`) pushes
+    ``key IN (...)`` into the scan; parquet-mr's row-group filter then
+    consults the bloom to skip row groups the min/max stats alone cannot —
+    hash-bucketed keys make every uncompacted epoch file span nearly the
+    full key range, so ranges never prune WITHIN a bucket. NDV is sized to
+    the target file shape; cost is a few KB per file."""
+    return writer.option(f"parquet.bloom.filter.enabled#{key}", "true").option(
+        f"parquet.bloom.filter.expected.ndv#{key}",
+        str(max(1024, min(int(ndv_per_file), 10_000_000))),
+    )
 
 
 def _split_touched_files(
