@@ -206,12 +206,33 @@ class MorPipeline:
         ``unionByName(allowMissingColumns=True)`` nulls it on whichever
         side hasn't evolved yet, exactly like the table's own
         explicit-schema reads of old files."""
-        base = self.base.read(include_tombstones=True).withColumn(
+        return self._merge_view(
+            self.base.read(include_tombstones=True), self.delta.read()
+        )
+
+    def lookup(self, keys) -> DataFrame:
+        """Point-lookup over the merge-on-read view: the rows for an
+        explicit, bounded key set, correct between compactions. Both
+        tables share the key and bucket layout, so the base AND the
+        staged-delta side go through :meth:`SnapshotTable.lookup`'s
+        bucket/range/bloom file pruning; the LWW reduce then runs over
+        only the fetched rows — O(keys + staged matches), never a
+        delta-table scan. Semantics: ``final_state().filter(key IN
+        keys)``."""
+        return self._merge_view(
+            self.base.lookup(keys, include_tombstones=True),
+            self.delta.lookup(keys),
+        )
+
+    def _merge_view(self, base: DataFrame, delta: DataFrame) -> DataFrame:
+        """base ∪ delta → LWW winner per key, deletes filtered (shared by
+        the full view and the point lookup; base must include tombstones
+        so a base delete can outrank a stale staged row)."""
+        base = base.withColumn(
             "op",
             F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), F.lit("D"))
             .otherwise(F.lit("U")),
         ).drop(DELETED_COL)
-        delta = self.delta.read()
         latest = reduce_latest(
             base.unionByName(delta, allowMissingColumns=True),
             key=self.key,

@@ -388,6 +388,56 @@ def q_cdc_mor_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_mor_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cdc_point_lookup``'s serve-path check for the MERGE-ON-READ
+    pipeline: after 2 compacted + 1 staged epochs, fetch the md5-mod key
+    sample through :meth:`MorPipeline.lookup` — base AND staged-delta
+    reads both bucket/range/bloom file-pruned, LWW reconciled over only
+    the fetched rows — and match the one-shot SQL LWW view restricted to
+    the same sample."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.plans.mor_pipeline import MorPipeline
+
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("final_event_type"),
+        F.round("value", 4).alias("final_value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("final_event_type", T.StringType()),
+            T.StructField("final_value", T.DoubleType()),
+        ]
+    )
+    root = _swept_scratch_dir("morlkp")
+    pipe = MorPipeline(
+        spark, root, key="doc_id", n_buckets=8, k_compact=2, payload_schema=payload
+    )
+    bounds = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    lo, hi = bounds[0], bounds[1]
+    step = max((hi - lo + 1) // 3 + 1, 1)
+    for i in range(3):
+        batch = changelog.filter(
+            (F.col("lsn") >= lo + i * step) & (F.col("lsn") < lo + (i + 1) * step)
+        )
+        pipe.apply(batch, batch_id=i)
+    keys = [
+        r[0]
+        for r in changelog.select("doc_id")
+        .distinct()
+        .filter(SA.md5_mod_col(F.col("doc_id"), SA.SAMPLE_BASIS) < 3000)
+        .collect()
+    ]
+    return pipe.lookup(keys).select(
+        "doc_id", "final_event_type", "final_value", F.col("_lsn").alias("last_lsn")
+    )
+
+
 # deterministic "lost events" condition for the gap-detection query:
 # singleton losses (every 1000th) + a 1001-wide block loss that spans
 # multiple detector buckets, exercising both the intra-bucket window and
@@ -2132,6 +2182,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_engine_final_state": (q_cdc_engine_final_state, _CDC_FINAL_ORACLE),
     "cdc_mor_final_state": (q_cdc_mor_final_state, _CDC_FINAL_ORACLE),
     "cdc_point_lookup": (q_cdc_point_lookup, _CDC_LOOKUP_ORACLE),
+    "cdc_mor_point_lookup": (q_cdc_mor_point_lookup, _CDC_LOOKUP_ORACLE),
     "lsn_gaps": (q_lsn_gaps, _LSN_GAPS_ORACLE),
     "cdc_snapshot_diff": (q_cdc_snapshot_diff, _CDC_DIFF_ORACLE),
     "watermark_per_source": (

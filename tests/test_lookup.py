@@ -147,6 +147,46 @@ def test_lookup_empty_and_cap(spark, lookup_table):
         )
 
 
+def test_mor_lookup_matches_view(spark, tmp_path, changelog_df):
+    """MOR point lookup == final_state().filter(isin) across keys living
+    in the compacted base, the staged deltas, and both (delta must
+    outrank base), plus a deleted and an absent key."""
+    from data_hub_ejp_xml_pipeline_spark.plans.mor_pipeline import MorPipeline
+
+    pipe = MorPipeline(
+        spark, str(tmp_path / "mor"), n_buckets=4, k_compact=2
+    )
+    lo, hi = changelog_df.agg(F.min("lsn"), F.max("lsn")).first()
+    step = (hi - lo) // 3 + 1
+    for i in range(3):  # 2 epochs compact into base, 1 stays staged
+        batch = changelog_df.filter(
+            (F.col("lsn") >= lo + i * step) & (F.col("lsn") < lo + (i + 1) * step)
+        )
+        pipe.apply(batch, batch_id=i)
+    view = pipe.final_state()
+    keys = [r[0] for r in view.select("doc_id").orderBy("doc_id").limit(15).collect()]
+    deleted = (
+        changelog_df.filter(F.col("op") == "D")
+        .join(view, "doc_id", "left_anti")
+        .select("doc_id")
+        .first()
+    )
+    if deleted:
+        keys.append(deleted[0])
+    keys.append("doc-absent")
+    got = {
+        tuple(r)
+        for r in pipe.lookup(keys).select("doc_id", "n_tok", "_lsn").collect()
+    }
+    want = {
+        tuple(r)
+        for r in view.filter(F.col("doc_id").isin(keys))
+        .select("doc_id", "n_tok", "_lsn")
+        .collect()
+    }
+    assert got == want and len(want) == 15
+
+
 def test_key_bloom_filter_is_written(spark, tmp_path):
     df = spark.range(5000).select(
         F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
