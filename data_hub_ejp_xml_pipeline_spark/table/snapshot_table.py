@@ -406,6 +406,11 @@ class SnapshotTable:
                 f"lookup() got {len(keys)} keys (> {self.LOOKUP_MAX_KEYS}); "
                 "join the key set against read() instead"
             )
+        if any(k is None for k in keys):
+            # IN (NULL) is never true in SQL — a None key would silently
+            # match nothing; the key column is non-null by construction,
+            # so surface the caller bug instead
+            raise ValueError("lookup() keys must not contain None")
         m = self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
         key = m["key"]
@@ -440,12 +445,15 @@ class SnapshotTable:
         hashed = F.hash(F.col(key)) if fn == "murmur3" else F.xxhash64(F.col(key))
         bucket = F.pmod(hashed, F.lit(n)).cast("int")
         probed = {r[0] for r in kdf.select(bucket).distinct().collect()}
-        skeys = sorted(keys)
+        try:
+            skeys = sorted(keys)
+        except TypeError:  # mixed-type key list → skip the range prune
+            skeys = None
 
         def overlaps(f: dict[str, Any]) -> bool:
             kmin, kmax = f.get("key_min"), f.get("key_max")
-            if kmin is None or kmax is None:
-                return True  # missing stats → must read (safe)
+            if skeys is None or kmin is None or kmax is None:
+                return True  # missing stats / unsortable keys → must read
             try:
                 i = bisect.bisect_left(skeys, kmin)
                 return i < len(skeys) and skeys[i] <= kmax

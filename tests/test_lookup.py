@@ -145,6 +145,8 @@ def test_lookup_empty_and_cap(spark, lookup_table):
         lookup_table.lookup(
             [f"k{i}" for i in range(SnapshotTable.LOOKUP_MAX_KEYS + 1)]
         )
+    with pytest.raises(ValueError, match="must not contain None"):
+        lookup_table.lookup(["doc-00000001", None])
 
 
 def test_mor_lookup_matches_view(spark, tmp_path, changelog_df):
