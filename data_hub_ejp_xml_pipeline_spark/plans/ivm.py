@@ -1,0 +1,227 @@
+"""Incremental view maintenance: an aggregate table kept current per
+epoch at O(batch + groups) cost instead of an O(table) recompute.
+
+The classic warehouse pattern on top of a CDC-maintained base table is a
+downstream ``GROUP BY`` (rows and value totals per category). Recomputed
+per epoch it rescans the whole base — at 100 TB that is the dominant
+cost of the pipeline. Count and sum are *retractable* aggregates, so the
+view can instead be maintained from the epoch's changelog alone:
+
+* **new side** — every LWW-winning upsert adds ``(+1, +value)`` to its
+  group;
+* **old side** — the row each upsert/delete REPLACES (fetched from the
+  pre-epoch base, file-pruned exactly like the merge's own touched-file
+  read) adds ``(-1, -old_value)`` to its OLD group — which also handles
+  rows that *move between groups*;
+* the per-group deltas fold into a tiny totals table (one row per
+  group) in a single ledgered :meth:`SnapshotTable.replace` — atomic,
+  exactly-once, replay no-ops on the ledger.
+
+Ordering contract (enforced by the pipeline wiring, mirrored from the
+dedup-on-ingest states): :meth:`IncrementalAggState.apply` runs BEFORE
+the base merge commits its epoch, so the old-side read always observes
+the pre-epoch base. Crash anywhere converges: IVM committed + merge
+crashed → replay no-ops IVM (ledger) and applies the merge; neither
+committed → both apply. The stale-update guard mirrors the merge's
+``s.lsn > t._lsn`` rule — a late batch winner the merge would ignore
+contributes nothing here either.
+
+Min/max are NOT retractable (a deleted max needs a group rescan to find
+the runner-up) and are deliberately out of scope; maintain them with a
+periodic recompute instead.
+
+The reference pipeline has no incremental aggregates (its BigQuery
+views rescan the tables each query); this is engine surface for the
+100 TB tier, same family as dedup-on-ingest (plans/dedup_ingest.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_hub_ejp_xml_pipeline_spark.plans.dedup_ingest import _applied, _open_table
+from data_hub_ejp_xml_pipeline_spark.table.snapshot_table import (
+    DELETED_COL,
+    LSN_COL,
+    CommitResult,
+    SnapshotTable,
+    _split_touched_files,
+)
+
+
+def _totals_schema(group_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(group_col, T.StringType(), False),
+            T.StructField("cnt", T.LongType(), True),
+            T.StructField("total", T.DoubleType(), True),
+        ]
+    )
+
+
+class IncrementalAggState:
+    """``SELECT group, count(*), sum(value)`` over a CDC base table,
+    maintained per epoch from the changelog.
+
+    ``group_col`` — the payload column to group by (cast to string; null
+    groups carry no signal and are excluded on both the add and the
+    retract side, symmetrically). ``value_col`` — numeric payload column
+    summed into ``total`` (nulls sum as 0, matching SQL ``sum``'s null
+    skip while keeping ``cnt`` a plain row count).
+
+    Zero-count groups are kept as stored rows (a ledgered ``replace``
+    no-ops on an empty frame, so physically dropping the last group
+    would strand stale totals); :meth:`read_totals` filters them, so the
+    served view shrinks when a group empties.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        group_col: str,
+        value_col: str | None = None,
+        n_buckets: int = 4,
+    ):
+        self.spark = spark
+        self.group_col = group_col
+        self.value_col = value_col
+        self.totals = _open_table(
+            spark, root + "/totals", _totals_schema(group_col), group_col, n_buckets
+        )
+
+    # ------------------------------------------------------------- serve
+    def read_totals(self) -> DataFrame:
+        """Current view: one row per non-empty group."""
+        return (
+            self.totals.read()
+            .filter(F.col("cnt") != 0)
+            .select(self.group_col, "cnt", "total")
+        )
+
+    # ------------------------------------------------------------- apply
+    def apply(
+        self,
+        reduced_batch: DataFrame,
+        base: SnapshotTable,
+        batch_id: int,
+        op_col: str = "op",
+        lsn_col: str = "lsn",
+    ) -> CommitResult:
+        """Fold one epoch's LWW-reduced changelog (the same frame the
+        base merge consumes, BEFORE that merge commits) into the totals.
+
+        The old-side read is file-pruned with the merge's own
+        bucket-range rule (``_split_touched_files``), so it costs what
+        the merge's target read costs — O(touched files), never a full
+        base scan; the delta aggregation is O(batch); the totals rewrite
+        is O(groups).
+        """
+        if batch_id is None:
+            raise ValueError(
+                "IncrementalAggState.apply requires a monotone batch_id; "
+                "without one the totals replace is not exactly-once"
+            )
+        if _applied(self.totals, batch_id):
+            return CommitResult(
+                self.totals.manifest()["snapshot_id"],
+                self.totals.current_version(),
+                applied=False,
+            )
+        key = base.manifest()["key"]
+        old = self._old_rows(reduced_batch, base, key)
+        joined = reduced_batch.join(
+            old.select(
+                F.col(key),
+                F.col("_old_grp"),
+                F.col("_old_val"),
+                F.col("_old_lsn"),
+            ),
+            key,
+            "left",
+        ).filter(
+            # mirror the merge's stale guard: a winner the merge would
+            # ignore (lsn <= stored _lsn) must not move the totals
+            F.col("_old_lsn").isNull() | (F.col(lsn_col) > F.col("_old_lsn"))
+        )
+        grp = F.col(self.group_col).cast("string")
+        val = (
+            F.coalesce(F.col(self.value_col).cast("double"), F.lit(0.0))
+            if self.value_col is not None
+            else F.lit(0.0)
+        )
+        new_side = (
+            joined.filter((F.col(op_col) != "D") & grp.isNotNull())
+            .select(grp.alias("_g"), F.lit(1).alias("_dc"), val.alias("_dv"))
+        )
+        old_side = (
+            joined.filter(F.col("_old_grp").isNotNull())
+            .select(
+                F.col("_old_grp").alias("_g"),
+                F.lit(-1).alias("_dc"),
+                (-F.col("_old_val")).alias("_dv"),
+            )
+        )
+        deltas = (
+            new_side.unionByName(old_side)
+            .groupBy("_g")
+            .agg(F.sum("_dc").alias("_dc"), F.sum("_dv").alias("_dv"))
+        )
+        current = self.totals.read().select(self.group_col, "cnt", "total")
+        updated = (
+            current.join(
+                deltas, current[self.group_col] == deltas["_g"], "full_outer"
+            )
+            .select(
+                F.coalesce(current[self.group_col], deltas["_g"]).alias(
+                    self.group_col
+                ),
+                (
+                    F.coalesce(F.col("cnt"), F.lit(0))
+                    + F.coalesce(F.col("_dc"), F.lit(0))
+                ).alias("cnt"),
+                (
+                    F.coalesce(F.col("total"), F.lit(0.0))
+                    + F.coalesce(F.col("_dv"), F.lit(0.0))
+                ).alias("total"),
+            )
+        )
+        return self.totals.replace(updated, batch_id=batch_id)
+
+    def _old_rows(
+        self, reduced_batch: DataFrame, base: SnapshotTable, key: str
+    ) -> DataFrame:
+        """The live pre-epoch base rows for the batch's keys, read from
+        only the files the merge itself would touch (bucket ∩ key-range
+        prune off the manifest — O(buckets) driver rows, never a base
+        scan)."""
+        m = base.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        bucket_rows = (
+            reduced_batch.select(
+                base._bucket_expr(key).alias("_b"), F.col(key)
+            )
+            .groupBy("_b")
+            .agg(F.min(key).alias("kmin"), F.max(key).alias("kmax"))
+            .collect()
+        )
+        bucket_ranges = {r["_b"]: (r["kmin"], r["kmax"]) for r in bucket_rows}
+        touched, _ = _split_touched_files(m["files"], bucket_ranges)
+        grp = F.col(self.group_col).cast("string")
+        val = (
+            F.coalesce(F.col(self.value_col).cast("double"), F.lit(0.0))
+            if self.value_col is not None
+            else F.lit(0.0)
+        )
+        return (
+            base._read_file_entries(touched, schema)
+            .filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+            .select(
+                F.col(key),
+                grp.alias("_old_grp"),
+                val.alias("_old_val"),
+                F.col(LSN_COL).alias("_old_lsn"),
+            )
+        )

@@ -34,14 +34,22 @@ class MergePipeline:
         files_per_bucket: int = 1,
         profile_mode: str = "pre",
         dedup_state=None,
+        ivm_state=None,
     ):
         """``dedup_state``: an optional :class:`plans.dedup_ingest.
         TokenDedupState` — each epoch's per-key LWW-winning fingerprint
         (computed from the RAW rows, payload never re-shuffled) is
         checked against the persisted corpus state and appended to it
-        (exact dedup-on-ingest; requires batch ids)."""
+        (exact dedup-on-ingest; requires batch ids).
+
+        ``ivm_state``: an optional :class:`plans.ivm.IncrementalAggState`
+        — a downstream GROUP BY maintained per epoch from the changelog
+        (O(batch + groups), never a base rescan). Applied BEFORE the
+        merge commits so its old-side read observes the pre-epoch base;
+        requires batch ids (its totals rewrite is ledgered)."""
         self.spark = spark
         self.dedup_state = dedup_state
+        self.ivm_state = ivm_state
         if SnapshotTable.exists(table_root):
             self.table = SnapshotTable(spark, table_root)
             # the TABLE's manifest key is authoritative for an existing
@@ -72,6 +80,17 @@ class MergePipeline:
             # carries (doc_id, lsn, fp, op) only — never the token payload,
             # and never a second execution of the merge's LWW reduce
             self.dedup_state.apply_changelog(changelog, batch_id=batch_id)
+        if self.ivm_state is not None:
+            if batch_id is None:
+                raise ValueError(
+                    "incremental view maintenance requires a monotone "
+                    "batch_id — the totals rewrite commits exactly-once "
+                    "per epoch"
+                )
+            # BEFORE the merge: the old-side retraction must read the
+            # pre-epoch base (crash between the two commits converges on
+            # replay — the ledgered side no-ops, the other applies)
+            self.ivm_state.apply(reduced, self.table, batch_id=batch_id)
         # the raw batch feeds the stats/lineage job (no reduce needed there),
         # so the LWW reduce executes exactly once — in the merge-write job
         # (the dedup path above reduces its own lightweight fingerprint

@@ -438,6 +438,74 @@ def q_cdc_mor_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVM_ORACLE = """
+WITH latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND event_type <> 'error'
+)
+SELECT event_type AS grp,
+       count(*) AS cnt,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS total
+FROM latest GROUP BY event_type
+"""
+
+
+def q_ivm_group_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance end-to-end: events applied through
+    the REAL pipeline in 3 epochs with an :class:`plans.ivm.
+    IncrementalAggState` attached (group = final event type, value = the
+    fixed-point event value — integer-valued so the incremental sum and
+    the oracle's one-shot sum are bit-identical, no float-order drift).
+    The maintained totals table — updated per epoch at O(batch + groups)
+    cost from the changelog, with old-group retraction read from the
+    pre-epoch base via the merge's own file pruning — must equal the
+    GROUP BY over the one-shot SQL LWW view. The reference recomputes
+    its aggregates per query; this is the 100 TB replacement."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.plans.ivm import IncrementalAggState
+    from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
+
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("final_event_type"),
+        F.round(F.col("value") * 10000).cast("long").alias("value_fp"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("final_event_type", T.StringType()),
+            T.StructField("value_fp", T.LongType()),
+        ]
+    )
+    root = _swept_scratch_dir("ivmq")
+    ivm = IncrementalAggState(
+        spark, root + "/ivm", group_col="final_event_type", value_col="value_fp"
+    )
+    pipe = MergePipeline(
+        spark, root + "/tbl", key="doc_id", n_buckets=8,
+        payload_schema=payload, ivm_state=ivm,
+    )
+    bounds = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    lo, hi = bounds[0], bounds[1]
+    step = max((hi - lo + 1) // 3 + 1, 1)
+    for i in range(3):
+        batch = changelog.filter(
+            (F.col("lsn") >= lo + i * step) & (F.col("lsn") < lo + (i + 1) * step)
+        )
+        pipe.apply(batch, batch_id=i)
+    return ivm.read_totals().select(
+        F.col("final_event_type").alias("grp"),
+        F.col("cnt"),
+        F.col("total").cast("long").alias("total"),
+    )
+
+
 # deterministic "lost events" condition for the gap-detection query:
 # singleton losses (every 1000th) + a 1001-wide block loss that spans
 # multiple detector buckets, exercising both the intra-bucket window and
@@ -2183,6 +2251,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_mor_final_state": (q_cdc_mor_final_state, _CDC_FINAL_ORACLE),
     "cdc_point_lookup": (q_cdc_point_lookup, _CDC_LOOKUP_ORACLE),
     "cdc_mor_point_lookup": (q_cdc_mor_point_lookup, _CDC_LOOKUP_ORACLE),
+    "ivm_group_totals": (q_ivm_group_totals, _IVM_ORACLE),
     "lsn_gaps": (q_lsn_gaps, _LSN_GAPS_ORACLE),
     "cdc_snapshot_diff": (q_cdc_snapshot_diff, _CDC_DIFF_ORACLE),
     "watermark_per_source": (
