@@ -215,13 +215,16 @@ class IncrementalAggState:
             if self.value_col is not None
             else F.lit(0.0)
         )
-        return (
-            base._read_file_entries(touched, schema)
-            .filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
-            .select(
-                F.col(key),
-                grp.alias("_old_grp"),
-                val.alias("_old_val"),
-                F.col(LSN_COL).alias("_old_lsn"),
-            )
+        # tombstones MUST be read: their _lsn feeds the stale guard (a
+        # late update against a deleted key would otherwise look like a
+        # fresh insert here while the merge ignores it). Their group/value
+        # are nulled so they never retract — a deleted row contributes
+        # nothing to the view, and its retraction already happened in the
+        # epoch that processed the delete.
+        live = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        return base._read_file_entries(touched, schema).select(
+            F.col(key),
+            F.when(live, grp).alias("_old_grp"),
+            F.when(live, val).alias("_old_val"),
+            F.col(LSN_COL).alias("_old_lsn"),
         )

@@ -88,6 +88,21 @@ def test_ivm_delete_group_move_and_stale(spark, tmp_path, changelog_df):
     assert _totals(ivm) == _recompute(pipe)
     assert "moved-src" not in _totals(ivm)
 
+    # stale update against the DELETED key (lsn below the tombstone's):
+    # the merge ignores it, and the IVM must see the tombstone's _lsn —
+    # not treat the key as absent and count a phantom insert (the bug the
+    # streaming crash test first caught)
+    before = _totals(ivm)
+    pipe.apply(_one_row(spark, doc, 5, "ghost-src", hi + 1, "U"), batch_id=4)
+    assert _totals(ivm) == before == _recompute(pipe)
+    assert "ghost-src" not in _totals(ivm)
+
+    # resurrect: an update ABOVE the tombstone's lsn wins in the merge
+    # and must re-enter the view as a fresh insert (no retraction)
+    pipe.apply(_one_row(spark, doc, 11, "back-src", hi + 3, "U"), batch_id=5)
+    assert _totals(ivm) == _recompute(pipe)
+    assert _totals(ivm)["back-src"] == (1, 11.0)
+
 
 def test_ivm_replay_and_crash_window(spark, tmp_path, changelog_df):
     ivm = IncrementalAggState(
