@@ -62,6 +62,17 @@ def _build_parser() -> argparse.ArgumentParser:
                              "dedup-on-ingest (flags + state per epoch)")
         sp.add_argument("--dedup-prefix-k", type=int, default=None,
                         help="fingerprint only the first K tokens")
+        sp.add_argument("--ivm-state", default=None,
+                        help="IncrementalAggState root: maintain a count/sum-"
+                             "per-group view per epoch (COW pipeline only)")
+        sp.add_argument("--ivm-group", default=None,
+                        help="payload column to group the maintained view by "
+                             "(required when creating; an existing state "
+                             "adopts its stored column)")
+        sp.add_argument("--ivm-value", default=None,
+                        help="numeric payload column summed into the view "
+                             "(omit for count-only on create / adoption on "
+                             "an existing state)")
 
     c = sub.add_parser("compact", help="compact data files (or fold MOR deltas)")
     table_arg(c)
@@ -82,6 +93,9 @@ def _build_parser() -> argparse.ArgumentParser:
     d.add_argument("--state", required=True, help="dedup state root")
     d.add_argument("--token", action="store_true",
                    help="TokenDedupState layout (default: MinHash DedupIngestState)")
+
+    iv = sub.add_parser("ivm-totals", help="print the maintained per-group view")
+    iv.add_argument("--state", required=True, help="IncrementalAggState root")
     return p
 
 
@@ -106,12 +120,31 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             kwargs["prefix_k"] = args.dedup_prefix_k
         return TokenDedupState(spark, args.dedup_state, **kwargs)
 
+    def _ivm_state():
+        if getattr(args, "ivm_state", None) is None:
+            return None
+        from data_hub_ejp_xml_pipeline_spark.plans.ivm import IncrementalAggState
+
+        # pass value_col only when the flag was given: an existing state
+        # ADOPTS its stored columns (a conflicting explicit value raises)
+        kwargs = {}
+        if args.ivm_value is not None:
+            kwargs["value_col"] = args.ivm_value
+        return IncrementalAggState(spark, args.ivm_state,
+                                   group_col=args.ivm_group, **kwargs)
+
     if args.cmd == "tail":
         from data_hub_ejp_xml_pipeline_spark.plans.mor_pipeline import MorPipeline
         from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
         from data_hub_ejp_xml_pipeline_spark.streaming.tailer import ChangelogTailer
 
         if args.mor:
+            if args.ivm_state is not None:
+                raise SystemExit(
+                    "--ivm-state requires the COW pipeline: the IVM old-side "
+                    "read observes the base table, which under merge-on-read "
+                    "lags the staged deltas (maintain MOR views after compact)"
+                )
             pipe = MorPipeline(spark, args.table, key=args.key,
                                n_buckets=args.n_buckets,
                                k_compact=args.k_compact,
@@ -121,7 +154,8 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             pipe = MergePipeline(spark, args.table, key=args.key,
                                  n_buckets=args.n_buckets,
                                  profile_mode=args.profile_mode,
-                                 dedup_state=_dedup_state())
+                                 dedup_state=_dedup_state(),
+                                 ivm_state=_ivm_state())
         tailer = ChangelogTailer(spark, pipeline=pipe)
         q = tailer.start(
             args.changelog,
@@ -146,7 +180,8 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         pipe = MergePipeline(spark, args.table, key=args.key,
                              n_buckets=args.n_buckets,
                              profile_mode=args.profile_mode,
-                             dedup_state=_dedup_state())
+                             dedup_state=_dedup_state(),
+                             ivm_state=_ivm_state())
         res = pipe.apply(spark.read.parquet(args.changelog), batch_id=args.batch_id)
         out = {"cmd": "apply", "applied": res.applied, "snapshot_id": res.snapshot_id,
                "version": res.version, "n_events": res.n_events,
@@ -215,6 +250,27 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             "flags": row.flags,
             "docs_flagged": row.docs_flagged,
             "epochs": list(row.epochs),
+        }
+
+    elif args.cmd == "ivm-totals":
+        from data_hub_ejp_xml_pipeline_spark.plans.ivm import IncrementalAggState
+
+        # read-only summary: opening a wrong path would CREATE an empty
+        # totals table there — probe the layout first (same rule as
+        # dedup-flags)
+        if not SnapshotTable.exists(args.state.rstrip("/") + "/totals"):
+            out = {"cmd": "ivm-totals",
+                   "error": f"no ivm state at {args.state}"}
+            print(json.dumps(out))
+            return out
+        ivm = IncrementalAggState(spark, args.state)  # adopts stored columns
+        rows = sorted(
+            ivm.read_totals().collect(), key=lambda r: str(r[0])
+        )
+        out = {
+            "cmd": "ivm-totals",
+            "groups": len(rows),
+            "totals": {str(r[0]): {"cnt": r[1], "total": r[2]} for r in rows},
         }
 
     else:  # show

@@ -75,17 +75,56 @@ class IncrementalAggState:
     no-ops on an empty frame, so physically dropping the last group
     would strand stale totals); :meth:`read_totals` filters them, so the
     served view shrinks when a group empties.
+
+    ``group_col``/``value_col`` are part of the state's IDENTITY
+    (mirroring ``TokenDedupState.prefix_k``): totals accumulated over one
+    column pair are meaningless continued over another, so both are
+    persisted at the root on create, ADOPTED when reopening without
+    arguments, and a conflicting explicit value raises.
     """
+
+    _UNSET = object()
 
     def __init__(
         self,
         spark: SparkSession,
         root: str,
-        group_col: str,
-        value_col: str | None = None,
+        group_col: str | None = None,
+        value_col=_UNSET,
         n_buckets: int = 4,
     ):
+        import json as _json
+        import os as _os
+
         self.spark = spark
+        meta_path = _os.path.join(root, "ivm_meta.json")
+        if _os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                stored = _json.load(fh)
+            if group_col is not None and group_col != stored["group_col"]:
+                raise ValueError(
+                    f"ivm state at {root} groups by {stored['group_col']!r}; "
+                    f"reopening with group_col={group_col!r} would corrupt "
+                    "the totals"
+                )
+            if (
+                value_col is not IncrementalAggState._UNSET
+                and value_col != stored["value_col"]
+            ):
+                raise ValueError(
+                    f"ivm state at {root} sums {stored['value_col']!r}; "
+                    f"reopening with value_col={value_col!r} would corrupt "
+                    "the totals"
+                )
+            group_col, value_col = stored["group_col"], stored["value_col"]
+        else:
+            if group_col is None:
+                raise ValueError("group_col is required when creating ivm state")
+            if value_col is IncrementalAggState._UNSET:
+                value_col = None
+            _os.makedirs(root, exist_ok=True)
+            with open(meta_path, "w") as fh:
+                _json.dump({"group_col": group_col, "value_col": value_col}, fh)
         self.group_col = group_col
         self.value_col = value_col
         self.totals = _open_table(

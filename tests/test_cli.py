@@ -107,3 +107,63 @@ def test_cli_dedup_flags_is_read_only_on_missing_state(spark, tmp_path):
     out2 = main(["dedup-flags", "--state", bogus, "--token"], spark=spark)
     assert "error" in out2 and "token" in out2["error"]
     assert not os.path.exists(bogus)
+
+
+def test_cli_ivm_state_tail_and_totals(spark, tmp_path, changelog_dir, changelog_pdf):
+    """--ivm-state on tail maintains the per-group view through the
+    stream; ivm-totals prints it; the numbers must equal a full GROUP BY
+    recompute over the final table."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    istate = str(tmp_path / "istate")
+    main(
+        ["tail", "--changelog", changelog_dir, "--table", root,
+         "--checkpoint", str(tmp_path / "ckpt"), "--n-buckets", "4",
+         "--ivm-state", istate, "--ivm-group", "source",
+         "--ivm-value", "n_tok"],
+        spark=spark,
+    )
+    out = main(["ivm-totals", "--state", istate], spark=spark)
+    assert out["cmd"] == "ivm-totals" and out["groups"] > 0
+
+    from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+    want = {
+        r[0]: {"cnt": r[1], "total": r[2]}
+        for r in SnapshotTable(spark, root)
+        .read()
+        .groupBy("source")
+        .agg(F.count("*").alias("cnt"), F.sum("n_tok").cast("double").alias("total"))
+        .collect()
+    }
+    assert out["totals"] == want
+
+    # state identity: reopening with a conflicting group column raises
+    from data_hub_ejp_xml_pipeline_spark.plans.ivm import IncrementalAggState
+
+    with pytest.raises(ValueError, match="groups by"):
+        IncrementalAggState(spark, istate, group_col="doc_id")
+    adopted = IncrementalAggState(spark, istate)
+    assert adopted.group_col == "source" and adopted.value_col == "n_tok"
+
+
+def test_cli_ivm_totals_read_only_on_missing_state(spark, tmp_path):
+    import os
+
+    bogus = str(tmp_path / "nope")
+    out = main(["ivm-totals", "--state", bogus], spark=spark)
+    assert "error" in out and "no ivm state" in out["error"]
+    assert not os.path.exists(bogus)
+
+
+def test_cli_ivm_state_rejected_on_mor(spark, tmp_path, changelog_dir):
+    with pytest.raises(SystemExit, match="COW pipeline"):
+        main(
+            ["tail", "--changelog", changelog_dir, "--table",
+             str(tmp_path / "m"), "--checkpoint", str(tmp_path / "ck"),
+             "--mor", "--ivm-state", str(tmp_path / "i"),
+             "--ivm-group", "source"],
+            spark=spark,
+        )
