@@ -170,6 +170,28 @@ class IncrementalAggState:
                 applied=False,
             )
         key = base.manifest()["key"]
+        # the reduced batch feeds two jobs (the bucket-range collect and
+        # the totals rewrite); without a cache the upstream reduce would
+        # execute twice. Callers are expected to pass a NARROW frame
+        # (MergePipeline strips the payload), so the columnar cache is
+        # cheap.
+        reduced_batch = reduced_batch.persist()
+        try:
+            return self._apply_cached(
+                reduced_batch, base, key, batch_id, op_col, lsn_col
+            )
+        finally:
+            reduced_batch.unpersist()
+
+    def _apply_cached(
+        self,
+        reduced_batch: DataFrame,
+        base: SnapshotTable,
+        key: str,
+        batch_id: int,
+        op_col: str,
+        lsn_col: str,
+    ) -> CommitResult:
         old = self._old_rows(reduced_batch, base, key)
         joined = reduced_batch.join(
             old.select(
@@ -227,7 +249,14 @@ class IncrementalAggState:
                 ).alias("total"),
             )
         )
-        return self.totals.replace(updated, batch_id=batch_id)
+        # the replace's stats/lineage pre-pass would otherwise execute the
+        # whole join pipeline (old-side read included) a second time; the
+        # frame is O(groups) rows, so the cache is free
+        updated = updated.persist()
+        try:
+            return self.totals.replace(updated, batch_id=batch_id)
+        finally:
+            updated.unpersist()
 
     def _old_rows(
         self, reduced_batch: DataFrame, base: SnapshotTable, key: str
