@@ -438,6 +438,72 @@ def q_cdc_mor_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHANGEFEED_ORACLE = """
+WITH bounds AS (
+  SELECT (min(event_id) + max(event_id)) // 2 AS mid FROM events
+),
+w1 AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events e, bounds WHERE event_id <= mid
+  ) WHERE rn = 1
+),
+w2 AS (
+  SELECT * FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events e
+  ) WHERE rn = 1
+)
+SELECT CAST(w2.user_id AS VARCHAR) AS doc_id,
+       w2.event_type AS final_event_type,
+       round(w2.value, 4) AS final_value,
+       CASE WHEN w2.event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+       w2.event_id AS lsn
+FROM w2 LEFT JOIN w1 ON w1.user_id = w2.user_id
+WHERE w1.user_id IS NULL OR w1.event_id <> w2.event_id
+"""
+
+
+def q_cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-out: two incremental merges, then
+    :meth:`SnapshotTable.changelog_between` between them must emit
+    exactly the keys whose LWW winner moved — to-side payload, op from
+    the to-side state (tombstone ⇒ D with the tombstone's LSN), quiet
+    keys absent. The oracle derives the same set from the raw events:
+    overall winner vs winner-at-the-split, emitted when they differ.
+    This is the replication feed a downstream MergePipeline applies
+    verbatim (tests/test_changefeed.py pins round-trip equality)."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("final_event_type"),
+        F.round("value", 4).alias("final_value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("final_event_type", T.StringType()),
+            T.StructField("final_value", T.DoubleType()),
+        ]
+    )
+    root = _swept_scratch_dir("cdcfeed") + "/tbl"
+    table = SnapshotTable.create(spark, root, payload, key="doc_id", n_buckets=8)
+    lo, hi = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    table.merge(reduce_latest(changelog.filter(F.col("lsn") <= mid)), batch_id=0)
+    v1 = table.current_version()
+    table.merge(reduce_latest(changelog.filter(F.col("lsn") > mid)), batch_id=1)
+    return table.changelog_between(v1).select(
+        "doc_id", "final_event_type", "final_value", "op", "lsn"
+    )
+
+
 _IVM_ORACLE = """
 WITH latest AS (
   SELECT * FROM (
@@ -2252,6 +2318,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_point_lookup": (q_cdc_point_lookup, _CDC_LOOKUP_ORACLE),
     "cdc_mor_point_lookup": (q_cdc_mor_point_lookup, _CDC_LOOKUP_ORACLE),
     "ivm_group_totals": (q_ivm_group_totals, _IVM_ORACLE),
+    "cdc_changefeed": (q_cdc_changefeed, _CHANGEFEED_ORACLE),
     "lsn_gaps": (q_lsn_gaps, _LSN_GAPS_ORACLE),
     "cdc_snapshot_diff": (q_cdc_snapshot_diff, _CDC_DIFF_ORACLE),
     "watermark_per_source": (

@@ -464,6 +464,75 @@ class SnapshotTable:
             f for f in m["files"] if f["bucket"] in probed and overlaps(f)
         ]
 
+    # ----------------------------------------------------------- changefeed
+    def changelog_between(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """CDC-out: the row-level changes between two snapshots rendered
+        as an ``(payload..., op, lsn)`` changelog that a downstream
+        :class:`plans.pipeline.MergePipeline` (or any LWW consumer) can
+        apply directly — table-to-table replication without shipping
+        files. Same file pruning as :meth:`diff` (unchanged files cancel
+        out; only added/removed files are read).
+
+        Unlike :meth:`diff`, tombstones are KEPT on both sides so a
+        delete carries its tombstone's real LSN — the value a downstream
+        LWW merge needs to outrank the row it kills. A delete whose
+        tombstone was vacuumed between the versions (to-side row gone
+        entirely) is emitted with the synthetic LSN ``from_lsn + 1``:
+        the real delete outranked ``from_lsn``, so ``from_lsn + 1 <=``
+        the real delete LSN — it still beats the consumer's live row and
+        can never outrank a later legitimate resurrect. Rows whose LSN
+        did not move are not emitted; applying the same feed twice is a
+        no-op (every row loses the consumer merge's ``lsn > _lsn``
+        guard the second time)."""
+        m_from = self.manifest(from_version)
+        m_to = self.manifest(to_version)
+        key = m_to["key"]
+        from_paths = {f["path"] for f in m_from["files"]}
+        to_paths = {f["path"] for f in m_to["files"]}
+        only_from = [f for f in m_from["files"] if f["path"] not in to_paths]
+        only_to = [f for f in m_to["files"] if f["path"] not in from_paths]
+        a = self._read_file_entries(
+            only_from, T.StructType.fromJson(m_from["schema"])
+        )
+        b = self._read_file_entries(
+            only_to, T.StructType.fromJson(m_to["schema"])
+        )
+        payload_cols = [
+            f.name
+            for f in T.StructType.fromJson(m_to["schema"]).fields
+            if f.name not in INTERNAL_COLS
+        ]
+        j = a.alias("a").join(
+            b.alias("b"),
+            on=F.col(f"a.{key}") == F.col(f"b.{key}"),
+            how="full_outer",
+        )
+        a_exists = F.col(f"a.{key}").isNotNull()
+        b_exists = F.col(f"b.{key}").isNotNull()
+        b_deleted = F.coalesce(F.col(f"b.{DELETED_COL}"), F.lit(False))
+        # op: the to-side state decides — tombstone (or vacuumed-away row
+        # that existed live on the from side) ⇒ D, else U
+        op = F.when(b_exists & ~b_deleted, F.lit("U")).otherwise(F.lit("D"))
+        lsn = F.when(
+            b_exists, F.col(f"b.{LSN_COL}")
+        ).otherwise(F.col(f"a.{LSN_COL}") + F.lit(1))
+        changed = (
+            (~a_exists)
+            | (~b_exists)
+            | (F.col(f"a.{LSN_COL}") != F.col(f"b.{LSN_COL}"))
+        )
+        out_cols = [
+            F.when(b_exists, F.col(f"b.{c}") if c in b.columns else F.lit(None))
+            .otherwise(F.col(f"a.{c}") if c in a.columns else F.lit(None))
+            .alias(c)
+            for c in payload_cols
+        ]
+        return j.filter(changed).select(
+            *out_cols, op.alias("op"), lsn.cast("long").alias("lsn")
+        )
+
     # ---------------------------------------------------------------- write
     def _bucket_expr(self, key: str) -> F.Column:
         """bucket = pmod(murmur3(key), n) — deliberately THE SAME function
