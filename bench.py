@@ -61,6 +61,12 @@ HEADLINE = [
     "pii_scrub",
     "decontaminate",
     "multimodal_decode",
+    "cdc_point_lookup",
+    "ivm_group_totals",
+    "cdc_changefeed",
+    "cdc_scd2_history",
+    "cdc_txn_atomic",
+    "cdc_snapshot_bootstrap",
 ]
 
 # per-query trials: the sandbox VM is noisy (identical runs vary 2-3x);

@@ -35,6 +35,7 @@ class MergePipeline:
         profile_mode: str = "pre",
         dedup_state=None,
         ivm_state=None,
+        scd2_state=None,
     ):
         """``dedup_state``: an optional :class:`plans.dedup_ingest.
         TokenDedupState` — each epoch's per-key LWW-winning fingerprint
@@ -46,10 +47,17 @@ class MergePipeline:
         — a downstream GROUP BY maintained per epoch from the changelog
         (O(batch + groups), never a base rescan). Applied BEFORE the
         merge commits so its old-side read observes the pre-epoch base;
-        requires batch ids (its totals rewrite is ledgered)."""
+        requires batch ids (its totals rewrite is ledgered).
+
+        ``scd2_state``: an optional :class:`plans.scd2.Scd2State` — a
+        type-2 history table maintained per epoch from the same reduced
+        changelog (every applied winner opens a version, the row it
+        replaces is closed). Applied BEFORE the merge commits so its
+        old-side read observes the pre-epoch base; requires batch ids."""
         self.spark = spark
         self.dedup_state = dedup_state
         self.ivm_state = ivm_state
+        self.scd2_state = scd2_state
         if SnapshotTable.exists(table_root):
             self.table = SnapshotTable(spark, table_root)
             # the TABLE's manifest key is authoritative for an existing
@@ -106,6 +114,26 @@ class MergePipeline:
                 changelog.select(*dict.fromkeys(narrow)), key=self.key
             )
             self.ivm_state.apply(ivm_reduced, self.table, batch_id=batch_id)
+        if self.scd2_state is not None:
+            if batch_id is None:
+                raise ValueError(
+                    "scd2 history requires a monotone batch_id — the "
+                    "history merge commits exactly-once per epoch"
+                )
+            # the history merge and the base merge consume the SAME
+            # reduced frame; cache it so the LWW reduce still executes
+            # once (Scd2State sees the cache and leaves its lifecycle to
+            # this scope). BEFORE the merge: the close-side read must
+            # observe the pre-epoch base.
+            reduced = reduced.persist()
+            try:
+                self.scd2_state.apply(reduced, self.table, batch_id=batch_id)
+                return self.table.merge(
+                    reduced, batch_id=batch_id, stats_df=changelog,
+                    profile_mode=self.profile_mode,
+                )
+            finally:
+                reduced.unpersist()
         # the raw batch feeds the stats/lineage job (no reduce needed there),
         # so the LWW reduce executes exactly once — in the merge-write job
         # (the dedup path above reduces its own lightweight fingerprint

@@ -572,6 +572,227 @@ def q_ivm_group_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SCD Type-2 oracle: the epoch winner per key (same 3 LSN-range epochs
+# the engine applies), versions ordered per key, valid_to = the next
+# applied winner's LSN (a delete winner closes but emits no row)
+_SCD2_ORACLE = """
+WITH b AS (
+  SELECT min(event_id) AS lo,
+         ((max(event_id) - min(event_id) + 1) // 3) + 1 AS step
+  FROM events
+),
+w AS (
+  SELECT e.*,
+         (e.event_id - b.lo) // b.step AS epoch,
+         row_number() OVER (
+           PARTITION BY e.user_id, (e.event_id - b.lo) // b.step
+           ORDER BY e.event_id DESC
+         ) AS rn
+  FROM events e, b
+),
+win AS (SELECT * FROM w WHERE rn = 1),
+seq AS (
+  SELECT *,
+         lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS next_lsn
+  FROM win
+)
+SELECT CAST(user_id AS VARCHAR) AS doc_id,
+       event_id AS valid_from_lsn,
+       next_lsn AS valid_to_lsn,
+       (next_lsn IS NULL) AS is_current,
+       event_type AS final_event_type,
+       round(value, 4) AS final_value
+FROM seq WHERE event_type <> 'error'
+"""
+
+
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 end-to-end: events applied through the REAL pipeline in
+    3 epochs with a :class:`plans.scd2.Scd2State` attached. Every applied
+    epoch winner opens a version; the row it replaces is closed at the
+    winner's LSN (delete winners close and open nothing). The maintained
+    history — built per epoch at O(batch + touched files) cost, never a
+    rescan — must equal the one-shot SQL derivation (winner per key per
+    epoch + lead over winners). The reference truncate-and-reloads its
+    BigQuery tables with no history; this is the point-in-time audit
+    surface a training-data lake needs."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
+    from data_hub_ejp_xml_pipeline_spark.plans.scd2 import Scd2State
+
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("final_event_type"),
+        F.round("value", 4).alias("final_value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("final_event_type", T.StringType()),
+            T.StructField("final_value", T.DoubleType()),
+        ]
+    )
+    root = _swept_scratch_dir("scd2q")
+    scd2 = Scd2State(spark, root + "/scd2", payload_schema=payload, key="doc_id")
+    pipe = MergePipeline(
+        spark, root + "/tbl", key="doc_id", n_buckets=8,
+        payload_schema=payload, scd2_state=scd2,
+    )
+    bounds = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    lo, hi = bounds[0], bounds[1]
+    step = max((hi - lo + 1) // 3 + 1, 1)
+    for i in range(3):
+        batch = changelog.filter(
+            (F.col("lsn") >= lo + i * step) & (F.col("lsn") < lo + (i + 1) * step)
+        )
+        pipe.apply(batch, batch_id=i)
+    return scd2.read_history().select(
+        "doc_id", "valid_from_lsn", "valid_to_lsn", "is_current",
+        "final_event_type", "final_value",
+    )
+
+
+# transaction-boundary atomicity: events arrive in fixed blocks of 16
+# (txn_id = event_id // 16; the tail block is shorter), the simulated
+# loss drops some members, and ONLY complete transactions may apply —
+# a partially-received transaction must never leak into the table
+_TXN_ORACLE = """
+WITH hi AS (SELECT max(event_id) AS hi FROM events),
+ev AS (
+  SELECT e.*, e.event_id // 16 AS txn_id
+  FROM events e WHERE NOT {loss}
+),
+cnt AS (SELECT txn_id, count(*) AS present FROM ev GROUP BY txn_id),
+ok AS (
+  SELECT c.txn_id FROM cnt c, hi
+  WHERE c.present = least(16, hi.hi + 1 - c.txn_id * 16)
+),
+kept AS (SELECT ev.* FROM ev JOIN ok USING (txn_id))
+SELECT user_id,
+       event_id   AS last_event_id,
+       event_type AS last_event_type,
+       round(value, 4) AS last_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM kept
+) WHERE rn = 1
+"""
+
+
+def q_cdc_txn_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-boundary grouping (Debezium txn-metadata semantics):
+    hold back incomplete transactions, apply complete ones atomically.
+    Events carry (txn_id, expected member count); the operator admits a
+    transaction only when every member arrived — one hash shuffle on
+    txn_id (window count == expected), no joins — then the usual LWW
+    final state over the admitted events. The simulated loss knocks out
+    members of some transactions; their SURVIVING members must not apply
+    either (partial-transaction leak is the bug class this kills)."""
+    from data_hub_ejp_xml_pipeline_spark.operators.txn import complete_transactions
+
+    ev = _t(spark, sf_dir, "events")
+    hi = ev.agg(F.max("event_id")).first()[0]
+    observed = ev.filter(f"NOT {_LOSS_SQL}").withColumn(
+        "txn_id", (F.col("event_id") / 16).cast("long")
+    ).withColumn(
+        "txn_n", F.least(F.lit(16), F.lit(hi) + 1 - F.col("txn_id") * 16)
+    )
+    kept = complete_transactions(
+        observed, txn_col="txn_id", expected_col="txn_n"
+    )
+    return kept.groupBy("user_id").agg(
+        F.max_by(F.struct("event_id", "event_type", "value"), F.col("event_id")).alias("x")
+    ).select(
+        "user_id",
+        F.col("x.event_id").alias("last_event_id"),
+        F.col("x.event_type").alias("last_event_type"),
+        F.round("x.value", 4).alias("last_value"),
+    )
+
+
+# DBLog-style snapshot bootstrap: a consistent snapshot at watermark W
+# merged in key-hash chunks, interleaved with post-W tail epochs in an
+# order the LSN guard must make irrelevant; final state == full replay
+_SNAPSHOT_BOOTSTRAP_ORACLE = """
+SELECT CAST(user_id AS VARCHAR) AS doc_id,
+       event_type AS final_event_type,
+       round(value, 4) AS final_value,
+       event_id AS last_lsn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap-without-replay (the DBLog / Debezium incremental-snapshot
+    shape): a new table is seeded from a consistent snapshot at watermark
+    W — merged in 4 key-hash chunks, each an exactly-once ledgered merge
+    carrying each row's TRUE last LSN — while the tail applies post-W
+    epochs CONCURRENTLY (here: interleaved chunk/tail commits). The
+    merge's LSN guard makes the interleaving order irrelevant: a tail
+    update or delete beats the older snapshot row for the same key no
+    matter which lands first. Final state must equal a full-history
+    replay — which is the whole point: at 100 TB you bootstrap from the
+    snapshot and never replay the historical changelog."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("final_event_type"),
+        F.round("value", 4).alias("final_value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("final_event_type", T.StringType()),
+            T.StructField("final_value", T.DoubleType()),
+        ]
+    )
+    lo, hi = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    w_mark = (lo + hi) // 2
+    # the consistent snapshot at W: per-key winners over lsn <= W, live
+    # rows only, each carrying its true last LSN (what a source-table
+    # chunk SELECT returns under DBLog's low/high watermark fencing)
+    snapshot = reduce_latest(changelog.filter(F.col("lsn") <= w_mark)).filter(
+        F.col("op") != "D"
+    )
+    n_chunks = 4
+    chunk_col = F.abs(F.hash("doc_id")) % n_chunks
+    tail = changelog.filter(F.col("lsn") > w_mark)
+    mid_tail = (w_mark + hi) // 2
+    root = _swept_scratch_dir("cdcboot") + "/tbl"
+    table = SnapshotTable.create(spark, root, payload, key="doc_id", n_buckets=8)
+    # interleave chunk and tail commits; batch ids are disjoint monotone
+    steps = [
+        ("chunk", 0), ("tail", 0), ("chunk", 1), ("chunk", 2),
+        ("tail", 1), ("chunk", 3),
+    ]
+    for kind, i in steps:
+        if kind == "chunk":
+            batch = snapshot.filter(chunk_col == i)
+            table.merge(batch, batch_id=100 + i)
+        else:
+            lo_i = w_mark + 1 if i == 0 else mid_tail + 1
+            hi_i = mid_tail if i == 0 else hi
+            batch = tail.filter((F.col("lsn") >= lo_i) & (F.col("lsn") <= hi_i))
+            table.merge(reduce_latest(batch), batch_id=200 + i)
+    return table.read().select(
+        "doc_id", "final_event_type", "final_value", F.col("_lsn").alias("last_lsn")
+    )
+
+
 # deterministic "lost events" condition for the gap-detection query:
 # singleton losses (every 1000th) + a 1001-wide block loss that spans
 # multiple detector buckets, exercising both the intra-bucket window and
@@ -2319,6 +2540,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_mor_point_lookup": (q_cdc_mor_point_lookup, _CDC_LOOKUP_ORACLE),
     "ivm_group_totals": (q_ivm_group_totals, _IVM_ORACLE),
     "cdc_changefeed": (q_cdc_changefeed, _CHANGEFEED_ORACLE),
+    "cdc_scd2_history": (q_cdc_scd2_history, _SCD2_ORACLE),
+    "cdc_txn_atomic": (q_cdc_txn_atomic, _TXN_ORACLE.format(loss=_LOSS_SQL)),
+    "cdc_snapshot_bootstrap": (q_cdc_snapshot_bootstrap, _SNAPSHOT_BOOTSTRAP_ORACLE),
     "lsn_gaps": (q_lsn_gaps, _LSN_GAPS_ORACLE),
     "cdc_snapshot_diff": (q_cdc_snapshot_diff, _CDC_DIFF_ORACLE),
     "watermark_per_source": (
