@@ -11,6 +11,9 @@ plus its maintenance chores), as subcommands over the library surface:
     python -m data_hub_ejp_xml_pipeline_spark expire --table ROOT --keep-last N
     python -m data_hub_ejp_xml_pipeline_spark vacuum --table ROOT --older-than-lsn N
     python -m data_hub_ejp_xml_pipeline_spark show --table ROOT
+    python -m data_hub_ejp_xml_pipeline_spark dedup-flags --state ROOT [--token]
+    python -m data_hub_ejp_xml_pipeline_spark ivm-totals --state ROOT
+    python -m data_hub_ejp_xml_pipeline_spark scd2-history --state ROOT [--as-of LSN]
 
 Each command prints ONE JSON line (machine-scrapeable, like bench.py).
 ``main(argv, spark=...)`` is injectable for tests; standalone invocation
@@ -21,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -73,6 +77,11 @@ def _build_parser() -> argparse.ArgumentParser:
                         help="numeric payload column summed into the view "
                              "(omit for count-only on create / adoption on "
                              "an existing state)")
+        sp.add_argument("--scd2-state", default=None,
+                        help="Scd2State root: maintain a type-2 history "
+                             "table per epoch (COW pipeline only); payload "
+                             "schema is derived from the base table on "
+                             "create, adopted on reopen")
 
     c = sub.add_parser("compact", help="compact data files (or fold MOR deltas)")
     table_arg(c)
@@ -96,6 +105,11 @@ def _build_parser() -> argparse.ArgumentParser:
 
     iv = sub.add_parser("ivm-totals", help="print the maintained per-group view")
     iv.add_argument("--state", required=True, help="IncrementalAggState root")
+
+    sh = sub.add_parser("scd2-history", help="summarize the type-2 history")
+    sh.add_argument("--state", required=True, help="Scd2State root")
+    sh.add_argument("--as-of", type=int, default=None,
+                    help="count rows valid AT this LSN instead")
     return p
 
 
@@ -133,6 +147,32 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         return IncrementalAggState(spark, args.ivm_state,
                                    group_col=args.ivm_group, **kwargs)
 
+    def _attach_scd2(pipe):
+        """Attach an Scd2State to a constructed COW pipeline; on create the
+        payload schema is the base table's schema minus internal columns
+        (an existing state adopts its stored identity)."""
+        if getattr(args, "scd2_state", None) is None:
+            return pipe
+        from pyspark.sql import types as T
+
+        from data_hub_ejp_xml_pipeline_spark.plans.scd2 import Scd2State
+        from data_hub_ejp_xml_pipeline_spark.table.snapshot_table import (
+            DELETED_COL, LSN_COL,
+        )
+
+        if os.path.exists(os.path.join(args.scd2_state, "scd2_meta.json")):
+            pipe.scd2_state = Scd2State(spark, args.scd2_state)  # adopt
+            return pipe
+        key = pipe.table.manifest()["key"]
+        payload = T.StructType(
+            [f for f in pipe.table.schema().fields
+             if f.name not in (LSN_COL, DELETED_COL)]
+        )
+        pipe.scd2_state = Scd2State(spark, args.scd2_state,
+                                    payload_schema=payload, key=key,
+                                    n_buckets=pipe.table.manifest()["n_buckets"])
+        return pipe
+
     if args.cmd == "tail":
         from data_hub_ejp_xml_pipeline_spark.plans.mor_pipeline import MorPipeline
         from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
@@ -145,17 +185,23 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
                     "read observes the base table, which under merge-on-read "
                     "lags the staged deltas (maintain MOR views after compact)"
                 )
+            if args.scd2_state is not None:
+                raise SystemExit(
+                    "--scd2-state requires the COW pipeline: the history "
+                    "close-side read observes the base table, which under "
+                    "merge-on-read lags the staged deltas"
+                )
             pipe = MorPipeline(spark, args.table, key=args.key,
                                n_buckets=args.n_buckets,
                                k_compact=args.k_compact,
                                profile_mode=args.profile_mode,
                                dedup_state=_dedup_state())
         else:
-            pipe = MergePipeline(spark, args.table, key=args.key,
-                                 n_buckets=args.n_buckets,
-                                 profile_mode=args.profile_mode,
-                                 dedup_state=_dedup_state(),
-                                 ivm_state=_ivm_state())
+            pipe = _attach_scd2(MergePipeline(spark, args.table, key=args.key,
+                                              n_buckets=args.n_buckets,
+                                              profile_mode=args.profile_mode,
+                                              dedup_state=_dedup_state(),
+                                              ivm_state=_ivm_state()))
         tailer = ChangelogTailer(spark, pipeline=pipe)
         q = tailer.start(
             args.changelog,
@@ -177,11 +223,11 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
     elif args.cmd == "apply":
         from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
 
-        pipe = MergePipeline(spark, args.table, key=args.key,
-                             n_buckets=args.n_buckets,
-                             profile_mode=args.profile_mode,
-                             dedup_state=_dedup_state(),
-                             ivm_state=_ivm_state())
+        pipe = _attach_scd2(MergePipeline(spark, args.table, key=args.key,
+                                          n_buckets=args.n_buckets,
+                                          profile_mode=args.profile_mode,
+                                          dedup_state=_dedup_state(),
+                                          ivm_state=_ivm_state()))
         res = pipe.apply(spark.read.parquet(args.changelog), batch_id=args.batch_id)
         out = {"cmd": "apply", "applied": res.applied, "snapshot_id": res.snapshot_id,
                "version": res.version, "n_events": res.n_events,
@@ -272,6 +318,40 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             "groups": len(rows),
             "totals": {str(r[0]): {"cnt": r[1], "total": r[2]} for r in rows},
         }
+
+    elif args.cmd == "scd2-history":
+        from data_hub_ejp_xml_pipeline_spark.plans.scd2 import Scd2State
+
+        # read-only summary: opening a wrong path without the meta file
+        # would raise on the missing payload schema — probe first for a
+        # clean one-line error (same rule as dedup-flags / ivm-totals)
+        if not os.path.exists(os.path.join(args.state, "scd2_meta.json")):
+            out = {"cmd": "scd2-history",
+                   "error": f"no scd2 state at {args.state}"}
+            print(json.dumps(out))
+            return out
+        state = Scd2State(spark, args.state)
+        from pyspark.sql import functions as F
+
+        if args.as_of is not None:
+            n = state.read_as_of(args.as_of).count()
+            out = {"cmd": "scd2-history", "as_of": args.as_of, "rows": n}
+        else:
+            # one job over one history scan
+            row = state.read_history().agg(
+                F.count(F.lit(1)).alias("versions"),
+                F.sum(F.col("is_current").cast("long")).alias("current"),
+                F.countDistinct(state.key).alias("keys"),
+                F.max("valid_from_lsn").alias("max_lsn"),
+            ).first()
+            out = {
+                "cmd": "scd2-history",
+                "versions": row.versions,
+                "current": int(row.current or 0),
+                "closed": row.versions - int(row.current or 0),
+                "keys": row.keys,
+                "max_lsn": row.max_lsn,
+            }
 
     else:  # show
         table = SnapshotTable(spark, args.table)

@@ -167,3 +167,59 @@ def test_cli_ivm_state_rejected_on_mor(spark, tmp_path, changelog_dir):
              "--ivm-group", "source"],
             spark=spark,
         )
+
+
+def test_cli_scd2_state_tail_and_history(spark, tmp_path, changelog_dir, changelog_pdf):
+    """--scd2-state on tail maintains the type-2 history through the
+    stream; scd2-history summarizes it. Invariants: open versions equal
+    the base table's live rows, and the as-of view at the max LSN equals
+    the current view."""
+    root = str(tmp_path / "tbl")
+    sstate = str(tmp_path / "sstate")
+    out = main(
+        ["tail", "--changelog", changelog_dir, "--table", root,
+         "--checkpoint", str(tmp_path / "ckpt"), "--n-buckets", "4",
+         "--scd2-state", sstate],
+        spark=spark,
+    )
+    hist = main(["scd2-history", "--state", sstate], spark=spark)
+    assert hist["cmd"] == "scd2-history"
+    assert hist["current"] == out["final_rows"]
+    assert hist["versions"] >= hist["current"]
+    assert hist["versions"] == hist["current"] + hist["closed"]
+
+    as_of = main(
+        ["scd2-history", "--state", sstate, "--as-of", str(hist["max_lsn"])],
+        spark=spark,
+    )
+    assert as_of["rows"] == hist["current"]
+
+    # a second drain of the same checkpoint replays nothing: history
+    # unchanged (the ledgered merge no-ops on replayed epochs)
+    main(
+        ["tail", "--changelog", changelog_dir, "--table", root,
+         "--checkpoint", str(tmp_path / "ckpt"), "--n-buckets", "4",
+         "--scd2-state", sstate],
+        spark=spark,
+    )
+    hist2 = main(["scd2-history", "--state", sstate], spark=spark)
+    assert hist2 == hist
+
+
+def test_cli_scd2_history_read_only_on_missing_state(spark, tmp_path):
+    import os
+
+    bogus = str(tmp_path / "nope")
+    out = main(["scd2-history", "--state", bogus], spark=spark)
+    assert "error" in out and "no scd2 state" in out["error"]
+    assert not os.path.exists(bogus)
+
+
+def test_cli_scd2_state_rejected_on_mor(spark, tmp_path, changelog_dir):
+    with pytest.raises(SystemExit, match="COW pipeline"):
+        main(
+            ["tail", "--changelog", changelog_dir, "--table",
+             str(tmp_path / "m"), "--checkpoint", str(tmp_path / "ck"),
+             "--mor", "--scd2-state", str(tmp_path / "s")],
+            spark=spark,
+        )
