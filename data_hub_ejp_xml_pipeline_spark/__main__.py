@@ -14,6 +14,7 @@ plus its maintenance chores), as subcommands over the library surface:
     python -m data_hub_ejp_xml_pipeline_spark dedup-flags --state ROOT [--token]
     python -m data_hub_ejp_xml_pipeline_spark ivm-totals --state ROOT
     python -m data_hub_ejp_xml_pipeline_spark scd2-history --state ROOT [--as-of LSN]
+    python -m data_hub_ejp_xml_pipeline_spark dlq-show --state ROOT
 
 Each command prints ONE JSON line (machine-scrapeable, like bench.py).
 ``main(argv, spark=...)`` is injectable for tests; standalone invocation
@@ -82,6 +83,11 @@ def _build_parser() -> argparse.ArgumentParser:
                              "table per epoch (COW pipeline only); payload "
                              "schema is derived from the base table on "
                              "create, adopted on reopen")
+        sp.add_argument("--dlq-state", default=None,
+                        help="DlqState root: quarantine invalid change "
+                             "events (null key/LSN, unknown op, "
+                             "inconsistent payload) with a reason instead "
+                             "of merging them")
 
     c = sub.add_parser("compact", help="compact data files (or fold MOR deltas)")
     table_arg(c)
@@ -110,6 +116,9 @@ def _build_parser() -> argparse.ArgumentParser:
     sh.add_argument("--state", required=True, help="Scd2State root")
     sh.add_argument("--as-of", type=int, default=None,
                     help="count rows valid AT this LSN instead")
+
+    dq = sub.add_parser("dlq-show", help="summarize the dead-letter queue")
+    dq.add_argument("--state", required=True, help="DlqState root")
     return p
 
 
@@ -146,6 +155,14 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             kwargs["value_col"] = args.ivm_value
         return IncrementalAggState(spark, args.ivm_state,
                                    group_col=args.ivm_group, **kwargs)
+
+    def _dlq_state():
+        if getattr(args, "dlq_state", None) is None:
+            return None
+        from data_hub_ejp_xml_pipeline_spark.plans.dlq import attach_dlq
+        from data_hub_ejp_xml_pipeline_spark.schemas import CHANGELOG_SCHEMA
+
+        return attach_dlq(spark, args.dlq_state, CHANGELOG_SCHEMA)
 
     def _attach_scd2(pipe):
         """Attach an Scd2State to a constructed COW pipeline; on create the
@@ -195,13 +212,15 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
                                n_buckets=args.n_buckets,
                                k_compact=args.k_compact,
                                profile_mode=args.profile_mode,
-                               dedup_state=_dedup_state())
+                               dedup_state=_dedup_state(),
+                               dlq_state=_dlq_state())
         else:
             pipe = _attach_scd2(MergePipeline(spark, args.table, key=args.key,
                                               n_buckets=args.n_buckets,
                                               profile_mode=args.profile_mode,
                                               dedup_state=_dedup_state(),
-                                              ivm_state=_ivm_state()))
+                                              ivm_state=_ivm_state(),
+                                              dlq_state=_dlq_state()))
         tailer = ChangelogTailer(spark, pipeline=pipe)
         q = tailer.start(
             args.changelog,
@@ -227,7 +246,8 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
                                           n_buckets=args.n_buckets,
                                           profile_mode=args.profile_mode,
                                           dedup_state=_dedup_state(),
-                                          ivm_state=_ivm_state()))
+                                          ivm_state=_ivm_state(),
+                                          dlq_state=_dlq_state()))
         res = pipe.apply(spark.read.parquet(args.changelog), batch_id=args.batch_id)
         out = {"cmd": "apply", "applied": res.applied, "snapshot_id": res.snapshot_id,
                "version": res.version, "n_events": res.n_events,
@@ -317,6 +337,24 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             "cmd": "ivm-totals",
             "groups": len(rows),
             "totals": {str(r[0]): {"cnt": r[1], "total": r[2]} for r in rows},
+        }
+
+    elif args.cmd == "dlq-show":
+        from data_hub_ejp_xml_pipeline_spark.plans.dlq import DlqState
+
+        # read-only summary: probe the meta file first (same rule as
+        # dedup-flags / ivm-totals / scd2-history)
+        if not os.path.exists(os.path.join(args.state, "dlq_meta.json")):
+            out = {"cmd": "dlq-show",
+                   "error": f"no dlq state at {args.state}"}
+            print(json.dumps(out))
+            return out
+        state = DlqState(spark, args.state)
+        rows = sorted(state.counts_by_reason().collect())
+        out = {
+            "cmd": "dlq-show",
+            "rejects": sum(r.n for r in rows),
+            "by_reason": {r.reject_reason: r.n for r in rows},
         }
 
     elif args.cmd == "scd2-history":

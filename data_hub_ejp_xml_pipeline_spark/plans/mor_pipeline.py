@@ -65,18 +65,25 @@ class MorPipeline:
         payload_schema: T.StructType = PAYLOAD_SCHEMA,
         profile_mode: str = "pre",
         dedup_state=None,
+        dlq_state=None,
     ):
         """``dedup_state``: an optional :class:`plans.dedup_ingest.
         TokenDedupState` — each epoch's per-key LWW-winning fingerprint
         (computed from the RAW rows) is checked against the persisted
         corpus state and appended to it (exact dedup-on-ingest for token
-        payloads)."""
+        payloads).
+
+        ``dlq_state``: an optional :class:`plans.dlq.DlqState` — invalid
+        events (null key/LSN, unknown op, inconsistent payload) are split
+        off BEFORE the reduce/stage and quarantined with a reason
+        (exactly-once, ledgered append per epoch)."""
         self.spark = spark
         self.key = key
         self.k_compact = k_compact
         self.reduce_strategy = reduce_strategy
         self.profile_mode = profile_mode
         self.dedup_state = dedup_state
+        self.dlq_state = dlq_state
         delta_schema = T.StructType(
             list(payload_schema.fields) + [T.StructField("op", T.StringType(), True)]
         )
@@ -149,6 +156,15 @@ class MorPipeline:
                 "MorPipeline.apply requires a monotone batch_id — compaction's "
                 "exactly-once id is derived from the staged epoch ids"
             )
+        if self.dlq_state is not None:
+            # FIRST: invalid events must reach neither the staged delta
+            # nor the dedup state (see MergePipeline.apply)
+            from data_hub_ejp_xml_pipeline_spark.operators.validate import (
+                split_changelog,
+            )
+
+            changelog, rejects = split_changelog(changelog, key=self.key)
+            self.dlq_state.apply(rejects, batch_id=batch_id)
         reduced = reduce_latest(
             changelog, key=self.key, strategy=self.reduce_strategy
         )

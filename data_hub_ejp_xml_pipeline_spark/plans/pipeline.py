@@ -36,6 +36,7 @@ class MergePipeline:
         dedup_state=None,
         ivm_state=None,
         scd2_state=None,
+        dlq_state=None,
     ):
         """``dedup_state``: an optional :class:`plans.dedup_ingest.
         TokenDedupState` — each epoch's per-key LWW-winning fingerprint
@@ -53,11 +54,18 @@ class MergePipeline:
         type-2 history table maintained per epoch from the same reduced
         changelog (every applied winner opens a version, the row it
         replaces is closed). Applied BEFORE the merge commits so its
-        old-side read observes the pre-epoch base; requires batch ids."""
+        old-side read observes the pre-epoch base; requires batch ids.
+
+        ``dlq_state``: an optional :class:`plans.dlq.DlqState` — events
+        that cannot participate in the merge contract (null key/LSN,
+        unknown op, inconsistent payload) are split off BEFORE any other
+        consumer and quarantined with a reason (exactly-once, ledgered);
+        requires batch ids."""
         self.spark = spark
         self.dedup_state = dedup_state
         self.ivm_state = ivm_state
         self.scd2_state = scd2_state
+        self.dlq_state = dlq_state
         if SnapshotTable.exists(table_root):
             self.table = SnapshotTable(spark, table_root)
             # the TABLE's manifest key is authoritative for an existing
@@ -75,6 +83,23 @@ class MergePipeline:
         self.profile_mode = profile_mode
 
     def apply(self, changelog: DataFrame, batch_id: int | None = None) -> CommitResult:
+        if self.dlq_state is not None:
+            if batch_id is None:
+                raise ValueError(
+                    "dead-letter quarantine requires a monotone batch_id — "
+                    "the rejects append commits exactly-once per epoch"
+                )
+            # FIRST: invalid events must reach none of the downstream
+            # consumers (a null key would coalesce into a junk LWW group,
+            # a null lsn poisons the max-LSN guard). The split is two
+            # complementary pushed-down predicates over the same scan —
+            # no shuffle, no extra pass for the valid side.
+            from data_hub_ejp_xml_pipeline_spark.operators.validate import (
+                split_changelog,
+            )
+
+            changelog, rejects = split_changelog(changelog, key=self.key)
+            self.dlq_state.apply(rejects, batch_id=batch_id)
         reduced = reduce_latest(
             changelog, key=self.key, strategy=self.reduce_strategy, n_salts=self.n_salts
         )

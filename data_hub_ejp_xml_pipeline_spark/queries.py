@@ -343,6 +343,138 @@ def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dlq_dirty_changelog(spark: SparkSession, sf_dir: str):
+    """Deterministically corrupted changelog off ``events``: three
+    md5-banded corruption classes (null/empty key, null LSN, unknown op)
+    over the same clean mapping every cdc_* query uses. The band idiom is
+    functions/sampling.py's shared cross-engine score, so the DuckDB
+    oracle reproduces the exact corrupted set without any row exchange."""
+    ev = _t(spark, sf_dir, "events")
+    m = SA.md5_mod_col(F.col("event_id"), SA.SAMPLE_BASIS)
+    return ev.select(
+        F.when((m >= 300) & (m < 600), F.lit(None).cast("long"))
+        .otherwise(F.col("event_id"))
+        .alias("lsn"),
+        F.when((m >= 600) & (m < 900), F.lit("X"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.when(m < 150, F.lit(None).cast("string"))
+        .when(m < 300, F.lit(""))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("doc_id"),
+        F.col("event_type").alias("final_event_type"),
+        F.round("value", 4).alias("final_value"),
+    )
+
+
+# the oracle's rendering of the same corruption + first-match reasons;
+# `m` is the shared md5 band score over event_id
+_DLQ_BASE_SQL = f"""
+  SELECT {SA.md5_mod_sql('event_id', SA.SAMPLE_BASIS)} AS m,
+         CASE WHEN {SA.md5_mod_sql('event_id', SA.SAMPLE_BASIS)} BETWEEN 300 AND 599
+              THEN NULL ELSE event_id END AS lsn,
+         CASE WHEN {SA.md5_mod_sql('event_id', SA.SAMPLE_BASIS)} BETWEEN 600 AND 899 THEN 'X'
+              WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         CASE WHEN {SA.md5_mod_sql('event_id', SA.SAMPLE_BASIS)} < 150 THEN NULL
+              WHEN {SA.md5_mod_sql('event_id', SA.SAMPLE_BASIS)} < 300 THEN ''
+              ELSE CAST(user_id AS VARCHAR) END AS doc_id,
+         event_type AS final_event_type,
+         round(value, 4) AS final_value
+  FROM events
+"""
+
+_DLQ_REJECTS_ORACLE = f"""
+WITH dirty AS ({_DLQ_BASE_SQL}),
+bounds AS (SELECT (min(event_id) + max(event_id)) // 2 AS mid
+           FROM events)
+SELECT CASE WHEN m < 300 THEN 'null_key'
+            WHEN m < 600 THEN 'null_lsn'
+            WHEN m < 900 THEN 'bad_op' END AS reject_reason,
+       CASE WHEN lsn IS NULL OR lsn <= (SELECT mid FROM bounds)
+            THEN 0 ELSE 1 END AS epoch,
+       lsn, op, doc_id, final_event_type, final_value
+FROM dirty WHERE m < 900
+"""
+
+
+def q_cdc_dlq_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter path end-to-end: the dirty changelog is applied through
+    the REAL pipeline (2 epochs, DLQ attached) and the QUARANTINE table is
+    returned — every corrupted event, its first-match reason, and the
+    epoch that caught it, exactly once. The valid side's merge is
+    exercised too (same run), pinned separately by
+    ``cdc_dlq_final_state``."""
+    from data_hub_ejp_xml_pipeline_spark.plans.dlq import DlqState
+    from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
+
+    dirty = _dlq_dirty_changelog(spark, sf_dir)
+    root = _swept_scratch_dir("cdcdlq")
+    dlq = DlqState(spark, root + "/dlq", payload_schema=dirty.schema)
+    pipe = MergePipeline(spark, root + "/tbl", n_buckets=8,
+                         payload_schema=_DLQ_PAYLOAD_SCHEMA(), dlq_state=dlq)
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (lo + hi) // 2
+    pipe.apply(
+        dirty.filter(F.col("lsn").isNull() | (F.col("lsn") <= mid)), batch_id=0
+    )
+    pipe.apply(dirty.filter(F.col("lsn") > mid), batch_id=1)
+    return dlq.read().select(
+        "reject_reason", F.col("epoch").cast("int").alias("epoch"),
+        "lsn", "op", "doc_id", "final_event_type", "final_value",
+    )
+
+
+_DLQ_FINAL_ORACLE = f"""
+WITH dirty AS ({_DLQ_BASE_SQL})
+SELECT doc_id, final_event_type, final_value, lsn AS last_lsn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) AS rn
+  FROM dirty WHERE m >= 900
+) WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_cdc_dlq_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The valid-side guarantee of the dead-letter split: with the DLQ
+    attached, the merged table equals the one-shot SQL LWW view over ONLY
+    the uncorrupted events — corruption neither poisons the merge (no
+    junk null-key row, no null-LSN tie-breaks) nor drops a single clean
+    event."""
+    from data_hub_ejp_xml_pipeline_spark.plans.dlq import DlqState
+    from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
+
+    dirty = _dlq_dirty_changelog(spark, sf_dir)
+    root = _swept_scratch_dir("cdcdlqf")
+    dlq = DlqState(spark, root + "/dlq", payload_schema=dirty.schema)
+    pipe = MergePipeline(spark, root + "/tbl", n_buckets=8,
+                         payload_schema=_DLQ_PAYLOAD_SCHEMA(), dlq_state=dlq)
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (lo + hi) // 2
+    pipe.apply(
+        dirty.filter(F.col("lsn").isNull() | (F.col("lsn") <= mid)), batch_id=0
+    )
+    pipe.apply(dirty.filter(F.col("lsn") > mid), batch_id=1)
+    return pipe.final_state().select(
+        "doc_id", "final_event_type", "final_value",
+        F.col("_lsn").alias("last_lsn"),
+    )
+
+
+def _DLQ_PAYLOAD_SCHEMA():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("final_event_type", T.StringType()),
+            T.StructField("final_value", T.DoubleType()),
+        ]
+    )
+
+
 def q_cdc_mor_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same end-to-end engine check as ``cdc_engine_final_state`` run
     through the MERGE-ON-READ pipeline (plans.mor_pipeline): 3 epochs are
@@ -2538,6 +2670,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_mor_final_state": (q_cdc_mor_final_state, _CDC_FINAL_ORACLE),
     "cdc_point_lookup": (q_cdc_point_lookup, _CDC_LOOKUP_ORACLE),
     "cdc_mor_point_lookup": (q_cdc_mor_point_lookup, _CDC_LOOKUP_ORACLE),
+    "cdc_dlq_rejects": (q_cdc_dlq_rejects, _DLQ_REJECTS_ORACLE),
+    "cdc_dlq_final_state": (q_cdc_dlq_final_state, _DLQ_FINAL_ORACLE),
     "ivm_group_totals": (q_ivm_group_totals, _IVM_ORACLE),
     "cdc_changefeed": (q_cdc_changefeed, _CHANGEFEED_ORACLE),
     "cdc_scd2_history": (q_cdc_scd2_history, _SCD2_ORACLE),

@@ -223,3 +223,38 @@ def test_cli_scd2_state_rejected_on_mor(spark, tmp_path, changelog_dir):
              "--mor", "--scd2-state", str(tmp_path / "s")],
             spark=spark,
         )
+
+
+def test_cli_dlq_state_tail_and_show(spark, tmp_path):
+    """--dlq-state on tail quarantines invalid events; dlq-show summarizes
+    them; the merged table holds only the valid subset."""
+    from data_hub_ejp_xml_pipeline_spark.generator import write_changelog_files
+    from data_hub_ejp_xml_pipeline_spark.oracle import expected_final_state_pandas
+    from tests.test_dlq import _dirty_pdf, _expected_reasons
+
+    pdf = _dirty_pdf(n_events=1_200, seed=3)
+    d = str(tmp_path / "dirty")
+    write_changelog_files(pdf, d, 3)
+    out = main(
+        ["tail", "--changelog", d, "--table", str(tmp_path / "tbl"),
+         "--checkpoint", str(tmp_path / "ckpt"), "--n-buckets", "4",
+         "--dlq-state", str(tmp_path / "dlq")],
+        spark=spark,
+    )
+    reasons = _expected_reasons(pdf)
+    clean = pdf[reasons.isna()].copy()
+    clean["lsn"] = clean["lsn"].astype("int64")
+    assert out["final_rows"] == len(expected_final_state_pandas(clean))
+
+    show = main(["dlq-show", "--state", str(tmp_path / "dlq")], spark=spark)
+    assert show["rejects"] == int(reasons.notna().sum())
+    assert show["by_reason"] == reasons.dropna().value_counts().to_dict()
+
+
+def test_cli_dlq_show_read_only_on_missing_state(spark, tmp_path):
+    import os
+
+    bogus = str(tmp_path / "nope")
+    out = main(["dlq-show", "--state", bogus], spark=spark)
+    assert "error" in out and "no dlq state" in out["error"]
+    assert not os.path.exists(bogus)
