@@ -15,6 +15,7 @@ plus its maintenance chores), as subcommands over the library surface:
     python -m data_hub_ejp_xml_pipeline_spark ivm-totals --state ROOT
     python -m data_hub_ejp_xml_pipeline_spark scd2-history --state ROOT [--as-of LSN]
     python -m data_hub_ejp_xml_pipeline_spark dlq-show --state ROOT
+    python -m data_hub_ejp_xml_pipeline_spark index-lookup --state ROOT --value V
 
 Each command prints ONE JSON line (machine-scrapeable, like bench.py).
 ``main(argv, spark=...)`` is injectable for tests; standalone invocation
@@ -83,6 +84,15 @@ def _build_parser() -> argparse.ArgumentParser:
                              "table per epoch (COW pipeline only); payload "
                              "schema is derived from the base table on "
                              "create, adopted on reopen")
+        sp.add_argument("--index-state", default=None,
+                        help="SecondaryIndexState root: maintain an "
+                             "inverted (value -> keys) index on one "
+                             "payload column per epoch (COW pipeline "
+                             "only)")
+        sp.add_argument("--index-col", default=None,
+                        help="payload column to index (required when "
+                             "creating; an existing state adopts its "
+                             "stored column)")
         sp.add_argument("--dlq-state", default=None,
                         help="DlqState root: quarantine invalid change "
                              "events (null key/LSN, unknown op, "
@@ -119,6 +129,10 @@ def _build_parser() -> argparse.ArgumentParser:
 
     dq = sub.add_parser("dlq-show", help="summarize the dead-letter queue")
     dq.add_argument("--state", required=True, help="DlqState root")
+
+    il = sub.add_parser("index-lookup", help="keys whose indexed column equals a value")
+    il.add_argument("--state", required=True, help="SecondaryIndexState root")
+    il.add_argument("--value", required=True)
     return p
 
 
@@ -164,6 +178,18 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
 
         return attach_dlq(spark, args.dlq_state, CHANGELOG_SCHEMA)
 
+    def _index_state():
+        if getattr(args, "index_state", None) is None:
+            return None
+        from data_hub_ejp_xml_pipeline_spark.plans.secondary_index import (
+            SecondaryIndexState,
+        )
+
+        # pass index_col only when given: an existing state ADOPTS its
+        # stored column (a conflicting explicit one raises)
+        return SecondaryIndexState(spark, args.index_state,
+                                   index_col=args.index_col, key=args.key)
+
     def _attach_scd2(pipe):
         """Attach an Scd2State to a constructed COW pipeline; on create the
         payload schema is the base table's schema minus internal columns
@@ -208,6 +234,12 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
                     "close-side read observes the base table, which under "
                     "merge-on-read lags the staged deltas"
                 )
+            if args.index_state is not None:
+                raise SystemExit(
+                    "--index-state requires the COW pipeline: the index "
+                    "close-side read observes the base table, which under "
+                    "merge-on-read lags the staged deltas"
+                )
             pipe = MorPipeline(spark, args.table, key=args.key,
                                n_buckets=args.n_buckets,
                                k_compact=args.k_compact,
@@ -220,7 +252,8 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
                                               profile_mode=args.profile_mode,
                                               dedup_state=_dedup_state(),
                                               ivm_state=_ivm_state(),
-                                              dlq_state=_dlq_state()))
+                                              dlq_state=_dlq_state(),
+                                              index_state=_index_state()))
         tailer = ChangelogTailer(spark, pipeline=pipe)
         q = tailer.start(
             args.changelog,
@@ -247,7 +280,8 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
                                           profile_mode=args.profile_mode,
                                           dedup_state=_dedup_state(),
                                           ivm_state=_ivm_state(),
-                                          dlq_state=_dlq_state()))
+                                          dlq_state=_dlq_state(),
+                                          index_state=_index_state()))
         res = pipe.apply(spark.read.parquet(args.changelog), batch_id=args.batch_id)
         out = {"cmd": "apply", "applied": res.applied, "snapshot_id": res.snapshot_id,
                "version": res.version, "n_events": res.n_events,
@@ -356,6 +390,22 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             "rejects": sum(r.n for r in rows),
             "by_reason": {r.reject_reason: r.n for r in rows},
         }
+
+    elif args.cmd == "index-lookup":
+        from data_hub_ejp_xml_pipeline_spark.plans.secondary_index import (
+            SecondaryIndexState,
+        )
+
+        if not os.path.exists(os.path.join(args.state, "index_meta.json")):
+            out = {"cmd": "index-lookup",
+                   "error": f"no index state at {args.state}"}
+            print(json.dumps(out))
+            return out
+        state = SecondaryIndexState(spark, args.state)
+        keys = sorted(r[0] for r in state.lookup(args.value).collect())
+        out = {"cmd": "index-lookup", "value": args.value,
+               "index_col": state.index_col, "n": len(keys),
+               "keys": keys[:100]}  # bounded print; n is the real count
 
     elif args.cmd == "scd2-history":
         from data_hub_ejp_xml_pipeline_spark.plans.scd2 import Scd2State

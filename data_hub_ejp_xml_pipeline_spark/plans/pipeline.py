@@ -37,6 +37,7 @@ class MergePipeline:
         ivm_state=None,
         scd2_state=None,
         dlq_state=None,
+        index_state=None,
     ):
         """``dedup_state``: an optional :class:`plans.dedup_ingest.
         TokenDedupState` — each epoch's per-key LWW-winning fingerprint
@@ -60,12 +61,19 @@ class MergePipeline:
         that cannot participate in the merge contract (null key/LSN,
         unknown op, inconsistent payload) are split off BEFORE any other
         consumer and quarantined with a reason (exactly-once, ledgered);
-        requires batch ids."""
+        requires batch ids.
+
+        ``index_state``: an optional :class:`plans.secondary_index.
+        SecondaryIndexState` — an inverted index (payload column → keys)
+        maintained per epoch from a narrow reduce of the changelog.
+        Applied BEFORE the merge commits so its close-side read observes
+        the pre-epoch base; requires batch ids."""
         self.spark = spark
         self.dedup_state = dedup_state
         self.ivm_state = ivm_state
         self.scd2_state = scd2_state
         self.dlq_state = dlq_state
+        self.index_state = index_state
         if SnapshotTable.exists(table_root):
             self.table = SnapshotTable(spark, table_root)
             # the TABLE's manifest key is authoritative for an existing
@@ -139,6 +147,25 @@ class MergePipeline:
                 changelog.select(*dict.fromkeys(narrow)), key=self.key
             )
             self.ivm_state.apply(ivm_reduced, self.table, batch_id=batch_id)
+        if self.index_state is not None:
+            if batch_id is None:
+                raise ValueError(
+                    "secondary-index maintenance requires a monotone "
+                    "batch_id — the postings append commits exactly-once "
+                    "per epoch"
+                )
+            # same narrow-reduce trade as the IVM above: the index consumes
+            # (key, index_col, op, lsn + tie-breaks) — winners provably
+            # match the merge's, the heavy payload never enters its jobs.
+            # BEFORE the merge: the close side reads the pre-epoch base.
+            from data_hub_ejp_xml_pipeline_spark.operators.lww import _ORDER_COLS
+
+            narrow = [self.key, self.index_state.index_col, "op"]
+            narrow += [c for c in _ORDER_COLS if c in changelog.columns]
+            idx_reduced = reduce_latest(
+                changelog.select(*dict.fromkeys(narrow)), key=self.key
+            )
+            self.index_state.apply(idx_reduced, self.table, batch_id=batch_id)
         if self.scd2_state is not None:
             if batch_id is None:
                 raise ValueError(

@@ -463,6 +463,83 @@ def q_cdc_dlq_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SECIDX_ORACLE = """
+SELECT final_event_type AS value, doc_id
+FROM (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type AS final_event_type,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def _secidx_pipeline(spark: SparkSession, sf_dir: str, tag: str):
+    """Shared fixture: events → 2-epoch COW merge with a live
+    SecondaryIndexState on ``final_event_type``."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
+    from data_hub_ejp_xml_pipeline_spark.plans.secondary_index import (
+        SecondaryIndexState,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("final_event_type"),
+        F.round("value", 4).alias("final_value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("final_event_type", T.StringType()),
+            T.StructField("final_value", T.DoubleType()),
+        ]
+    )
+    root = _swept_scratch_dir(tag)
+    idx = SecondaryIndexState(spark, root + "/idx",
+                              index_col="final_event_type", n_buckets=8)
+    pipe = MergePipeline(spark, root + "/tbl", n_buckets=8,
+                         payload_schema=payload, index_state=idx)
+    lo, hi = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    pipe.apply(changelog.filter(F.col("lsn") <= mid), batch_id=0)
+    pipe.apply(changelog.filter(F.col("lsn") > mid), batch_id=1)
+    return pipe, idx
+
+
+def q_cdc_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-maintenance end-to-end: the inverted index kept per epoch
+    (postings appends + tombstones, close side file-pruned off the
+    pre-epoch base) must equal the one-shot SQL inverted projection of
+    the LWW final state — docs whose value changed across the epoch
+    split appear under their FINAL value only, deletes under none."""
+    _, idx = _secidx_pipeline(spark, sf_dir, "cdcidx")
+    return idx.read_index().select(F.col("value"), F.col("doc_id"))
+
+
+_SECIDX_LOOKUP_ORACLE = """
+SELECT doc_id
+FROM (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND op <> 'D' AND event_type = 'purchase'
+"""
+
+
+def q_cdc_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index's serve path: one value's keys through the bucket-pruned
+    read (``read(buckets=...)`` + per-value LWW reduce) — equal to the
+    final state filtered on the indexed column, without scanning it."""
+    _, idx = _secidx_pipeline(spark, sf_dir, "cdcidxl")
+    return idx.lookup("purchase")
+
+
 def _DLQ_PAYLOAD_SCHEMA():
     from pyspark.sql import types as T
 
@@ -2672,6 +2749,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_mor_point_lookup": (q_cdc_mor_point_lookup, _CDC_LOOKUP_ORACLE),
     "cdc_dlq_rejects": (q_cdc_dlq_rejects, _DLQ_REJECTS_ORACLE),
     "cdc_dlq_final_state": (q_cdc_dlq_final_state, _DLQ_FINAL_ORACLE),
+    "cdc_secondary_index": (q_cdc_secondary_index, _SECIDX_ORACLE),
+    "cdc_index_lookup": (q_cdc_index_lookup, _SECIDX_LOOKUP_ORACLE),
     "ivm_group_totals": (q_ivm_group_totals, _IVM_ORACLE),
     "cdc_changefeed": (q_cdc_changefeed, _CHANGEFEED_ORACLE),
     "cdc_scd2_history": (q_cdc_scd2_history, _SCD2_ORACLE),

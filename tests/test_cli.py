@@ -258,3 +258,45 @@ def test_cli_dlq_show_read_only_on_missing_state(spark, tmp_path):
     out = main(["dlq-show", "--state", bogus], spark=spark)
     assert "error" in out and "no dlq state" in out["error"]
     assert not os.path.exists(bogus)
+
+
+def test_cli_index_state_tail_and_lookup(spark, tmp_path, changelog_dir, changelog_pdf):
+    """--index-state on tail maintains the inverted index through the
+    stream; index-lookup serves one value's keys, equal to a filtered
+    projection of the final table."""
+    from data_hub_ejp_xml_pipeline_spark.oracle import expected_final_state_pandas
+
+    root = str(tmp_path / "tbl")
+    istate = str(tmp_path / "idx")
+    main(
+        ["tail", "--changelog", changelog_dir, "--table", root,
+         "--checkpoint", str(tmp_path / "ckpt"), "--n-buckets", "4",
+         "--index-state", istate, "--index-col", "source"],
+        spark=spark,
+    )
+    final = expected_final_state_pandas(changelog_pdf)
+    value = str(final["source"].dropna().iloc[0])
+    want = sorted(final[final["source"] == value]["doc_id"])
+    out = main(["index-lookup", "--state", istate, "--value", value], spark=spark)
+    assert out["n"] == len(want)
+    assert out["keys"] == want[:100]
+
+
+def test_cli_index_lookup_read_only_on_missing_state(spark, tmp_path):
+    import os
+
+    bogus = str(tmp_path / "nope")
+    out = main(["index-lookup", "--state", bogus, "--value", "x"], spark=spark)
+    assert "error" in out and "no index state" in out["error"]
+    assert not os.path.exists(bogus)
+
+
+def test_cli_index_state_rejected_on_mor(spark, tmp_path, changelog_dir):
+    with pytest.raises(SystemExit, match="COW pipeline"):
+        main(
+            ["tail", "--changelog", changelog_dir, "--table",
+             str(tmp_path / "m"), "--checkpoint", str(tmp_path / "ck"),
+             "--mor", "--index-state", str(tmp_path / "i"),
+             "--index-col", "source"],
+            spark=spark,
+        )
