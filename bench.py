@@ -67,6 +67,8 @@ HEADLINE = [
     "cdc_scd2_history",
     "cdc_txn_atomic",
     "cdc_snapshot_bootstrap",
+    "cdc_secondary_index",
+    "cdc_dlq_rejects",
 ]
 
 # per-query trials: the sandbox VM is noisy (identical runs vary 2-3x);
