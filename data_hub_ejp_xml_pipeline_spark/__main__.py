@@ -16,6 +16,7 @@ plus its maintenance chores), as subcommands over the library surface:
     python -m data_hub_ejp_xml_pipeline_spark scd2-history --state ROOT [--as-of LSN]
     python -m data_hub_ejp_xml_pipeline_spark dlq-show --state ROOT
     python -m data_hub_ejp_xml_pipeline_spark index-lookup --state ROOT --value V
+    python -m data_hub_ejp_xml_pipeline_spark scan-range --table ROOT --col C [--lo X --hi Y]
 
 Each command prints ONE JSON line (machine-scrapeable, like bench.py).
 ``main(argv, spark=...)`` is injectable for tests; standalone invocation
@@ -133,6 +134,14 @@ def _build_parser() -> argparse.ArgumentParser:
     il = sub.add_parser("index-lookup", help="keys whose indexed column equals a value")
     il.add_argument("--state", required=True, help="SecondaryIndexState root")
     il.add_argument("--value", required=True)
+
+    rr = sub.add_parser("scan-range",
+                        help="zone-map range scan on a stats column")
+    table_arg(rr)
+    rr.add_argument("--col", required=True)
+    rr.add_argument("--lo", default=None,
+                    help="lower bound (int/float/string, inferred)")
+    rr.add_argument("--hi", default=None, help="upper bound")
     return p
 
 
@@ -371,6 +380,31 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             "cmd": "ivm-totals",
             "groups": len(rows),
             "totals": {str(r[0]): {"cnt": r[1], "total": r[2]} for r in rows},
+        }
+
+    elif args.cmd == "scan-range":
+        def _bound(v):
+            if v is None:
+                return None
+            for cast in (int, float):
+                try:
+                    return cast(v)
+                except ValueError:
+                    pass
+            return v
+
+        lo, hi = _bound(args.lo), _bound(args.hi)
+        table = SnapshotTable(spark, args.table)
+        m = table.manifest()
+        entries = table._range_entries(args.col, lo, hi, m)
+        out = {
+            "cmd": "scan-range",
+            "col": args.col,
+            "lo": lo,
+            "hi": hi,
+            "rows": table.read_range(args.col, lo, hi).count(),
+            "files_read": len(entries),
+            "files_total": len(m["files"]),
         }
 
     elif args.cmd == "dlq-show":

@@ -540,6 +540,62 @@ def q_cdc_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.lookup("purchase")
 
 
+_ZONE_MAP_ORACLE = """
+SELECT doc_id, final_event_type, final_value, last_lsn
+FROM (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type AS final_event_type,
+         round(value, 4) AS final_value, event_id AS last_lsn,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND op <> 'D'
+  AND final_value >= 25.0 AND final_value <= 75.0
+"""
+
+
+def q_cdc_zone_map_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping end-to-end: the table is created with
+    ``stats_cols`` on a payload column, filled by two REAL merges +
+    a range-partitioning compaction, then read through
+    :meth:`SnapshotTable.read_range` — which must equal the one-shot SQL
+    LWW view under the same range predicate while opening only the files
+    whose recorded min/max can overlap (the non-key analog of the
+    serve path's key pruning)."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("final_event_type"),
+        F.round("value", 4).alias("final_value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("final_event_type", T.StringType()),
+            T.StructField("final_value", T.DoubleType()),
+        ]
+    )
+    root = _swept_scratch_dir("cdczone") + "/tbl"
+    table = SnapshotTable.create(
+        spark, root, payload, key="doc_id", n_buckets=8,
+        files_per_bucket=4, stats_cols=["final_value"],
+    )
+    lo, hi = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    table.merge(reduce_latest(changelog.filter(F.col("lsn") <= mid)), batch_id=0)
+    table.merge(reduce_latest(changelog.filter(F.col("lsn") > mid)), batch_id=1)
+    table.compact_files(max_files_per_bucket=1)
+    return table.read_range("final_value", 25.0, 75.0).select(
+        "doc_id", "final_event_type", "final_value",
+        F.col("_lsn").alias("last_lsn"),
+    )
+
+
 def _DLQ_PAYLOAD_SCHEMA():
     from pyspark.sql import types as T
 
@@ -2751,6 +2807,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_dlq_final_state": (q_cdc_dlq_final_state, _DLQ_FINAL_ORACLE),
     "cdc_secondary_index": (q_cdc_secondary_index, _SECIDX_ORACLE),
     "cdc_index_lookup": (q_cdc_index_lookup, _SECIDX_LOOKUP_ORACLE),
+    "cdc_zone_map_scan": (q_cdc_zone_map_scan, _ZONE_MAP_ORACLE),
     "ivm_group_totals": (q_ivm_group_totals, _IVM_ORACLE),
     "cdc_changefeed": (q_cdc_changefeed, _CHANGEFEED_ORACLE),
     "cdc_scd2_history": (q_cdc_scd2_history, _SCD2_ORACLE),

@@ -150,12 +150,19 @@ class SnapshotTable:
         key: str = "doc_id",
         n_buckets: int = 16,
         files_per_bucket: int = 1,
+        stats_cols: list[str] | None = None,
     ) -> "SnapshotTable":
         """Create an empty table. ``schema`` is the payload schema (must
         include ``key``); the engine appends ``_lsn`` internally.
         ``files_per_bucket`` sets the write fan-out per bucket — >1 gives
         the min/max file pruning something to prune (size it so a file is
-        ~100-500 MB at the target scale)."""
+        ~100-500 MB at the target scale).
+
+        ``stats_cols`` — payload columns whose per-file min/max (zone
+        maps) every commit records in the manifest, off the parquet
+        footers the commit already reads; :meth:`read_range` then skips
+        files a range predicate on those columns cannot match. Free at
+        write time, Iceberg-column-stats analog at read time."""
         extra = [
             T.StructField(name, dtype, True)
             for name, dtype in ((LSN_COL, T.LongType()), (DELETED_COL, T.BooleanType()))
@@ -175,6 +182,7 @@ class SnapshotTable:
             "bucket_hash": "murmur3",
             "schema": json.loads(schema.json()),
             "files": [],
+            "stats_cols": list(stats_cols or []),
             "ledger": {},
             "ledger_pre_versions": {},
             "ledger_evicted_below": None,
@@ -463,6 +471,61 @@ class SnapshotTable:
         return [
             f for f in m["files"] if f["bucket"] in probed and overlaps(f)
         ]
+
+    # ----------------------------------------------------------- zone maps
+    def read_range(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Zone-map scan: rows with ``lo <= col <= hi`` (either bound may
+        be None), reading only the files whose recorded per-file min/max
+        for ``col`` (``stats_cols`` at :meth:`create`) can overlap the
+        range — Iceberg column-stats file skipping. Files without
+        recorded stats for ``col`` are always read: unpruned, never
+        wrong. Semantics are exactly ``read(version).filter(range)``; the
+        plan differs by the files it never opens. Pruning is only as
+        tight as the physical clustering — after a sorted/range-
+        partitioned rewrite the zones are tight; freshly merged epoch
+        files may span wide ranges and prune weakly (same trade as the
+        key-range pruning)."""
+        m = self.manifest(version)
+        schema = T.StructType.fromJson(m["schema"])
+        entries = self._range_entries(col, lo, hi, m)
+        df = self._read_file_entries(entries, schema)
+        pred = F.lit(True)
+        if lo is not None:
+            pred = pred & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            pred = pred & (F.col(col) <= F.lit(hi))
+        df = df.filter(pred)
+        if include_tombstones:
+            return df
+        return df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).drop(DELETED_COL)
+
+    @staticmethod
+    def _range_entries(col: str, lo, hi, m: dict) -> list[dict[str, Any]]:
+        """Manifest entries a :meth:`read_range` must read. Split out so
+        tests can pin the skipping without instrumenting the scan."""
+        out = []
+        for f in m["files"]:
+            st = (f.get("col_stats") or {}).get(col)
+            if st is None:
+                out.append(f)  # no stats recorded → must read
+                continue
+            cmin, cmax = st
+            try:
+                if lo is not None and cmax < lo:
+                    continue
+                if hi is not None and cmin > hi:
+                    continue
+            except TypeError:  # incomparable bound/stat types → don't prune
+                pass
+            out.append(f)
+        return out
 
     # ----------------------------------------------------------- changefeed
     def changelog_between(
@@ -967,7 +1030,9 @@ class SnapshotTable:
                 raise profile_box["error"]
             lineage_rows, _, batch_stats = profile_box["result"]
 
-        new_files = _list_bucket_files(snap_dir, snap_rel, key)
+        new_files = _list_bucket_files(
+            snap_dir, snap_rel, key, m.get("stats_cols", ())
+        )
         rows_written = sum(f["rows"] for f in new_files)
 
         ledger, pre_versions, evicted_below = self._advance_ledger(
@@ -982,6 +1047,7 @@ class SnapshotTable:
             "n_buckets": m["n_buckets"],
             "files_per_bucket": m.get("files_per_bucket", 1),
             "bucket_hash": m.get("bucket_hash", "xxhash64"),
+            "stats_cols": m.get("stats_cols", []),
             "schema": json.loads(merged_schema.json()),
             "files": carried + new_files,
             "ledger": ledger,
@@ -1292,7 +1358,9 @@ class SnapshotTable:
             .partitionBy("_bucket")
             .parquet(snap_dir)
         )
-        new_files = _list_bucket_files(snap_dir, snap_rel, key)
+        new_files = _list_bucket_files(
+            snap_dir, snap_rel, key, m.get("stats_cols", ())
+        )
         manifest = {
             **m,
             "version": version,
@@ -1342,7 +1410,9 @@ class SnapshotTable:
             .partitionBy("_bucket")
             .parquet(snap_dir)
         )
-        new_files = _list_bucket_files(snap_dir, snap_rel, key)
+        new_files = _list_bucket_files(
+            snap_dir, snap_rel, key, m.get("stats_cols", ())
+        )
         manifest = {
             **m,
             "version": version,
@@ -1629,7 +1699,9 @@ def _key_stats(md: Any, key: str) -> tuple[Any, Any]:
     return kmin, kmax
 
 
-def _list_bucket_files(snap_dir: str, snap_rel: str, key: str) -> list[dict[str, Any]]:
+def _list_bucket_files(
+    snap_dir: str, snap_rel: str, key: str, stats_cols: tuple | list = (),
+) -> list[dict[str, Any]]:
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
@@ -1651,13 +1723,25 @@ def _list_bucket_files(snap_dir: str, snap_rel: str, key: str) -> list[dict[str,
         fp = os.path.join(snap_dir, entry, fn)
         md = pq.ParquetFile(fp).metadata
         kmin, kmax = _key_stats(md, key)
-        return {
+        out = {
             "path": os.path.join(snap_rel, entry, fn),
             "bucket": bucket,
             "rows": md.num_rows,
             "key_min": kmin,
             "key_max": kmax,
         }
+        if stats_cols:
+            # same footer, same truncation-safe bounds as the key stats;
+            # a column with unusable stats is simply absent (file treated
+            # as always-overlapping — unpruned, never wrong)
+            cs = {}
+            for c in stats_cols:
+                cmin, cmax = _key_stats(md, c)
+                if cmin is not None:
+                    cs[c] = [cmin, cmax]
+            if cs:
+                out["col_stats"] = cs
+        return out
 
     # footer reads are tiny but serial-latency-bound; thread them
     with ThreadPoolExecutor(max_workers=min(16, max(len(entries), 1))) as ex:

@@ -300,3 +300,22 @@ def test_cli_index_state_rejected_on_mor(spark, tmp_path, changelog_dir):
              "--index-col", "source"],
             spark=spark,
         )
+
+
+def test_cli_scan_range(spark, tmp_path):
+    """scan-range serves a zone-map file-skipping scan over a stats
+    column and reports how many files it actually opened."""
+    from pyspark.sql import functions as F
+    from tests.test_zone_maps import PAYLOAD, _changelog
+
+    from data_hub_ejp_xml_pipeline_spark.table.snapshot_table import SnapshotTable
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, root, PAYLOAD, key="doc_id", n_buckets=4,
+                             files_per_bucket=4, stats_cols=["n_tok"])
+    t.merge(_changelog(spark, 2_000), batch_id=0)
+    t.compact_files(max_files_per_bucket=1)
+    out = main(["scan-range", "--table", root, "--col", "n_tok",
+                "--lo", "0", "--hi", "99"], spark=spark)
+    assert out["rows"] == 100
+    assert 0 < out["files_read"] < out["files_total"]
