@@ -1304,14 +1304,28 @@ class SnapshotTable:
         return {"removed_files": removed_files, "removed_manifests": removed_manifests,
                 "oldest_retained_version": cutoff}
 
-    def compact_files(self, max_files_per_bucket: int | None = None) -> CommitResult:
+    def compact_files(
+        self,
+        max_files_per_bucket: int | None = None,
+        cluster_by: str | None = None,
+    ) -> CommitResult:
         """Iceberg rewrite_data_files (binpack) analog: pruned merges add
         files over time; buckets holding more than ``max_files_per_bucket``
         (default: the table's files_per_bucket) are rewritten into their
         target fan-out, everything else carries forward by reference.
         Content-preserving (tombstones included) — state is byte-identical
         before and after. Single-owner maintenance op, like
-        expire_snapshots."""
+        expire_snapshots.
+
+        ``cluster_by`` — Iceberg sort-order analog: range-partition the
+        rewrite within buckets on THIS column instead of the key, so the
+        zone maps (``stats_cols``) on it come out tight and
+        :meth:`read_range` skips whole files. The trade is explicit: the
+        rewritten files' ``key_min``/``key_max`` go loose, weakening the
+        KEY-range pruning inside each bucket until the next key-ordered
+        compaction (bucket pruning and the parquet key bloom are
+        unaffected — point lookups keep working). When given, EVERY
+        bucket is rewritten (a sort order is a whole-table property)."""
         m = self.manifest()
         key = m["key"]
         fpb = (
@@ -1327,7 +1341,11 @@ class SnapshotTable:
         # steady state after a rewrite is fpb (+1 when a range partition
         # straddles a bucket boundary) — only rewrite above that, so
         # compact → compact is a no-op
-        victims = {b for b, n in counts.items() if n > fpb + 1}
+        victims = (
+            set(counts)
+            if cluster_by is not None
+            else {b for b, n in counts.items() if n > fpb + 1}
+        )
         if not victims:
             return CommitResult(m["snapshot_id"], m["version"], applied=False)
         victim_entries = [f for f in m["files"] if f["bucket"] in victims]
@@ -1346,9 +1364,11 @@ class SnapshotTable:
                 df.repartitionByRange(
                     max(len(victims) * fpb, 1),
                     F.col("_bucket"),
-                    F.col(key),
+                    F.col(cluster_by if cluster_by is not None else key),
                 )
-                .sortWithinPartitions("_bucket", key)
+                .sortWithinPartitions(
+                    "_bucket", cluster_by if cluster_by is not None else key
+                )
                 .write.mode("overwrite"),
                 key,
                 sum(f["rows"] for f in victim_entries)

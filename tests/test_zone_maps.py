@@ -113,3 +113,43 @@ def test_read_range_respects_tombstones(spark, tmp_path):
     t.merge(deletes, batch_id=1)
     assert t.read_range("n_tok", 0, 99).count() == 0
     assert t.read_range("n_tok", 0, 99, include_tombstones=True).count() == 100
+
+
+def test_cluster_by_compaction_tightens_uncorrelated_zones(spark, tmp_path):
+    """Data whose sort column does NOT correlate with the key produces
+    useless zones under key-ordered rewrite; cluster_by fixes that, at
+    the documented cost of looser key ranges."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD, key="doc_id", n_buckets=4,
+        files_per_bucket=4, stats_cols=["n_tok"],
+    )
+    # n_tok deliberately DEcorrelated from doc_id order (hash-scrambled)
+    n = 2_000
+    batch = spark.range(n).select(
+        (F.col("id") + 1).alias("lsn"),
+        F.lit("U").alias("op"),
+        F.format_string("doc-%08d", F.col("id")).alias("doc_id"),
+        F.pmod(F.xxhash64("id"), F.lit(n)).cast("int").alias("n_tok"),
+        F.lit("s").alias("source"),
+    )
+    t.merge(batch, batch_id=0)
+    t.compact_files(max_files_per_bucket=1)  # key-ordered: zones loose
+    m = t.manifest()
+    pre_frac = len(t._range_entries("n_tok", 0, 100, m)) / len(m["files"])
+
+    t.compact_files(cluster_by="n_tok")
+    m2 = t.manifest()
+    pruned = t._range_entries("n_tok", 0, 100, m2)
+    post_frac = len(pruned) / len(m2["files"])
+    # the clustered zones prune a strictly larger fraction of the files
+    assert 0 < len(pruned) and post_frac < pre_frac
+    # and tightly: a ~5% range reads at most ~1 file per bucket
+    assert len(pruned) <= 4 + 1
+    # content preserved, range read exact
+    want = t.read().filter(F.col("n_tok").between(0, 100)).count()
+    assert t.read_range("n_tok", 0, 100).count() == want > 0
+    assert t.read().count() == n
+    # point lookups still work through the loosened key ranges
+    assert t.lookup(["doc-00000042"]).count() == 1
