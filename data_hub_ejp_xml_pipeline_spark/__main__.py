@@ -103,6 +103,10 @@ def _build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("compact", help="compact data files (or fold MOR deltas)")
     table_arg(c)
     c.add_argument("--mor", action="store_true")
+    c.add_argument("--cluster-by", default=None,
+                   help="rewrite EVERY bucket range-partitioned on this "
+                        "column (tightens its zone maps; loosens key "
+                        "ranges — see SnapshotTable.compact_files)")
 
     e = sub.add_parser("expire", help="expire old snapshots + sweep orphans")
     table_arg(e)
@@ -306,10 +310,13 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
                    "applied": bool(res and res.applied),
                    "snapshot_id": res.snapshot_id if res else None}
         else:
+            if args.cluster_by is not None and args.mor:
+                raise SystemExit("--cluster-by applies to plain tables only")
             table = SnapshotTable(spark, args.table)
-            res = table.compact_files()
+            res = table.compact_files(cluster_by=args.cluster_by)
             out = {"cmd": "compact", "mor": False, "applied": res.applied,
-                   "snapshot_id": res.snapshot_id}
+                   "snapshot_id": res.snapshot_id,
+                   "cluster_by": args.cluster_by}
 
     elif args.cmd == "expire":
         table = SnapshotTable(spark, args.table)

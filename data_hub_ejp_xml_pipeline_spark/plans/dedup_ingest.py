@@ -569,10 +569,12 @@ def _applied(table: SnapshotTable, batch_id: int | None) -> bool:
 
 
 def _open_table(spark: SparkSession, root: str, schema: T.StructType,
-                key: str, n_buckets: int) -> SnapshotTable:
+                key: str, n_buckets: int,
+                stats_cols: list[str] | None = None) -> SnapshotTable:
     if SnapshotTable.exists(root):
         return SnapshotTable(spark, root)
-    return SnapshotTable.create(spark, root, schema, key=key, n_buckets=n_buckets)
+    return SnapshotTable.create(spark, root, schema, key=key,
+                                n_buckets=n_buckets, stats_cols=stats_cols)
 
 
 def _version_before(table: SnapshotTable, batch_id: int) -> int | None:

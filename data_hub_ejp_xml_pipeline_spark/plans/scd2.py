@@ -129,9 +129,12 @@ class Scd2State:
         self.key = key
         self.payload_schema = payload_schema
         self.payload_cols = [f.name for f in payload_schema.fields if f.name != key]
+        # valid_from zone maps: an as-of read skips files whose whole
+        # content opened AFTER the probe LSN (tight after a
+        # cluster_by="valid_from_lsn" compaction)
         self.history = _open_table(
             spark, root + "/history", _history_schema(key, payload_schema),
-            _SK_COL, n_buckets,
+            _SK_COL, n_buckets, stats_cols=["valid_from_lsn"],
         )
 
     # ------------------------------------------------------------- serve
@@ -144,10 +147,15 @@ class Scd2State:
         return self.read_history().filter("is_current")
 
     def read_as_of(self, lsn: int) -> DataFrame:
-        """Rows valid AT ``lsn``: ``valid_from <= lsn < valid_to``."""
-        return self.read_history().filter(
-            (F.col("valid_from_lsn") <= F.lit(lsn))
-            & (F.col("valid_to_lsn").isNull() | (F.col("valid_to_lsn") > F.lit(lsn)))
+        """Rows valid AT ``lsn``: ``valid_from <= lsn < valid_to``. The
+        scan prunes files via the ``valid_from_lsn`` zone maps (a file
+        whose every version opened after ``lsn`` cannot contribute); the
+        open-interval side can't prune (nulls), so the residual filter
+        carries it."""
+        return self.history.read_range(
+            "valid_from_lsn", None, lsn
+        ).drop(_SK_COL).filter(
+            F.col("valid_to_lsn").isNull() | (F.col("valid_to_lsn") > F.lit(lsn))
         )
 
     # ------------------------------------------------------------- apply

@@ -170,3 +170,51 @@ def test_epoch_split_matches_one_shot_winners(spark, tmp_path, changelog_df):
         "doc_id", "valid_from_lsn", "valid_to_lsn", "is_current", "val")
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_as_of_read_prunes_history_files(spark, tmp_path):
+    """After a cluster_by(valid_from_lsn) compaction, an as-of probe at an
+    early LSN skips the files holding only later versions."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_hub_ejp_xml_pipeline_spark.generator import (
+        generate_changelog_pandas,
+        spark_changelog_from_pandas,
+    )
+    from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
+    from data_hub_ejp_xml_pipeline_spark.plans.scd2 import Scd2State
+    from data_hub_ejp_xml_pipeline_spark.schemas import TARGET_SCHEMA
+    from pyspark.sql import types as T
+
+    payload = T.StructType([f for f in TARGET_SCHEMA.fields if f.name != "_lsn"])
+    scd2 = Scd2State(spark, str(tmp_path / "h"), payload_schema=payload,
+                     n_buckets=2)
+    pipe = MergePipeline(spark, str(tmp_path / "t"), n_buckets=2,
+                         scd2_state=scd2)
+    pdf = generate_changelog_pandas(n_events=2_000, seed=43)
+    df = spark_changelog_from_pandas(spark, pdf)
+    lo, hi = int(pdf["lsn"].min()), int(pdf["lsn"].max())
+    step = (hi - lo) // 4 + 1
+    for i in range(4):
+        pipe.apply(
+            df.filter((F.col("lsn") >= lo + i * step)
+                      & (F.col("lsn") < lo + (i + 1) * step)),
+            batch_id=i,
+        )
+    probe = lo + step // 2
+    want = {tuple(r) for r in scd2.read_as_of(probe)
+            .select("doc_id", "valid_from_lsn").collect()}
+
+    # fan out 4 files per bucket so the intra-bucket range split has
+    # something to split (fpb=1 would leave one wide file per bucket)
+    scd2.history.compact_files(max_files_per_bucket=4,
+                               cluster_by="valid_from_lsn")
+    m = scd2.history.manifest()
+    entries = scd2.history._range_entries("valid_from_lsn", None, probe, m)
+    assert 0 < len(entries) < len(m["files"]), (
+        f"as-of must skip files: {len(entries)}/{len(m['files'])}"
+    )
+    got = {tuple(r) for r in scd2.read_as_of(probe)
+           .select("doc_id", "valid_from_lsn").collect()}
+    assert got == want
