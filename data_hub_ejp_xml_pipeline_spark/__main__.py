@@ -17,6 +17,8 @@ plus its maintenance chores), as subcommands over the library surface:
     python -m data_hub_ejp_xml_pipeline_spark dlq-show --state ROOT
     python -m data_hub_ejp_xml_pipeline_spark index-lookup --state ROOT --value V
     python -m data_hub_ejp_xml_pipeline_spark scan-range --table ROOT --col C [--lo X --hi Y]
+    python -m data_hub_ejp_xml_pipeline_spark rebucket --table ROOT --n-buckets N
+    python -m data_hub_ejp_xml_pipeline_spark set-stats-cols --table ROOT --cols a,b
 
 Each command prints ONE JSON line (machine-scrapeable, like bench.py).
 ``main(argv, spark=...)`` is injectable for tests; standalone invocation
@@ -138,6 +140,17 @@ def _build_parser() -> argparse.ArgumentParser:
     il = sub.add_parser("index-lookup", help="keys whose indexed column equals a value")
     il.add_argument("--state", required=True, help="SecondaryIndexState root")
     il.add_argument("--value", required=True)
+
+    rb = sub.add_parser("rebucket", help="atomic bucket-count evolution rewrite")
+    table_arg(rb)
+    rb.add_argument("--n-buckets", type=int, required=True)
+    rb.add_argument("--files-per-bucket", type=int, default=None)
+
+    st = sub.add_parser("set-stats-cols",
+                        help="change which columns future commits record zone maps for")
+    table_arg(st)
+    st.add_argument("--cols", required=True,
+                    help="comma-separated column list (empty string clears)")
 
     rr = sub.add_parser("scan-range",
                         help="zone-map range scan on a stats column")
@@ -388,6 +401,20 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             "groups": len(rows),
             "totals": {str(r[0]): {"cnt": r[1], "total": r[2]} for r in rows},
         }
+
+    elif args.cmd == "rebucket":
+        table = SnapshotTable(spark, args.table)
+        res = table.rebucket(args.n_buckets,
+                             files_per_bucket=args.files_per_bucket)
+        out = {"cmd": "rebucket", "applied": res.applied,
+               "n_buckets": args.n_buckets, "snapshot_id": res.snapshot_id,
+               "rows_rewritten": res.rows_written}
+
+    elif args.cmd == "set-stats-cols":
+        table = SnapshotTable(spark, args.table)
+        cols = [c for c in args.cols.split(",") if c]
+        res = table.set_stats_cols(cols)
+        out = {"cmd": "set-stats-cols", "applied": res.applied, "cols": cols}
 
     elif args.cmd == "scan-range":
         def _bound(v):

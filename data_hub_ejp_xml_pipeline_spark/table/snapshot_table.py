@@ -1304,6 +1304,95 @@ class SnapshotTable:
         return {"removed_files": removed_files, "removed_manifests": removed_manifests,
                 "oldest_retained_version": cutoff}
 
+    def rebucket(self, n_buckets: int, files_per_bucket: int | None = None) -> CommitResult:
+        """Bucket-count evolution: ONE atomic full rewrite under a new
+        hash fan-out — the explicit answer to "the table grew 100× and
+        its bucket count no longer fits" (Iceberg's partition-spec
+        evolution rewrites; there is no lazy mixed-spec read here — one
+        commit, one spec, every pruning path keeps working because the
+        manifest's ``n_buckets`` and the files flip together).
+
+        Content-preserving (tombstones included) and ledger-preserving —
+        a replayed pre-rebucket epoch still no-ops; the stale-LSN merge
+        guard is untouched. Single-owner maintenance op, O(table):
+        schedule it like a full compaction. Raises on n_buckets < 1 or a
+        no-op resize."""
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        m = self.manifest()
+        fpb = files_per_bucket if files_per_bucket is not None \
+            else m.get("files_per_bucket", 1)
+        if n_buckets == m["n_buckets"] and fpb == m.get("files_per_bucket", 1):
+            return CommitResult(m["snapshot_id"], m["version"], applied=False)
+        key = m["key"]
+        schema = T.StructType.fromJson(m["schema"])
+        # the NEW bucket expression: same recorded hash fn, new modulus
+        fn = m.get("bucket_hash", "xxhash64")
+        key_field = _find_field(schema, key)
+        kc = F.col(key).cast(key_field.dataType) if key_field is not None else F.col(key)
+        hashed = F.hash(kc) if fn == "murmur3" else F.xxhash64(kc)
+        new_bucket = F.pmod(hashed, F.lit(n_buckets)).cast("int")
+        df = self._read_file_entries(m["files"], schema).withColumn(
+            "_bucket", new_bucket
+        )
+        version = m["version"] + 1
+        snap_rel = _snap_dir_name(version)
+        snap_dir = os.path.join(self.root, snap_rel)
+        total_rows = sum(f["rows"] for f in m["files"])
+        (
+            _with_key_bloom(
+                df.repartitionByRange(
+                    max(n_buckets * fpb, 1), F.col("_bucket"), F.col(key)
+                )
+                .sortWithinPartitions("_bucket", key)
+                .write.mode("overwrite"),
+                key,
+                total_rows // max(n_buckets * fpb, 1) + 1,
+            )
+            .partitionBy("_bucket")
+            .parquet(snap_dir)
+        )
+        new_files = _list_bucket_files(
+            snap_dir, snap_rel, key, m.get("stats_cols", ())
+        )
+        manifest = {
+            **m,
+            "version": version,
+            "snapshot_id": f"snap-{version:08d}-rebucket",
+            "parent": m["snapshot_id"],
+            "operation": f"rebucket({m['n_buckets']}->{n_buckets})",
+            "n_buckets": n_buckets,
+            "files_per_bucket": fpb,
+            "files": new_files,
+            "ts": time.time(),
+        }
+        self._write_manifest(manifest, expected_parent_version=m["version"])
+        return CommitResult(
+            manifest["snapshot_id"], version, applied=True,
+            rows_written=sum(f["rows"] for f in new_files),
+        )
+
+    def set_stats_cols(self, cols: list[str]) -> CommitResult:
+        """Metadata-only commit that changes which payload columns future
+        commits record zone maps for. Existing files keep whatever stats
+        they have (absent stats → unpruned, never wrong); the next
+        compaction/rewrite back-fills them."""
+        m = self.manifest()
+        if list(cols) == m.get("stats_cols", []):
+            return CommitResult(m["snapshot_id"], m["version"], applied=False)
+        version = m["version"] + 1
+        manifest = {
+            **m,
+            "version": version,
+            "snapshot_id": f"snap-{version:08d}-stats",
+            "parent": m["snapshot_id"],
+            "operation": "set_stats_cols",
+            "stats_cols": list(cols),
+            "ts": time.time(),
+        }
+        self._write_manifest(manifest, expected_parent_version=m["version"])
+        return CommitResult(manifest["snapshot_id"], version, applied=True)
+
     def compact_files(
         self,
         max_files_per_bucket: int | None = None,

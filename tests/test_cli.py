@@ -319,3 +319,24 @@ def test_cli_scan_range(spark, tmp_path):
                 "--lo", "0", "--hi", "99"], spark=spark)
     assert out["rows"] == 100
     assert 0 < out["files_read"] < out["files_total"]
+
+
+def test_cli_rebucket_and_set_stats_cols(spark, tmp_path):
+    from tests.test_zone_maps import PAYLOAD, _changelog
+
+    from data_hub_ejp_xml_pipeline_spark.table.snapshot_table import SnapshotTable
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, root, PAYLOAD, key="doc_id", n_buckets=2)
+    t.merge(_changelog(spark, 500), batch_id=0)
+    n = t.read().count()
+
+    out = main(["rebucket", "--table", root, "--n-buckets", "8"], spark=spark)
+    assert out["applied"] and out["rows_rewritten"] >= n
+    assert main(["show", "--table", root], spark=spark)["n_buckets"] == 8
+
+    out = main(["set-stats-cols", "--table", root, "--cols", "n_tok"], spark=spark)
+    assert out["applied"] and out["cols"] == ["n_tok"]
+    sc = main(["scan-range", "--table", root, "--col", "n_tok",
+               "--lo", "0", "--hi", "10"], spark=spark)
+    assert sc["rows"] == 11
