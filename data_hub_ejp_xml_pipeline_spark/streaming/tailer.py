@@ -123,6 +123,12 @@ class ChangelogTailer:
             if result.max_event_ts
             else None,
         }
+        dlq = getattr(self.pipeline, "dlq_state", None)
+        if dlq is not None:
+            # the DLQ counted this epoch's quarantined events during its
+            # ledgered append — surface it beside the applied count so an
+            # operator sees reject spikes in the same stream
+            row["events_rejected"] = dlq.last_reject_count
         self.metrics.append(row)
         if len(self.metrics) > 10_000:
             # metrics.jsonl is the durable record; the in-memory list is a

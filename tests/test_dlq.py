@@ -199,3 +199,20 @@ def test_mor_pipeline_dlq(spark, tmp_path):
     want = expected_final_state_pandas(clean)
     assert pipe.final_state().count() == len(want)
     assert dlq.read().count() == int(reasons.notna().sum())
+
+
+def test_tailer_metrics_carry_reject_counts(spark, tmp_path):
+    from data_hub_ejp_xml_pipeline_spark.generator import write_changelog_files
+    from data_hub_ejp_xml_pipeline_spark.streaming.tailer import ChangelogTailer
+
+    pdf = _dirty_pdf(n_events=900, seed=13)
+    d = str(tmp_path / "clog")
+    write_changelog_files(pdf, d, 3)
+    dlq = DlqState(spark, str(tmp_path / "dlq"), payload_schema=CHANGELOG_SCHEMA)
+    pipe = MergePipeline(spark, str(tmp_path / "tbl"), n_buckets=4, dlq_state=dlq)
+    tailer = ChangelogTailer(spark, pipeline=pipe)
+    metrics = tailer.run_to_completion(d, str(tmp_path / "ck"),
+                                       max_files_per_trigger=1)
+    assert metrics and all("events_rejected" in m for m in metrics)
+    want = int(_expected_reasons(pdf).notna().sum())
+    assert sum(m["events_rejected"] for m in metrics) == want
