@@ -19,6 +19,7 @@ plus its maintenance chores), as subcommands over the library surface:
     python -m data_hub_ejp_xml_pipeline_spark scan-range --table ROOT --col C [--lo X --hi Y]
     python -m data_hub_ejp_xml_pipeline_spark rebucket --table ROOT --n-buckets N
     python -m data_hub_ejp_xml_pipeline_spark set-stats-cols --table ROOT --cols a,b
+    python -m data_hub_ejp_xml_pipeline_spark tag|drop-tag --table ROOT --name N
 
 Each command prints ONE JSON line (machine-scrapeable, like bench.py).
 ``main(argv, spark=...)`` is injectable for tests; standalone invocation
@@ -140,6 +141,15 @@ def _build_parser() -> argparse.ArgumentParser:
     il = sub.add_parser("index-lookup", help="keys whose indexed column equals a value")
     il.add_argument("--state", required=True, help="SecondaryIndexState root")
     il.add_argument("--value", required=True)
+
+    tg = sub.add_parser("tag", help="pin the current (or a given) version under a name")
+    table_arg(tg)
+    tg.add_argument("--name", required=True)
+    tg.add_argument("--version", type=int, default=None)
+
+    dt = sub.add_parser("drop-tag", help="release a pinned snapshot")
+    table_arg(dt)
+    dt.add_argument("--name", required=True)
 
     rb = sub.add_parser("rebucket", help="atomic bucket-count evolution rewrite")
     table_arg(rb)
@@ -402,6 +412,17 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             "totals": {str(r[0]): {"cnt": r[1], "total": r[2]} for r in rows},
         }
 
+    elif args.cmd == "tag":
+        table = SnapshotTable(spark, args.table)
+        v = table.tag(args.name, version=args.version)
+        out = {"cmd": "tag", "name": args.name, "version": v,
+               "tags": table.tags()}
+
+    elif args.cmd == "drop-tag":
+        table = SnapshotTable(spark, args.table)
+        table.drop_tag(args.name)
+        out = {"cmd": "drop-tag", "name": args.name, "tags": table.tags()}
+
     elif args.cmd == "rebucket":
         table = SnapshotTable(spark, args.table)
         res = table.rebucket(args.n_buckets,
@@ -524,6 +545,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             "columns": [f["name"] for f in m["schema"]["fields"]],
             "ledger_entries": len(m["ledger"]),
             "snapshots": len(table.snapshots()),
+            "tags": table.tags(),
         }
 
     print(json.dumps(out))

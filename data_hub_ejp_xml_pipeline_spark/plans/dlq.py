@@ -98,6 +98,14 @@ class DlqState:
             payload_schema = T.StructType(
                 [f for f in payload_schema.fields if f.name != REASON_COL]
             )
+            reserved = {_RID_COL, _EPOCH_COL} & {
+                f.name for f in payload_schema.fields
+            }
+            if reserved:
+                raise ValueError(
+                    f"changelog columns {sorted(reserved)} collide with the "
+                    "quarantine table's own columns — rename them upstream"
+                )
             _os.makedirs(root, exist_ok=True)
             with open(meta_path, "w") as fh:
                 _json.dump({"payload_schema": payload_schema.jsonValue()}, fh)

@@ -101,6 +101,11 @@ class SecondaryIndexState:
             _os.makedirs(root, exist_ok=True)
             with open(meta_path, "w") as fh:
                 _json.dump({"index_col": index_col, "key": key}, fh)
+        if key in (_VALUE_COL, "lsn", "tombstone"):
+            raise ValueError(
+                f"key column {key!r} collides with the postings table's "
+                "own columns — the index stores (value, key, lsn, tombstone)"
+            )
         self.index_col = index_col
         self.key = key
         self.postings = _open_table(

@@ -1249,6 +1249,45 @@ class SnapshotTable:
         return ledger, pre_versions, evicted_below
 
     # ------------------------------------------------------------ maintenance
+    # ---------------------------------------------------------------- tags
+    def _tags_path(self) -> str:
+        return os.path.join(self.root, "meta", "tags.json")
+
+    def tags(self) -> dict[str, int]:
+        """name → pinned version (Iceberg tag analog)."""
+        try:
+            with open(self._tags_path()) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return {}
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a version under a name — a durable time-travel handle.
+        Tagged versions are RETAINED by :meth:`expire_snapshots` (their
+        manifests and data files survive any ``keep_last``) until
+        :meth:`drop_tag`. Re-tagging an existing name moves it."""
+        v = self.current_version() if version is None else version
+        self.manifest(v)  # raises FileNotFoundError on an expired version
+        tags = self.tags()
+        tags[name] = v
+        with open(self._tags_path(), "w") as fh:
+            json.dump(tags, fh)
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no tag {name!r}")
+        del tags[name]
+        with open(self._tags_path(), "w") as fh:
+            json.dump(tags, fh)
+
+    def read_tag(self, name: str, include_tombstones: bool = False) -> DataFrame:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no tag {name!r}")
+        return self.read(version=tags[name], include_tombstones=include_tombstones)
+
     def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
         """Iceberg-style snapshot expiry: drop manifests older than the
         ``keep_last`` most recent versions, delete data files referenced
@@ -1260,8 +1299,10 @@ class SnapshotTable:
         a committer, whose not-yet-committed data dir would look orphaned."""
         current = self.current_version()
         cutoff = max(current - keep_last + 1, 0)
+        tagged = set(self.tags().values())
+        retained_versions = set(range(cutoff, current + 1)) | tagged
         retained_files: set[str] = set()
-        for v in range(cutoff, current + 1):
+        for v in sorted(retained_versions):
             try:
                 retained_files.update(f["path"] for f in self.manifest(v)["files"])
             except FileNotFoundError:
@@ -1271,6 +1312,8 @@ class SnapshotTable:
         removed_files = 0
         removed_manifests = 0
         for v in range(cutoff):
+            if v in tagged:
+                continue  # a tag pins this snapshot (manifest + files)
             try:
                 m = self.manifest(v)
             except FileNotFoundError:

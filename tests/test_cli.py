@@ -340,3 +340,18 @@ def test_cli_rebucket_and_set_stats_cols(spark, tmp_path):
     sc = main(["scan-range", "--table", root, "--col", "n_tok",
                "--lo", "0", "--hi", "10"], spark=spark)
     assert sc["rows"] == 11
+
+
+def test_cli_tag_and_drop_tag(spark, tmp_path):
+    from tests.test_zone_maps import PAYLOAD, _changelog
+
+    from data_hub_ejp_xml_pipeline_spark.table.snapshot_table import SnapshotTable
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, root, PAYLOAD, key="doc_id", n_buckets=2)
+    t.merge(_changelog(spark, 200), batch_id=0)
+    out = main(["tag", "--table", root, "--name", "rc1"], spark=spark)
+    assert out["tags"] == {"rc1": out["version"]}
+    assert main(["show", "--table", root], spark=spark)["tags"] == out["tags"]
+    out = main(["drop-tag", "--table", root, "--name", "rc1"], spark=spark)
+    assert out["tags"] == {}

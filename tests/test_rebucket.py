@@ -72,3 +72,35 @@ def test_set_stats_cols_takes_effect_on_next_rewrite(spark, tmp_path):
     )
     want = t.read().filter(F.col("n_tok") <= 100).count()
     assert t.read_range("n_tok", None, 100).count() == want
+
+
+def test_tags_pin_snapshots_through_expiry(spark, tmp_path):
+    """Iceberg tag analog: a named snapshot survives expire_snapshots at
+    any keep_last, and reads back byte-identical; dropping the tag
+    releases it."""
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD, key="doc_id", n_buckets=2
+    )
+    t.merge(_changelog(spark, 300), batch_id=0)
+    want = {tuple(r) for r in t.read().collect()}
+    v = t.tag("baseline")
+    assert t.tags() == {"baseline": v}
+
+    for i in range(1, 5):
+        t.merge(_changelog(spark, 100, lsn0=10_000 * i), batch_id=i)
+    t.expire_snapshots(keep_last=1)
+
+    # the tagged version still reads exactly
+    assert {tuple(r) for r in t.read_tag("baseline").collect()} == want
+    # untagged old versions are gone
+    with pytest.raises(FileNotFoundError):
+        t.manifest(v + 1)
+
+    t.drop_tag("baseline")
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        t.manifest(v)
+    with pytest.raises(KeyError):
+        t.read_tag("baseline")
+    with pytest.raises(FileNotFoundError):
+        t.tag("bad", version=v)  # can't tag an expired version
