@@ -20,6 +20,7 @@ plus its maintenance chores), as subcommands over the library surface:
     python -m data_hub_ejp_xml_pipeline_spark rebucket --table ROOT --n-buckets N
     python -m data_hub_ejp_xml_pipeline_spark set-stats-cols --table ROOT --cols a,b
     python -m data_hub_ejp_xml_pipeline_spark tag|drop-tag --table ROOT --name N
+    python -m data_hub_ejp_xml_pipeline_spark changefeed --table ROOT --from-version V [--out DIR]
 
 Each command prints ONE JSON line (machine-scrapeable, like bench.py).
 ``main(argv, spark=...)`` is injectable for tests; standalone invocation
@@ -141,6 +142,14 @@ def _build_parser() -> argparse.ArgumentParser:
     il = sub.add_parser("index-lookup", help="keys whose indexed column equals a value")
     il.add_argument("--state", required=True, help="SecondaryIndexState root")
     il.add_argument("--value", required=True)
+
+    cf = sub.add_parser("changefeed",
+                        help="emit the changes between two versions as a changelog")
+    table_arg(cf)
+    cf.add_argument("--from-version", type=int, required=True)
+    cf.add_argument("--to-version", type=int, default=None)
+    cf.add_argument("--out", default=None,
+                    help="write the changelog as parquet here (else count only)")
 
     tg = sub.add_parser("tag", help="pin the current (or a given) version under a name")
     table_arg(tg)
@@ -411,6 +420,17 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             "groups": len(rows),
             "totals": {str(r[0]): {"cnt": r[1], "total": r[2]} for r in rows},
         }
+
+    elif args.cmd == "changefeed":
+        table = SnapshotTable(spark, args.table)
+        feed = table.changelog_between(args.from_version, args.to_version)
+        if args.out:
+            feed.write.mode("overwrite").parquet(args.out)
+            n = spark.read.parquet(args.out).count()
+        else:
+            n = feed.count()
+        out = {"cmd": "changefeed", "from": args.from_version,
+               "to": args.to_version, "events": n, "out": args.out}
 
     elif args.cmd == "tag":
         table = SnapshotTable(spark, args.table)

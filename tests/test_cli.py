@@ -355,3 +355,36 @@ def test_cli_tag_and_drop_tag(spark, tmp_path):
     assert main(["show", "--table", root], spark=spark)["tags"] == out["tags"]
     out = main(["drop-tag", "--table", root, "--name", "rc1"], spark=spark)
     assert out["tags"] == {}
+
+
+def test_cli_changefeed_replicates_table(spark, tmp_path):
+    """changefeed writes a changelog a second table can apply and reach
+    the identical final state — CDC-out through the CLI."""
+    from pyspark.sql import functions as F
+    from tests.test_zone_maps import PAYLOAD, _changelog
+
+    from data_hub_ejp_xml_pipeline_spark.table.snapshot_table import SnapshotTable
+
+    root = str(tmp_path / "src")
+    t = SnapshotTable.create(spark, root, PAYLOAD, key="doc_id", n_buckets=2)
+    t.merge(_changelog(spark, 400), batch_id=0)
+    deletes = _changelog(spark, 50, lsn0=10_001).withColumn("op", F.lit("D"))
+    t.merge(deletes, batch_id=1)
+
+    feed_dir = str(tmp_path / "feed")
+    out = main(["changefeed", "--table", root, "--from-version", "0",
+                "--out", feed_dir], spark=spark)
+    assert out["events"] > 0
+
+    out2 = main(["apply", "--changelog", feed_dir,
+                 "--table", str(tmp_path / "dst"), "--batch-id", "0",
+                 "--n-buckets", "2"], spark=spark)
+    assert out2["applied"]
+    dst = {
+        tuple(r)
+        for r in SnapshotTable(spark, str(tmp_path / "dst"))
+        .read().select(*[f.name for f in PAYLOAD.fields], "_lsn").collect()
+    }
+    src_cmp = {tuple(r) for r in t.read()
+               .select(*[f.name for f in PAYLOAD.fields], "_lsn").collect()}
+    assert dst == src_cmp
