@@ -175,6 +175,14 @@ class IncrementalAggState:
         # execute twice. Callers are expected to pass a NARROW frame
         # (MergePipeline strips the payload), so the columnar cache is
         # cheap.
+        already_cached = reduced_batch.storageLevel.useMemory or \
+            reduced_batch.storageLevel.useDisk
+        if already_cached:
+            # the caller (e.g. MergePipeline's shared narrow reduce)
+            # owns the cache lifecycle
+            return self._apply_cached(
+                reduced_batch, base, key, batch_id, op_col, lsn_col
+            )
         reduced_batch = reduced_batch.persist()
         try:
             return self._apply_cached(

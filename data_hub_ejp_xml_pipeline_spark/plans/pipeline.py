@@ -121,51 +121,53 @@ class MergePipeline:
             # carries (doc_id, lsn, fp, op) only — never the token payload,
             # and never a second execution of the merge's LWW reduce
             self.dedup_state.apply_changelog(changelog, batch_id=batch_id)
-        if self.ivm_state is not None:
+        if self.ivm_state is not None or self.index_state is not None:
             if batch_id is None:
+                what = ("incremental view maintenance"
+                        if self.ivm_state is not None
+                        else "secondary-index maintenance")
                 raise ValueError(
-                    "incremental view maintenance requires a monotone "
-                    "batch_id — the totals rewrite commits exactly-once "
-                    "per epoch"
+                    f"{what} requires a monotone batch_id — the state "
+                    "commits exactly-once per epoch"
                 )
-            # BEFORE the merge: the old-side retraction must read the
-            # pre-epoch base (crash between the two commits converges on
-            # replay — the ledgered side no-ops, the other applies).
-            # The IVM consumes its OWN narrow reduce (key/group/value/op/
-            # lsn + tie-break cols) instead of the merge's full-payload
+            # BEFORE the merge: both states' old-side reads must observe
+            # the pre-epoch base (crash between commits converges on
+            # replay — ledgered sides no-op, the rest applies). They
+            # consume ONE shared NARROW reduce (key + their columns + op/
+            # lsn + tie-breaks) instead of the merge's full-payload
             # `reduced`: the LWW tie-break uses only metadata columns, so
             # the winners are identical, while the heavy payload (token
-            # arrays) never enters the IVM's jobs — measured ~2x cheaper
-            # per epoch at 1M events
+            # arrays) never enters their jobs — measured ~2x cheaper per
+            # epoch at 1M events; with both attached the reduce shuffle
+            # happens once, not twice
             from data_hub_ejp_xml_pipeline_spark.operators.lww import _ORDER_COLS
 
-            narrow = [self.key, self.ivm_state.group_col]
-            if self.ivm_state.value_col is not None:
-                narrow.append(self.ivm_state.value_col)
+            narrow = [self.key]
+            if self.ivm_state is not None:
+                narrow.append(self.ivm_state.group_col)
+                if self.ivm_state.value_col is not None:
+                    narrow.append(self.ivm_state.value_col)
+            if self.index_state is not None:
+                narrow.append(self.index_state.index_col)
             narrow += ["op"] + [c for c in _ORDER_COLS if c in changelog.columns]
-            ivm_reduced = reduce_latest(
+            aux_reduced = reduce_latest(
                 changelog.select(*dict.fromkeys(narrow)), key=self.key
             )
-            self.ivm_state.apply(ivm_reduced, self.table, batch_id=batch_id)
-        if self.index_state is not None:
-            if batch_id is None:
-                raise ValueError(
-                    "secondary-index maintenance requires a monotone "
-                    "batch_id — the postings append commits exactly-once "
-                    "per epoch"
-                )
-            # same narrow-reduce trade as the IVM above: the index consumes
-            # (key, index_col, op, lsn + tie-breaks) — winners provably
-            # match the merge's, the heavy payload never enters its jobs.
-            # BEFORE the merge: the close side reads the pre-epoch base.
-            from data_hub_ejp_xml_pipeline_spark.operators.lww import _ORDER_COLS
-
-            narrow = [self.key, self.index_state.index_col, "op"]
-            narrow += [c for c in _ORDER_COLS if c in changelog.columns]
-            idx_reduced = reduce_latest(
-                changelog.select(*dict.fromkeys(narrow)), key=self.key
-            )
-            self.index_state.apply(idx_reduced, self.table, batch_id=batch_id)
+            both = self.ivm_state is not None and self.index_state is not None
+            if both:
+                # each state runs 2 jobs over the frame; cache here so
+                # the states see it cached and skip their own persist
+                aux_reduced = aux_reduced.persist()
+            try:
+                if self.ivm_state is not None:
+                    self.ivm_state.apply(aux_reduced, self.table,
+                                         batch_id=batch_id)
+                if self.index_state is not None:
+                    self.index_state.apply(aux_reduced, self.table,
+                                           batch_id=batch_id)
+            finally:
+                if both:
+                    aux_reduced.unpersist()
         if self.scd2_state is not None:
             if batch_id is None:
                 raise ValueError(

@@ -173,6 +173,28 @@ class SecondaryIndexState:
                 self.postings.current_version(),
                 applied=False,
             )
+        # two jobs consume the batch (the bucket-range collect and the
+        # postings append) — cache unless the caller already did (the
+        # shared-reduce path in MergePipeline owns the lifecycle then)
+        already_cached = reduced_batch.storageLevel.useMemory or \
+            reduced_batch.storageLevel.useDisk
+        if not already_cached:
+            reduced_batch = reduced_batch.persist()
+        try:
+            return self._apply_cached(reduced_batch, base, batch_id,
+                                      op_col, lsn_col)
+        finally:
+            if not already_cached:
+                reduced_batch.unpersist()
+
+    def _apply_cached(
+        self,
+        reduced_batch: DataFrame,
+        base: SnapshotTable,
+        batch_id: int,
+        op_col: str,
+        lsn_col: str,
+    ) -> CommitResult:
         key, vcol = self.key, self.index_col
         old = self._old_values(reduced_batch, base)
         joined = (

@@ -175,3 +175,35 @@ def test_index_null_values_not_indexed(spark, tmp_path):
     assert {(r[0], r[1]) for r in idx.read_index().collect()} == {("B", "d1")}
     with pytest.raises(ValueError, match="NULL"):
         idx.lookup(None)
+
+
+def test_ivm_and_index_share_one_reduce(spark, tmp_path):
+    """Both sidecars attached: one shared narrow reduce feeds both, and
+    both states end correct (the per-state suites pin each alone)."""
+    from pyspark.sql import functions as F
+
+    from data_hub_ejp_xml_pipeline_spark.plans.ivm import IncrementalAggState
+
+    pdf = generate_changelog_pandas(n_events=1_200, seed=37)
+    from data_hub_ejp_xml_pipeline_spark.generator import spark_changelog_from_pandas
+
+    df = spark_changelog_from_pandas(spark, pdf)
+    ivm = IncrementalAggState(spark, str(tmp_path / "ivm"),
+                              group_col="source", value_col="n_tok")
+    idx = SecondaryIndexState(spark, str(tmp_path / "idx"), index_col="source")
+    pipe = MergePipeline(spark, str(tmp_path / "tbl"), n_buckets=4,
+                         ivm_state=ivm, index_state=idx)
+    lo, hi = int(pdf["lsn"].min()), int(pdf["lsn"].max())
+    mid = (lo + hi) // 2
+    pipe.apply(df.filter(F.col("lsn") <= mid), batch_id=0)
+    pipe.apply(df.filter(F.col("lsn") > mid), batch_id=1)
+
+    assert {(r[0], r[1]) for r in idx.read_index().collect()} == _expected_index(pdf)
+    want = {
+        (r[0], r[1], float(r[2]))
+        for r in pipe.final_state().groupBy("source")
+        .agg(F.count("*").alias("cnt"), F.sum("n_tok").cast("double").alias("tot"))
+        .collect()
+    }
+    got = {(r[0], r[1], float(r[2])) for r in ivm.read_totals().collect()}
+    assert got == want
