@@ -216,3 +216,49 @@ def test_tailer_metrics_carry_reject_counts(spark, tmp_path):
     assert metrics and all("events_rejected" in m for m in metrics)
     want = int(_expected_reasons(pdf).notna().sum())
     assert sum(m["events_rejected"] for m in metrics) == want
+
+
+def test_split_is_a_partition_property(spark):
+    """Property: for ANY changelog frame, (valid, rejects) is a PARTITION
+    of the input — disjoint, exhaustive, rows unmodified — and the reason
+    is the FIRST failing rule. Hypothesis drives the row shapes through
+    one Spark round-trip (one frame, many generated rows, for speed)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    docs = st.one_of(st.none(), st.just(""), st.text(
+        alphabet="abc-", min_size=1, max_size=8))
+    lsns = st.one_of(st.none(), st.integers(min_value=0, max_value=2**40))
+    ops = st.sampled_from(["I", "U", "D", "X", "d", ""]) | st.none()
+    toks = st.one_of(st.none(), st.lists(
+        st.integers(min_value=0, max_value=100), max_size=5))
+    row = st.tuples(lsns, ops, docs, toks)
+
+    @given(rows=st.lists(row, min_size=1, max_size=40))
+    @settings(max_examples=20, deadline=None)
+    def check(rows):
+        data = [
+            (lsn, op, doc, tok, len(tok) if tok is not None else None)
+            for lsn, op, doc, tok in rows
+        ]
+        # make a deterministic minority inconsistent
+        data = [
+            (lsn, op, doc, tok,
+             (n + 1) if (n is not None and i % 5 == 0) else n)
+            for i, (lsn, op, doc, tok, n) in enumerate(data)
+        ]
+        df = spark.createDataFrame(
+            data,
+            "lsn long, op string, doc_id string, tokens array<int>, n_tok int",
+        )
+        valid, rejects = split_changelog(df)
+        nv, nr, n = valid.count(), rejects.count(), df.count()
+        assert nv + nr == n
+        # disjoint + unmodified: valid rows re-fail nothing, reject rows
+        # all carry a reason from the fixed vocabulary
+        assert valid.withColumn("r", reject_reason(valid)).filter(
+            "r IS NOT NULL").count() == 0
+        reasons = {r[0] for r in rejects.select(REASON_COL).distinct().collect()}
+        assert reasons <= {"null_key", "null_lsn", "bad_op", "token_arity"}
+
+    check()
