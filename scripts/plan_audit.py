@@ -79,6 +79,14 @@ EXPECT = {
         "files, not a filter), with the key IN (...) predicate pushed into "
         "the scan where parquet-mr's bloom filter skips row groups"
     ),
+    "cdc_zone_map_scan": (
+        "NOTE: the merges + compaction execute while the query builds; "
+        "this plan is the zone-map SERVE path — a parquet scan whose file "
+        "list was pruned against the manifest's per-file final_value "
+        "min/max BEFORE the plan exists (count the files), with the "
+        "residual range predicate pushed into the surviving scan "
+        "(PushedFilters shows the >= / <= pair)"
+    ),
     "cdc_index_lookup": (
         "NOTE: the two merges + postings appends execute while the query "
         "builds; this plan is the index SERVE path — a parquet scan of "
