@@ -69,6 +69,7 @@ HEADLINE = [
     "cdc_snapshot_bootstrap",
     "cdc_secondary_index",
     "cdc_dlq_rejects",
+    "partial_update_resolve",
 ]
 
 # per-query trials: the sandbox VM is noisy (identical runs vary 2-3x);

@@ -38,6 +38,8 @@ class MergePipeline:
         scd2_state=None,
         dlq_state=None,
         index_state=None,
+        placeholder_cols: list[str] | None = None,
+        placeholder: str | None = None,
     ):
         """``dedup_state``: an optional :class:`plans.dedup_ingest.
         TokenDedupState` — each epoch's per-key LWW-winning fingerprint
@@ -67,7 +69,16 @@ class MergePipeline:
         SecondaryIndexState` — an inverted index (payload column → keys)
         maintained per epoch from a narrow reduce of the changelog.
         Applied BEFORE the merge commits so its close-side read observes
-        the pre-epoch base; requires batch ids."""
+        the pre-epoch base; requires batch ids.
+
+        ``placeholder_cols``: string payload columns that may arrive as an
+        unchanged-TOAST placeholder (``operators.partial``). The epoch is
+        reduced with :func:`reduce_latest_partial` and still-unresolved
+        placeholders are filled from the pre-epoch table rows before the
+        merge. Incompatible with ``ivm_state``/``index_state``/
+        ``dedup_state`` (their narrow side-reduces would observe raw
+        placeholder values); ``scd2_state``/``dlq_state`` compose fine —
+        SCD2 consumes the already-resolved frame."""
         self.spark = spark
         self.dedup_state = dedup_state
         self.ivm_state = ivm_state
@@ -89,6 +100,21 @@ class MergePipeline:
         self.reduce_strategy = reduce_strategy
         self.n_salts = n_salts
         self.profile_mode = profile_mode
+        if placeholder_cols and (
+            dedup_state is not None
+            or ivm_state is not None
+            or index_state is not None
+        ):
+            raise ValueError(
+                "placeholder_cols cannot compose with dedup/ivm/index "
+                "states: their side-reduces read raw column values and "
+                "would observe unresolved placeholders — resolve the "
+                "feed upstream or attach the state to a separate pipeline"
+            )
+        self.placeholder_cols = list(placeholder_cols or [])
+        from data_hub_ejp_xml_pipeline_spark.operators.partial import UNAVAILABLE
+
+        self.placeholder = UNAVAILABLE if placeholder is None else placeholder
 
     def apply(self, changelog: DataFrame, batch_id: int | None = None) -> CommitResult:
         if self.dlq_state is not None:
@@ -108,9 +134,40 @@ class MergePipeline:
 
             changelog, rejects = split_changelog(changelog, key=self.key)
             self.dlq_state.apply(rejects, batch_id=batch_id)
+        if self.placeholder_cols:
+            from data_hub_ejp_xml_pipeline_spark.operators.partial import (
+                fill_unavailable,
+                reduce_latest_partial,
+            )
+
+            # the partial reduce is consumed twice (fill-key count + the
+            # fill join feeding the merge); cache it so the window+agg
+            # executes once. merge() materializes synchronously, so the
+            # unpersist after _apply_reduced is safe.
+            pre = reduce_latest_partial(
+                changelog,
+                key=self.key,
+                cols=self.placeholder_cols,
+                placeholder=self.placeholder,
+            ).persist()
+            try:
+                reduced = fill_unavailable(
+                    pre,
+                    self.table,
+                    self.placeholder_cols,
+                    placeholder=self.placeholder,
+                )
+                return self._apply_reduced(changelog, reduced, batch_id)
+            finally:
+                pre.unpersist()
         reduced = reduce_latest(
             changelog, key=self.key, strategy=self.reduce_strategy, n_salts=self.n_salts
         )
+        return self._apply_reduced(changelog, reduced, batch_id)
+
+    def _apply_reduced(
+        self, changelog: DataFrame, reduced: DataFrame, batch_id: int | None
+    ) -> CommitResult:
         if self.dedup_state is not None:
             if batch_id is None:
                 raise ValueError(

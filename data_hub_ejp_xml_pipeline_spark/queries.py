@@ -2790,6 +2790,121 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_stats(media)
 
 
+# ---------------------------------------------------------------------
+# Partial updates (unchanged-TOAST placeholder resolution)
+# ---------------------------------------------------------------------
+
+_PARTIAL_ORACLE = """
+WITH chg AS (
+  SELECT event_id AS lsn,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error'  THEN 'D'
+              ELSE 'U' END AS op,
+         CAST(user_id AS VARCHAR) AS doc_id,
+         CASE WHEN event_type NOT IN ('signup', 'error') AND event_id % 3 = 0
+                THEN '__unavailable__'
+              WHEN event_id % 7 = 0 THEN NULL
+              ELSE 'a' || CAST(event_id AS VARCHAR) END AS a,
+         CASE WHEN event_type NOT IN ('signup', 'error') AND event_id % 5 = 0
+                THEN '__unavailable__'
+              WHEN event_id % 11 = 0 THEN NULL
+              ELSE event_type || CAST(event_id AS VARCHAR) END AS b
+  FROM events
+),
+marked AS (
+  SELECT *,
+         sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY lsn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dseg
+  FROM chg
+),
+tot AS (
+  SELECT doc_id, max(dseg) AS total_d, max(lsn) AS last_lsn,
+         arg_max(op, lsn) AS last_op
+  FROM marked GROUP BY doc_id
+),
+-- the sequential fold, restricted to events after the key's last D:
+-- a column's final value comes from the newest event that SET it (any I,
+-- or a U whose value is not the placeholder; explicit NULL is a real
+-- value, hence the struct_pack shield around arg_max's NULL-skipping)
+folded AS (
+  SELECT m.doc_id,
+         arg_max(struct_pack(v := m.a),
+                 CASE WHEN m.a IS NULL OR m.a <> '__unavailable__'
+                      THEN m.lsn END) AS fa,
+         arg_max(struct_pack(v := m.b),
+                 CASE WHEN m.b IS NULL OR m.b <> '__unavailable__'
+                      THEN m.lsn END) AS fb
+  FROM marked m JOIN tot t USING (doc_id)
+  WHERE m.op <> 'D' AND m.dseg = t.total_d
+  GROUP BY m.doc_id
+)
+SELECT t.doc_id, f.fa.v AS a, f.fb.v AS b, t.last_lsn
+FROM tot t LEFT JOIN folded f USING (doc_id)
+WHERE t.last_op <> 'D'
+"""
+
+
+def q_partial_update_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unchanged-TOAST resolution end-to-end: events → a partial-update
+    changelog (signup ⇒ I, error ⇒ D, else U; deterministic event_id
+    residues plant ``__unavailable__`` placeholders and explicit NULLs on
+    U events) applied through the REAL MergePipeline in 3 incremental
+    epochs with ``placeholder_cols`` — in-batch window resolution plus
+    pre-epoch table fill (operators/partial.py). The final table must
+    equal a one-shot sequential fold expressed independently in SQL."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
+
+    ev = _t(spark, sf_dir, "events")
+    is_u = ~F.col("event_type").isin("signup", "error")
+    eid = F.col("event_id")
+    changelog = ev.select(
+        eid.alias("lsn"),
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.when(is_u & (eid % 3 == 0), F.lit("__unavailable__"))
+        .when(eid % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("a"), eid.cast("string")))
+        .alias("a"),
+        F.when(is_u & (eid % 5 == 0), F.lit("__unavailable__"))
+        .when(eid % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.col("event_type"), eid.cast("string")))
+        .alias("b"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    root = _swept_scratch_dir("partq") + "/tbl"
+    pipe = MergePipeline(
+        spark,
+        root,
+        key="doc_id",
+        n_buckets=8,
+        payload_schema=payload,
+        placeholder_cols=["a", "b"],
+    )
+    bounds = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    lo, hi = bounds[0], bounds[1]
+    step = max((hi - lo + 1) // 3 + 1, 1)
+    for i in range(3):
+        batch = changelog.filter(
+            (F.col("lsn") >= lo + i * step) & (F.col("lsn") < lo + (i + 1) * step)
+        )
+        pipe.apply(batch, batch_id=i)
+    return pipe.table.read().select(
+        "doc_id", "a", "b", F.col("_lsn").alias("last_lsn")
+    )
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -2813,6 +2928,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_scd2_history": (q_cdc_scd2_history, _SCD2_ORACLE),
     "cdc_txn_atomic": (q_cdc_txn_atomic, _TXN_ORACLE.format(loss=_LOSS_SQL)),
     "cdc_snapshot_bootstrap": (q_cdc_snapshot_bootstrap, _SNAPSHOT_BOOTSTRAP_ORACLE),
+    "partial_update_resolve": (q_partial_update_resolve, _PARTIAL_ORACLE),
     "lsn_gaps": (q_lsn_gaps, _LSN_GAPS_ORACLE),
     "cdc_snapshot_diff": (q_cdc_snapshot_diff, _CDC_DIFF_ORACLE),
     "watermark_per_source": (

@@ -96,6 +96,16 @@ EXPECT = {
         "surviving postings (per-value LWW + tombstone drop). The base "
         "table is never scanned"
     ),
+    "partial_update_resolve": (
+        "NOTE: the three epochs execute while the query builds; this plan "
+        "is the final-state READ. The epoch reduce's pinned property "
+        "(verified by tests/test_plan_properties.py): the boundary-segment "
+        "window AND both max_by aggregate phases share ONE Exchange "
+        "hashpartitioning(doc_id) + its sort — partial resolution costs "
+        "the same single shuffle as the plain LWW reduce; the residual "
+        "table fill is a pruned lookup (or one equi-join), never O(table) "
+        "driver work"
+    ),
     "dedup_state_flags": (
         "NOTE: the two state epochs execute while the query builds; this "
         "plan is the flags-TABLE read only — a pruned parquet scan of the "

@@ -68,6 +68,38 @@ def test_tpch_q1_pushes_filter_to_scan(spark, queries):
     assert "partial_" in plan  # partial aggregation before the exchange
 
 
+def test_partial_reduce_shares_one_exchange(spark):
+    """reduce_latest_partial's boundary-segment window and BOTH max_by
+    aggregate phases must share a single Exchange hashpartitioning(key) —
+    a second shuffle would double the partial-update reduce's cost vs the
+    plain LWW reduce it replaces."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from data_hub_ejp_xml_pipeline_spark.operators.partial import (
+        reduce_latest_partial,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    chg = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("a"),
+        F.col("props").alias("b"),
+    )
+    plan = _plan(reduce_latest_partial(chg, cols=["a", "b"]))
+    # formatted mode separates node names from arguments: count Exchange
+    # NODES, then pin the one exchange to the key
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert re.search(r"Arguments: hashpartitioning\(doc_id", plan)
+    assert "partial_max_by" in plan  # map-side combine still applies
+    assert "Window" in plan
+
+
 def test_token_dedup_probe_broadcasts_batch_fingerprints(spark, tmp_path):
     """TokenDedupState's corpus probe must be a broadcast hash join with
     the BATCH side built — shuffling the corpus fingerprint table would
