@@ -123,6 +123,24 @@ def _build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("show", help="table version/schema/files summary")
     table_arg(s)
 
+    dw = sub.add_parser("delete-where",
+                        help="predicate DELETE (soft tombstones by default)")
+    table_arg(dw)
+    dw.add_argument("--where", required=True, help="SQL predicate over payload columns")
+    dw.add_argument("--hard", action="store_true",
+                    help="remove rows outright (erasure) instead of tombstoning")
+    dw.add_argument("--batch-id", type=int, default=None,
+                    help="exactly-once ledger slot (replays no-op)")
+
+    uw = sub.add_parser("update-where", help="predicate UPDATE (copy-on-write)")
+    table_arg(uw)
+    uw.add_argument("--where", required=True, help="SQL predicate over payload columns")
+    uw.add_argument("--set", required=True, action="append", dest="assignments",
+                    metavar="COL=SQL_EXPR",
+                    help="assignment, repeatable (the expression may read "
+                         "the row's own columns)")
+    uw.add_argument("--batch-id", type=int, default=None)
+
     d = sub.add_parser("dedup-flags", help="summarize the dedup-on-ingest flags table")
     d.add_argument("--state", required=True, help="dedup state root")
     d.add_argument("--token", action="store_true",
@@ -358,6 +376,28 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         table = SnapshotTable(spark, args.table)
         res = table.vacuum_tombstones(older_than_lsn=args.older_than_lsn)
         out = {"cmd": "vacuum", "applied": res.applied, "snapshot_id": res.snapshot_id}
+
+    elif args.cmd == "delete-where":
+        table = SnapshotTable(spark, args.table)
+        res = table.delete_where(args.where, batch_id=args.batch_id, hard=args.hard)
+        out = {"cmd": "delete-where", "applied": res.applied,
+               "snapshot_id": res.snapshot_id, "version": res.version,
+               "hard": args.hard}
+
+    elif args.cmd == "update-where":
+        from pyspark.sql import functions as F
+
+        assignments = {}
+        for a in args.assignments:
+            col, sep, expr = a.partition("=")
+            if not sep or not col:
+                raise SystemExit(f"--set expects COL=SQL_EXPR, got {a!r}")
+            assignments[col.strip()] = F.expr(expr)
+        table = SnapshotTable(spark, args.table)
+        res = table.update_where(args.where, assignments, batch_id=args.batch_id)
+        out = {"cmd": "update-where", "applied": res.applied,
+               "snapshot_id": res.snapshot_id, "version": res.version,
+               "columns": sorted(assignments)}
 
     elif args.cmd == "dedup-flags":
         from data_hub_ejp_xml_pipeline_spark.plans.dedup_ingest import (

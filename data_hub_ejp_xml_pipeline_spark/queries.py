@@ -2791,6 +2791,102 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Row-level DML (predicate DELETE / UPDATE on the snapshot table)
+# ---------------------------------------------------------------------
+
+_DML_BASE = """
+  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+         event_type AS final_event_type,
+         round(value, 4) AS final_value,
+         event_id AS last_lsn
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+_DELETE_WHERE_ORACLE = f"""
+SELECT * FROM ({_DML_BASE})
+WHERE final_value < 150
+"""
+
+_UPDATE_WHERE_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN final_event_type = 'signup' THEN 'signup_bulk'
+            ELSE final_event_type END AS final_event_type,
+       CASE WHEN final_event_type = 'signup' THEN round(final_value * 2, 4)
+            ELSE final_value END AS final_value,
+       last_lsn
+FROM ({_DML_BASE})
+"""
+
+
+def _dml_base_table(spark: SparkSession, sf_dir: str, prefix: str):
+    """events → 2 incremental merges into a fresh SnapshotTable (the
+    shared setup for the DML queries; same shape as cdc_engine_final_state)."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("final_event_type"),
+        F.round("value", 4).alias("final_value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("final_event_type", T.StringType()),
+            T.StructField("final_value", T.DoubleType()),
+        ]
+    )
+    root = _swept_scratch_dir(prefix) + "/tbl"
+    table = SnapshotTable.create(spark, root, payload, key="doc_id", n_buckets=8)
+    bounds = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    lo, hi = bounds[0], bounds[1]
+    step = max((hi - lo + 1) // 2 + 1, 1)
+    for i in range(2):
+        batch = changelog.filter(
+            (F.col("lsn") >= lo + i * step) & (F.col("lsn") < lo + (i + 1) * step)
+        )
+        table.merge(reduce_latest(batch), batch_id=i)
+    return table
+
+
+def q_cdc_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE end-to-end: events applied through the REAL table,
+    then ``delete_where('final_value >= 150')`` (soft tombstones, matched
+    files only rewritten) — the surviving state must equal the one-shot
+    LWW view minus the predicate's rows."""
+    table = _dml_base_table(spark, sf_dir, "delq")
+    table.delete_where("final_value >= 150", batch_id=2)
+    return table.read().select(
+        "doc_id", "final_event_type", "final_value", F.col("_lsn").alias("last_lsn")
+    )
+
+
+def q_cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate UPDATE end-to-end: ``update_where`` rewrites matching
+    rows' values (LSN untouched) in matched files only; result must equal
+    the LWW view with the CASE applied."""
+    table = _dml_base_table(spark, sf_dir, "updq")
+    table.update_where(
+        "final_event_type = 'signup'",
+        {
+            "final_value": F.round(F.col("final_value") * 2, 4),
+            "final_event_type": "signup_bulk",
+        },
+        batch_id=2,
+    )
+    return table.read().select(
+        "doc_id", "final_event_type", "final_value", F.col("_lsn").alias("last_lsn")
+    )
+
+
+# ---------------------------------------------------------------------
 # Partial updates (unchanged-TOAST placeholder resolution)
 # ---------------------------------------------------------------------
 
@@ -2929,6 +3025,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_txn_atomic": (q_cdc_txn_atomic, _TXN_ORACLE.format(loss=_LOSS_SQL)),
     "cdc_snapshot_bootstrap": (q_cdc_snapshot_bootstrap, _SNAPSHOT_BOOTSTRAP_ORACLE),
     "partial_update_resolve": (q_partial_update_resolve, _PARTIAL_ORACLE),
+    "cdc_delete_where": (q_cdc_delete_where, _DELETE_WHERE_ORACLE),
+    "cdc_update_where": (q_cdc_update_where, _UPDATE_WHERE_ORACLE),
     "lsn_gaps": (q_lsn_gaps, _LSN_GAPS_ORACLE),
     "cdc_snapshot_diff": (q_cdc_snapshot_diff, _CDC_DIFF_ORACLE),
     "watermark_per_source": (

@@ -56,7 +56,7 @@ import time
 from dataclasses import dataclass
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -545,10 +545,18 @@ class SnapshotTable:
         entirely) is emitted with the synthetic LSN ``from_lsn + 1``:
         the real delete outranked ``from_lsn``, so ``from_lsn + 1 <=``
         the real delete LSN — it still beats the consumer's live row and
-        can never outrank a later legitimate resurrect. Rows whose LSN
-        did not move are not emitted; applying the same feed twice is a
-        no-op (every row loses the consumer merge's ``lsn > _lsn``
-        guard the second time)."""
+        can never outrank a later legitimate resurrect.
+
+        Row-level DML (:meth:`delete_where` / :meth:`update_where`)
+        changes content WITHOUT moving the row's LSN, so the feed also
+        emits rows whose tombstone flag flipped or whose payload differs
+        null-safely between the versions — at the row's unchanged LSN.
+        A consumer replicating such feeds must apply them with
+        ``merge(..., inclusive_guard=True)`` (equal-LSN changes would
+        otherwise lose the strict guard) and lean on ``batch_id`` for
+        replay protection. For pure WAL-fed tables nothing changes: rows
+        whose LSN and content did not move are not emitted, and applying
+        the same feed twice through the strict guard stays a no-op."""
         m_from = self.manifest(from_version)
         m_to = self.manifest(to_version)
         key = m_to["key"]
@@ -581,10 +589,20 @@ class SnapshotTable:
         lsn = F.when(
             b_exists, F.col(f"b.{LSN_COL}")
         ).otherwise(F.col(f"a.{LSN_COL}") + F.lit(1))
+        a_deleted = F.coalesce(F.col(f"a.{DELETED_COL}"), F.lit(False))
+        # null-safe payload comparison over the to-side columns (a-side
+        # missing columns read as NULL — schema evolution): catches
+        # update_where, which rewrites values at an unchanged LSN
+        same_content = F.lit(True)
+        for c in payload_cols:
+            ac = F.col(f"a.{c}") if c in a.columns else F.lit(None)
+            same_content = same_content & ac.eqNullSafe(F.col(f"b.{c}"))
         changed = (
             (~a_exists)
             | (~b_exists)
             | (F.col(f"a.{LSN_COL}") != F.col(f"b.{LSN_COL}"))
+            | (a_deleted != b_deleted)
+            | ~same_content
         )
         out_cols = [
             F.when(b_exists, F.col(f"b.{c}") if c in b.columns else F.lit(None))
@@ -719,6 +737,7 @@ class SnapshotTable:
         profile_mode: str = "pre",
         commit_retries: int = 0,
         retry_backoff_sec: float = 0.5,
+        inclusive_guard: bool = False,
     ) -> CommitResult:
         """MERGE INTO semantics with an LSN guard:
 
@@ -761,6 +780,15 @@ class SnapshotTable:
           Implies the sort-merge path (the broadcast-vs-SMJ choice also
           needs the pre-pass row count).
 
+        ``inclusive_guard=True`` relaxes WHEN MATCHED to ``s.lsn >=
+        t._lsn`` — for REPLICATION feeds (:meth:`changelog_between`),
+        where row-level DML on the source changes content without moving
+        the row's LSN. With ``>=`` the lsn guard no longer rejects replays
+        of the same feed window, so pair it with ``batch_id`` and apply
+        windows in order, each once: exactly-once then comes from the
+        ledger. Never use it for a WAL tail — equal-LSN late duplicates
+        would reapply with whatever payload arrives last.
+
         ``commit_retries`` re-runs the whole merge on
         ``ConcurrentCommitError`` with exponential backoff (the
         reference's 10-retries-with-backoff load loop,
@@ -783,7 +811,7 @@ class SnapshotTable:
                 return self._commit(
                     updates, operation="merge", batch_id=batch_id, merge=True,
                     op_col=op_col, lsn_col=lsn_col, stats_df=stats_df,
-                    profile_mode=profile_mode,
+                    profile_mode=profile_mode, inclusive_guard=inclusive_guard,
                 )
             except ConcurrentCommitError:
                 if attempt >= commit_retries:
@@ -808,6 +836,7 @@ class SnapshotTable:
         stats_df: DataFrame | None = None,
         profile_mode: str = "pre",
         replace: bool = False,
+        inclusive_guard: bool = False,
     ) -> CommitResult:
         if profile_mode not in ("pre", "fused"):
             raise ValueError(f"profile_mode must be 'pre' or 'fused', got {profile_mode!r}")
@@ -931,7 +960,7 @@ class SnapshotTable:
             if bucket_local:
                 result = self._merge_rows_bucket_local(
                     src_full, key, payload_schema, touched_entries,
-                    m["n_buckets"],
+                    m["n_buckets"], inclusive_guard=inclusive_guard,
                 )
             elif not broadcast_batch:
                 # pre-shuffle both SMJ inputs on the key into exactly
@@ -945,7 +974,8 @@ class SnapshotTable:
                 target = target.repartition(max_parts_pre, F.col(key))
             if not bucket_local:
                 result = _merge_rows(
-                    target, src_full, key, payload_schema, broadcast_batch
+                    target, src_full, key, payload_schema, broadcast_batch,
+                    inclusive_guard=inclusive_guard,
                 )
         else:
             src = updates.withColumn("_bucket", bucket)
@@ -1074,6 +1104,7 @@ class SnapshotTable:
         payload_schema: T.StructType,
         touched_entries: list[dict[str, Any]],
         n_buckets: int,
+        inclusive_guard: bool = False,
     ) -> DataFrame:
         """Zero-target-shuffle merge: shuffle the (small) batch ONCE on the
         bucket id so each task owns whole buckets, then read that bucket's
@@ -1156,7 +1187,9 @@ class SnapshotTable:
                 # s.lsn > t._lsn — a NULL target LSN makes the predicate
                 # NULL, so the TARGET wins (matches the SQL three-valued
                 # logic of the smj path)
-                gt = (lsn_s > lsn_t).fillna(False).to_numpy(dtype=bool)
+                gt = (
+                    (lsn_s >= lsn_t) if inclusive_guard else (lsn_s > lsn_t)
+                ).fillna(False).to_numpy(dtype=bool)
                 s_wins = has_s & (~has_t | gt)
                 win = pd.Series(s_wins, index=m.index)
                 out = {key: m[key]}
@@ -1578,6 +1611,201 @@ class SnapshotTable:
         return CommitResult(manifest["snapshot_id"], version, applied=True,
                             rows_written=sum(f["rows"] for f in new_files))
 
+    # --------------------------------------------------- row-level DML
+    def delete_where(
+        self,
+        condition,
+        batch_id: int | None = None,
+        prune_range: tuple | None = None,
+        hard: bool = False,
+    ) -> CommitResult:
+        """Predicate DELETE — the row-level retention / right-to-erasure
+        op (Iceberg ``DELETE FROM t WHERE ...`` analog, copy-on-write).
+
+        ``condition`` (Column or SQL string over payload columns) selects
+        LIVE rows. Default is a SOFT delete: each matched row becomes a
+        tombstone that keeps its ``_lsn``, so the CDC stream stays
+        coherent — a replayed older event (lsn ≤ _lsn) still no-ops off
+        the merge guard, a genuinely newer event re-inserts the key, and
+        ``vacuum_tombstones`` reclaims the bytes once the stream passes
+        the watermark. Note a soft tombstone RETAINS the payload bytes;
+        for erasure use ``hard=True``, which removes matched rows from the
+        new snapshot outright — prior snapshots still reference them until
+        ``expire_snapshots`` runs, so full erasure is
+        ``delete_where(hard=True)`` + ``expire_snapshots(keep_last=1)``.
+        The hard path trades the replay guard away: the key's ``_lsn``
+        floor is gone, so a replayed pre-delete epoch CAN re-insert it
+        (use soft + vacuum when the stream may still replay).
+
+        Scale shape (same discipline as merge): candidates are optionally
+        zone-map-pruned via ``prune_range=(col, lo, hi)``; a probe scan
+        finds the files that actually HOLD a match; only those are
+        rewritten — every other file carries forward by reference. Two
+        scans of the candidate/matched files, never O(table) driver work.
+
+        ``batch_id`` gives the op merge/append's exactly-once ledger
+        (replays no-op)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        if hard:
+            def transform(df: DataFrame, match) -> DataFrame:
+                return df.filter(~match)
+        else:
+            def transform(df: DataFrame, match) -> DataFrame:
+                return df.withColumn(
+                    DELETED_COL,
+                    F.when(match, F.lit(True)).otherwise(
+                        F.coalesce(F.col(DELETED_COL), F.lit(False))
+                    ),
+                )
+        return self._rewrite_where(
+            cond, transform, "delete_where" + ("_hard" if hard else ""),
+            batch_id, prune_range,
+        )
+
+    def update_where(
+        self,
+        condition,
+        assignments: dict[str, Any],
+        batch_id: int | None = None,
+        prune_range: tuple | None = None,
+    ) -> CommitResult:
+        """Predicate UPDATE (Iceberg ``UPDATE t SET ... WHERE ...`` analog,
+        copy-on-write): LIVE rows matching ``condition`` get the
+        ``assignments`` (column → Column expression or literal; the
+        expression may reference the row's own columns). Keys, ``_lsn``
+        and ``_deleted`` cannot be assigned — the row keeps its LSN, so
+        the CDC merge guard is unchanged (an out-of-band correction does
+        not mask or get masked by in-band events any differently than the
+        stored row did). Pruning, rewrite granularity and the exactly-once
+        ``batch_id`` ledger are exactly :meth:`delete_where`'s."""
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        names = {f.name for f in schema.fields}
+        forbidden = {m["key"], LSN_COL, DELETED_COL} & set(assignments)
+        if forbidden:
+            raise ValueError(
+                f"update_where cannot assign key/internal columns: {sorted(forbidden)}"
+            )
+        unknown = set(assignments) - names
+        if unknown:
+            raise ValueError(f"update_where: unknown columns {sorted(unknown)}")
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        types = {f.name: f.dataType for f in schema.fields}
+
+        def transform(df: DataFrame, match) -> DataFrame:
+            out = df
+            for c, v in assignments.items():
+                vcol = v if isinstance(v, Column) else F.lit(v)
+                out = out.withColumn(
+                    c, F.when(match, vcol.cast(types[c])).otherwise(F.col(c))
+                )
+            return out
+
+        return self._rewrite_where(
+            cond, transform, "update_where", batch_id, prune_range
+        )
+
+    def _rewrite_where(
+        self,
+        cond,
+        transform,
+        operation: str,
+        batch_id: int | None,
+        prune_range: tuple | None,
+    ) -> CommitResult:
+        """Shared DML core: probe candidate files for matches, rewrite ONLY
+        the matching files through ``transform(df, match)``, carry the rest
+        by reference, commit one ledgered snapshot."""
+        from urllib.parse import urlparse
+
+        m = self.manifest()
+        applied_snap = self._ledger_lookup(m, batch_id)
+        if applied_snap is not None:
+            return CommitResult(applied_snap, m["version"], applied=False)
+        key = m["key"]
+        schema = T.StructType.fromJson(m["schema"])
+        if prune_range is not None:
+            col, lo, hi = prune_range
+            candidates = self._range_entries(col, lo, hi, m)
+        else:
+            candidates = list(m["files"])
+        live = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+        match = cond & live
+        if candidates:
+            probe = self._read_file_entries(candidates, schema).withColumn(
+                "_file", F.input_file_name()
+            )
+            hit_uris = [
+                r[0]
+                for r in probe.filter(match).select("_file").distinct().collect()
+            ]
+        else:
+            hit_uris = []
+        if not hit_uris:
+            # nothing matches: no snapshot, no ledger advance (re-running
+            # re-probes and no-ops again — idempotent without a ledger slot,
+            # same stance as merge's empty-batch guard)
+            return CommitResult(m["snapshot_id"], m["version"], applied=False)
+
+        def norm(p: str) -> str:
+            parsed = urlparse(p)
+            return os.path.abspath(parsed.path if parsed.scheme else p)
+
+        by_path = {
+            norm(os.path.join(self.root, f["path"])): f for f in candidates
+        }
+        touched = []
+        for uri in hit_uris:
+            entry = by_path.get(norm(uri))
+            if entry is None:  # a probe hit must map back to its manifest entry
+                raise RuntimeError(f"probe file {uri!r} not in the manifest")
+            touched.append(entry)
+        touched_paths = {f["path"] for f in touched}
+        carried = [f for f in m["files"] if f["path"] not in touched_paths]
+
+        version = m["version"] + 1
+        snapshot_id = f"snap-{version:08d}-{operation}"
+        snap_rel = _snap_dir_name(version)
+        snap_dir = os.path.join(self.root, snap_rel)
+        out = transform(self._read_file_entries(touched, schema), match)
+        est_rows = sum(f["rows"] for f in touched)
+        n_parts = max(len(touched), 1)  # preserve the rewritten files' fan-out
+        (
+            _with_key_bloom(
+                out.withColumn("_bucket", self._bucket_expr(key))
+                .repartitionByRange(n_parts, F.col("_bucket"), F.col(key))
+                .sortWithinPartitions("_bucket", key)
+                .write.mode("overwrite"),
+                key,
+                est_rows // n_parts + 1,
+            )
+            .partitionBy("_bucket")
+            .parquet(snap_dir)
+        )
+        new_files = _list_bucket_files(
+            snap_dir, snap_rel, key, m.get("stats_cols", ())
+        )
+        ledger, pre_versions, evicted_below = self._advance_ledger(
+            m, batch_id, snapshot_id
+        )
+        manifest = {
+            **m,
+            "version": version,
+            "snapshot_id": snapshot_id,
+            "parent": m["snapshot_id"],
+            "operation": operation,
+            "files": carried + new_files,
+            "ledger": ledger,
+            "ledger_pre_versions": pre_versions,
+            "ledger_evicted_below": evicted_below,
+            "ts": time.time(),
+        }
+        self._write_manifest(manifest, expected_parent_version=m["version"])
+        return CommitResult(
+            snapshot_id, version, applied=True,
+            rows_written=sum(f["rows"] for f in new_files),
+        )
+
     def _batch_profile(
         self, src: DataFrame, key: str
     ) -> tuple[list[dict[str, Any]], dict[int, tuple[Any, Any]], dict[str, Any]]:
@@ -1677,6 +1905,7 @@ def _merge_rows(
     key: str,
     payload_schema: T.StructType,
     broadcast_batch: bool,
+    inclusive_guard: bool = False,
 ) -> DataFrame:
     """Produce the post-merge rows for the touched buckets.
 
@@ -1697,8 +1926,13 @@ def _merge_rows(
     how = "left_outer" if broadcast_batch else "full_outer"
     joined = t.join(s, on=F.col(f"t.{key}") == F.col(f"s.{key}"), how=how)
 
+    outranks = (
+        F.col(f"s.{LSN_COL}") >= F.col(f"t.{LSN_COL}")
+        if inclusive_guard
+        else F.col(f"s.{LSN_COL}") > F.col(f"t.{LSN_COL}")
+    )
     s_wins = F.col(f"s.{key}").isNotNull() & (
-        F.col(f"t.{key}").isNull() | (F.col(f"s.{LSN_COL}") > F.col(f"t.{LSN_COL}"))
+        F.col(f"t.{key}").isNull() | outranks
     )
     is_delete = F.col("s._op") == F.lit("D")
     # deletes become tombstone rows: late-arriving older updates must

@@ -342,6 +342,31 @@ def test_cli_rebucket_and_set_stats_cols(spark, tmp_path):
     assert sc["rows"] == 11
 
 
+def test_cli_delete_and_update_where(spark, tmp_path):
+    from tests.test_zone_maps import PAYLOAD, _changelog
+
+    from data_hub_ejp_xml_pipeline_spark.table.snapshot_table import SnapshotTable
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, root, PAYLOAD, key="doc_id", n_buckets=2)
+    t.merge(_changelog(spark, 200), batch_id=0)
+
+    out = main(["update-where", "--table", root, "--where", "n_tok < 10",
+                "--set", "source=concat(source, '-fixed')", "--batch-id", "1"],
+               spark=spark)
+    assert out["applied"] and out["columns"] == ["source"]
+    assert t.read().filter("source like '%-fixed'").count() == 10
+
+    out = main(["delete-where", "--table", root, "--where", "n_tok >= 100",
+                "--batch-id", "2"], spark=spark)
+    assert out["applied"] and not out["hard"]
+    assert t.read().count() == 100
+    # ledgered replay no-ops
+    out = main(["delete-where", "--table", root, "--where", "n_tok >= 100",
+                "--batch-id", "2"], spark=spark)
+    assert out["applied"] is False
+
+
 def test_cli_tag_and_drop_tag(spark, tmp_path):
     from tests.test_zone_maps import PAYLOAD, _changelog
 
