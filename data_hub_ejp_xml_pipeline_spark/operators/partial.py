@@ -37,6 +37,15 @@ Explicit SQL ``NULL`` assignments are honored as real values (the
 resolution condition treats NULL as "set to null", not "unavailable") —
 only the sentinel string marks an unavailable value, mirroring the wire
 format.
+
+Delivery contract: resolution can only consult values that have ALREADY
+arrived, so each key's events must reach the pipeline in non-decreasing
+LSN order ACROSS epochs — the natural property of a WAL/binlog tail
+(Debezium likewise requires an ordered topic for unchanged-TOAST
+handling). Exact duplicates replayed later are harmless (the merge's LSN
+guard drops their epoch's stale winner); a genuinely out-of-order older
+event cannot retroactively fill a placeholder that was already resolved
+to NULL (``tests/test_streaming_partial.py`` pins the ordered contract).
 """
 
 from __future__ import annotations
@@ -155,7 +164,11 @@ def fill_unavailable(
     against ``table.read()`` — O(batch + matched files), never O(table)
     on the driver.
     """
-    key = table.manifest()["key"]
+    # duck-typed fill source: a SnapshotTable (manifest/read/lookup) or a
+    # merge-on-read pipeline (key/final_state/lookup) — both expose the
+    # tombstone-filtered current rows, which is exactly what a fill may see
+    key = table.manifest()["key"] if hasattr(table, "manifest") else table.key
+    read_current = table.read if hasattr(table, "read") else table.final_state
     needs = F.lit(False)
     for c in cols:
         needs = needs | (F.col(c) == placeholder)
@@ -164,12 +177,19 @@ def fill_unavailable(
     n = fill_keys_df.count()
     if n == 0:
         return reduced
-    cap = table.LOOKUP_MAX_KEYS if lookup_max_keys is None else lookup_max_keys
+    if lookup_max_keys is not None:
+        cap = lookup_max_keys
+    else:
+        from data_hub_ejp_xml_pipeline_spark.table.snapshot_table import (
+            SnapshotTable,
+        )
+
+        cap = getattr(table, "LOOKUP_MAX_KEYS", SnapshotTable.LOOKUP_MAX_KEYS)
     if n <= cap:
         keys = [r[0] for r in fill_keys_df.distinct().collect()]
         current = table.lookup(keys)
     else:
-        current = table.read().join(
+        current = read_current().join(
             fill_keys_df.distinct(), on=key, how="left_semi"
         )
     cur = current.select(

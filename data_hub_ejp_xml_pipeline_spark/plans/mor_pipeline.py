@@ -66,6 +66,8 @@ class MorPipeline:
         profile_mode: str = "pre",
         dedup_state=None,
         dlq_state=None,
+        placeholder_cols: list[str] | None = None,
+        placeholder: str | None = None,
     ):
         """``dedup_state``: an optional :class:`plans.dedup_ingest.
         TokenDedupState` — each epoch's per-key LWW-winning fingerprint
@@ -76,7 +78,14 @@ class MorPipeline:
         ``dlq_state``: an optional :class:`plans.dlq.DlqState` — invalid
         events (null key/LSN, unknown op, inconsistent payload) are split
         off BEFORE the reduce/stage and quarantined with a reason
-        (exactly-once, ledgered append per epoch)."""
+        (exactly-once, ledgered append per epoch).
+
+        ``placeholder_cols`` / ``placeholder``: unchanged-TOAST resolution
+        (``operators.partial``), same semantics as MergePipeline's — the
+        residual fill reads the MERGE-ON-READ view (base ∪ staged deltas),
+        so placeholders resolve against staged-but-uncompacted epochs too;
+        only resolved rows ever reach the delta table. Incompatible with
+        ``dedup_state`` (its fingerprints read raw column values)."""
         self.spark = spark
         self.key = key
         self.k_compact = k_compact
@@ -84,6 +93,16 @@ class MorPipeline:
         self.profile_mode = profile_mode
         self.dedup_state = dedup_state
         self.dlq_state = dlq_state
+        if placeholder_cols and dedup_state is not None:
+            raise ValueError(
+                "placeholder_cols cannot compose with dedup_state: its "
+                "fingerprints read raw column values and would observe "
+                "unresolved placeholders"
+            )
+        self.placeholder_cols = list(placeholder_cols or [])
+        from data_hub_ejp_xml_pipeline_spark.operators.partial import UNAVAILABLE
+
+        self.placeholder = UNAVAILABLE if placeholder is None else placeholder
         delta_schema = T.StructType(
             list(payload_schema.fields) + [T.StructField("op", T.StringType(), True)]
         )
@@ -165,6 +184,35 @@ class MorPipeline:
 
             changelog, rejects = split_changelog(changelog, key=self.key)
             self.dlq_state.apply(rejects, batch_id=batch_id)
+        if self.placeholder_cols:
+            from data_hub_ejp_xml_pipeline_spark.operators.partial import (
+                fill_unavailable,
+                reduce_latest_partial,
+            )
+
+            pre = reduce_latest_partial(
+                changelog,
+                key=self.key,
+                cols=self.placeholder_cols,
+                placeholder=self.placeholder,
+            ).persist()
+            try:
+                # fill from the MOR view (base ∪ staged deltas): recent
+                # epochs may still be staged-only; append() materializes
+                # synchronously so the unpersist below is safe
+                reduced = fill_unavailable(
+                    pre, self, self.placeholder_cols,
+                    placeholder=self.placeholder,
+                )
+                res = self.delta.append(reduced, batch_id=batch_id,
+                                        stats_df=changelog)
+            finally:
+                pre.unpersist()
+            if res.applied:
+                self._since_compact += 1
+                if self._since_compact >= self.k_compact:
+                    self.compact()
+            return res
         reduced = reduce_latest(
             changelog, key=self.key, strategy=self.reduce_strategy
         )

@@ -295,6 +295,68 @@ def test_debezium_wire_sentinel_resolves(spark, table_root):
     assert got == {"k1": ("x", "y10"), "k2": ("p11", "q12")}
 
 
+@pytest.mark.parametrize("seed,n_epochs", [(17, 3), (19, 5)])
+def test_mor_property_matches_sequential_fold(spark, tmp_path, seed, n_epochs):
+    """Merge-on-read variant: placeholders must resolve against the MOR
+    view (staged-but-uncompacted epochs included) — k_compact=2 forces a
+    compaction mid-stream so both fill sources are exercised."""
+    from data_hub_ejp_xml_pipeline_spark.plans.mor_pipeline import MorPipeline
+
+    rng = random.Random(seed)
+    keys = [f"k{i}" for i in range(8)]
+    events = []
+    for lsn in range(1, 121):
+        k = rng.choice(keys)
+        op = rng.choices(["I", "U", "D"], weights=[2, 6, 1])[0]
+
+        def val(prefix):
+            r = rng.random()
+            if op == "U" and r < 0.4:
+                return UNAVAILABLE
+            if r > 0.9:
+                return None
+            return f"{prefix}{lsn}"
+
+        events.append((lsn, op, k, val("a"), val("b")))
+    pipe = MorPipeline(
+        spark,
+        str(tmp_path / "mor"),
+        key="doc_id",
+        n_buckets=4,
+        k_compact=2,
+        payload_schema=PAYLOAD,
+        placeholder_cols=COLS,
+    )
+    step = 120 // n_epochs + 1
+    for i in range(n_epochs):
+        batch = [e for e in events if 1 + i * step <= e[0] < 1 + (i + 1) * step]
+        if not batch:
+            continue
+        df = spark.createDataFrame([tuple(e) for e in batch], schema=SCHEMA)
+        pipe.apply(df, batch_id=i)
+    got = {
+        r["doc_id"]: (r["a"], r["b"])
+        for r in pipe.final_state().select("doc_id", "a", "b").collect()
+    }
+    want = {k: (v["a"], v["b"]) for k, v in fold(events).items()}
+    assert got == want
+
+
+def test_mor_guard_rejects_dedup_composition(spark, tmp_path):
+    from data_hub_ejp_xml_pipeline_spark.plans.dedup_ingest import TokenDedupState
+    from data_hub_ejp_xml_pipeline_spark.plans.mor_pipeline import MorPipeline
+
+    s = TokenDedupState(spark, str(tmp_path / "tok"), n_buckets=2)
+    with pytest.raises(ValueError, match="placeholder_cols"):
+        MorPipeline(
+            spark,
+            str(tmp_path / "mor"),
+            payload_schema=PAYLOAD,
+            placeholder_cols=COLS,
+            dedup_state=s,
+        )
+
+
 @pytest.mark.parametrize("seed,n_epochs", [(7, 1), (11, 2), (13, 4)])
 def test_property_matches_sequential_fold(spark, tmp_path, seed, n_epochs):
     rng = random.Random(seed)
