@@ -2887,6 +2887,91 @@ def q_cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Debezium schema drift (upstream DDL → table evolution)
+# ---------------------------------------------------------------------
+
+_SCHEMA_DRIFT_ORACLE = """
+SELECT CAST(user_id AS VARCHAR) AS doc_id,
+       event_type AS etype,
+       round(value, 4) AS val,
+       CASE WHEN event_id >= (SELECT (max(event_id) + 1) // 2 FROM events)
+            THEN event_id * 3 END AS score,
+       event_id AS last_lsn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upstream-DDL loop end-to-end: events rendered as Debezium JSON
+    envelopes where a ``score`` column appears on the wire only in the
+    second half of the stream (``to_json`` drops null fields, exactly
+    like a connector after an ALTER TABLE). Epoch 1 decodes with the
+    declared schema; epoch 2 is drift-scanned (``drift_columns``), the
+    schema evolves off a bounded sample (``evolve_payload_schema``), the
+    re-decode carries the column and the table merge's create-or-evolve
+    adds it — old rows read NULL. Final state vs the one-shot LWW view."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
+    from data_hub_ejp_xml_pipeline_spark.sources import debezium as dbz
+    from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    mid = (hi + 1) // 2
+    eid = F.col("event_id")
+    is_err = F.col("event_type") == "error"
+    payload = F.struct(
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("etype"),
+        F.round("value", 4).alias("val"),
+        F.when(eid >= mid, eid * 3).alias("score"),
+    )
+    envelopes = ev.select(
+        eid.alias("event_id"),
+        F.to_json(
+            F.struct(
+                F.when(is_err, payload).alias("before"),
+                F.when(~is_err, payload).alias("after"),
+                F.when(is_err, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+                (eid + F.lit(1_700_000_000_000)).alias("ts_ms"),
+                F.struct(eid.alias("lsn"), F.lit("events").alias("table")).alias("source"),
+            )
+        ).alias("value"),
+    )
+    base = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("etype", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    epoch1 = envelopes.filter(eid < mid)
+    epoch2 = envelopes.filter(eid >= mid)
+    root = _swept_scratch_dir("driftq") + "/tbl"
+    table = SnapshotTable.create(spark, root, base, key="doc_id", n_buckets=8)
+    table.merge(
+        reduce_latest(dbz.changelog(dbz.decode_envelopes(epoch1, base))),
+        batch_id=0,
+    )
+    if dbz.drift_columns(epoch1, base).count() != 0:
+        raise AssertionError("epoch 1 must be drift-free")
+    evolved = dbz.evolve_payload_schema(spark, epoch2, base)
+    if evolved is base:
+        raise AssertionError("epoch 2 must have drifted")
+    table.merge(
+        reduce_latest(dbz.changelog(dbz.decode_envelopes(epoch2, evolved))),
+        batch_id=1,
+    )
+    return table.read().select(
+        "doc_id", "etype", "val", "score", F.col("_lsn").alias("last_lsn")
+    )
+
+
+# ---------------------------------------------------------------------
 # Partial updates (unchanged-TOAST placeholder resolution)
 # ---------------------------------------------------------------------
 
@@ -3027,6 +3112,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "partial_update_resolve": (q_partial_update_resolve, _PARTIAL_ORACLE),
     "cdc_delete_where": (q_cdc_delete_where, _DELETE_WHERE_ORACLE),
     "cdc_update_where": (q_cdc_update_where, _UPDATE_WHERE_ORACLE),
+    "cdc_schema_drift": (q_cdc_schema_drift, _SCHEMA_DRIFT_ORACLE),
     "lsn_gaps": (q_lsn_gaps, _LSN_GAPS_ORACLE),
     "cdc_snapshot_diff": (q_cdc_snapshot_diff, _CDC_DIFF_ORACLE),
     "watermark_per_source": (

@@ -105,6 +105,90 @@ def decode_envelopes(
     )
 
 
+def _payload_keys(json_col: str, side: str):
+    """Top-level keys of the envelope's ``after``/``before`` object —
+    JVM-side (``get_json_object`` + ``json_object_keys``), no Python."""
+    obj = F.get_json_object(F.col(json_col).cast("string"), f"$.{side}")
+    return F.coalesce(F.json_object_keys(obj), F.array())
+
+
+def drift_columns(
+    df: DataFrame, payload_schema: T.StructType, json_col: str = "value"
+) -> DataFrame:
+    """Schema-drift detector: payload keys arriving on the wire that the
+    declared ``payload_schema`` does not know (an upstream DDL added a
+    column — ``from_json`` would silently DROP its values). Returns
+    ``(column, n_envelopes)`` aggregated over both envelope sides, all
+    JVM expressions; empty means no drift. Run it per epoch (or on the
+    quarantine branch) and feed :func:`evolve_payload_schema`."""
+    known = F.array(*[F.lit(f.name) for f in payload_schema.fields])
+    unknown = F.array_union(
+        F.array_except(_payload_keys(json_col, "after"), known),
+        F.array_except(_payload_keys(json_col, "before"), known),
+    )
+    return (
+        df.select(F.explode(unknown).alias("column"))
+        .groupBy("column")
+        .agg(F.count("*").alias("n_envelopes"))
+    )
+
+
+def evolve_payload_schema(
+    spark,
+    df: DataFrame,
+    payload_schema: T.StructType,
+    json_col: str = "value",
+    sample_limit: int = 1000,
+) -> T.StructType:
+    """Grow ``payload_schema`` with the drifted TOP-LEVEL columns found in
+    ``df``'s envelopes, typed by Spark's own JSON inference over a BOUNDED
+    sample of drifted envelopes only (the scan that finds them is
+    distributed; at most ``sample_limit`` strings reach the driver).
+    Known columns keep their existing types verbatim — wire-side type
+    changes never mutate the table schema from here (widening stays the
+    table's own merge-time decision). Returns the input schema object
+    unchanged when nothing drifted, so callers can cheaply test
+    ``evolved is schema``. Nested additions inside known struct columns
+    are out of scope (quarantine surfaces them).
+
+    The decode→apply loop for upstream DDL: detect via
+    :func:`drift_columns`, evolve, re-decode the epoch with the evolved
+    schema, and let the table merge's create-or-evolve add the column —
+    old rows read as NULL (``table/schema_evolution.py``)."""
+    known = F.array(*[F.lit(f.name) for f in payload_schema.fields])
+    drifted = F.array_union(
+        F.array_except(_payload_keys(json_col, "after"), known),
+        F.array_except(_payload_keys(json_col, "before"), known),
+    )
+    sample = (
+        df.filter(F.size(drifted) > 0)
+        .select(F.col(json_col).cast("string").alias("v"))
+        .limit(sample_limit)
+        .collect()
+    )
+    strings = [r["v"] for r in sample if r["v"] is not None]
+    if not strings:
+        return payload_schema
+    inferred = spark.read.json(
+        spark.sparkContext.parallelize(strings, 1)
+    ).schema
+    existing = {f.name.lower() for f in payload_schema.fields}
+    new_fields: dict[str, T.StructField] = {}
+    for side in ("after", "before"):
+        side_type = next(
+            (f.dataType for f in inferred.fields if f.name == side), None
+        )
+        if not isinstance(side_type, T.StructType):
+            continue
+        for f in side_type.fields:
+            if f.name.lower() in existing or f.name.lower() in new_fields:
+                continue
+            new_fields[f.name.lower()] = T.StructField(f.name, f.dataType, True)
+    if not new_fields:
+        return payload_schema
+    return T.StructType(list(payload_schema.fields) + list(new_fields.values()))
+
+
 def changelog(decoded: DataFrame) -> DataFrame:
     """The clean changelog branch (drops quarantine columns)."""
     return decoded.filter(F.col("_error").isNull()).drop("_error", "_raw")

@@ -101,3 +101,55 @@ def test_debezium_stream_to_snapshot_table(spark, tmp_path):
     rows = {r.doc_id: r for r in table.read().collect()}
     assert set(rows) == {"a"}
     assert rows["a"].v == "a2" and rows["a"]._lsn == 3
+
+
+def test_drift_detection_and_schema_evolution(spark, tmp_path):
+    """Upstream DDL loop: a column appears on the wire mid-stream →
+    drift_columns flags it, evolve_payload_schema types it off a bounded
+    sample, the re-decode carries it, and the table merge's
+    create-or-evolve adds it (old rows read NULL)."""
+    from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
+    from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+    epoch1 = spark.createDataFrame(
+        [
+            (_env("c", after={"doc_id": "a", "v": "a1"}, lsn=1),),
+            (_env("c", after={"doc_id": "b", "v": "b1"}, lsn=2),),
+        ],
+        "value string",
+    )
+    epoch2 = spark.createDataFrame(
+        [
+            (_env("u", after={"doc_id": "a", "v": "a2", "score": 7}, lsn=3),),
+            (_env("c", after={"doc_id": "c", "v": "c1", "score": 9}, lsn=4),),
+            (_env("d", before={"doc_id": "b", "v": "b1", "score": 1}, lsn=5),),
+        ],
+        "value string",
+    )
+    # epoch 1: no drift — the SAME schema object comes back
+    assert dbz.drift_columns(epoch1, PAYLOAD).count() == 0
+    assert dbz.evolve_payload_schema(spark, epoch1, PAYLOAD) is PAYLOAD
+
+    drift = {r.column: r.n_envelopes for r in dbz.drift_columns(epoch2, PAYLOAD).collect()}
+    assert drift == {"score": 3}
+    evolved = dbz.evolve_payload_schema(spark, epoch2, PAYLOAD)
+    assert [f.name for f in evolved.fields] == ["doc_id", "v", "score"]
+    assert isinstance(evolved["score"].dataType, T.LongType)  # JSON int → long
+    # known columns keep their declared types even though inference saw them
+    assert isinstance(evolved["v"].dataType, T.StringType)
+
+    table = SnapshotTable.create(spark, str(tmp_path / "tbl"), PAYLOAD, n_buckets=2)
+    table.merge(reduce_latest(dbz.changelog(dbz.decode_envelopes(epoch1, PAYLOAD))), batch_id=0)
+    table.merge(reduce_latest(dbz.changelog(dbz.decode_envelopes(epoch2, evolved))), batch_id=1)
+    got = {(r.doc_id, r.v, r.score) for r in table.read().select("doc_id", "v", "score").collect()}
+    assert got == {("a", "a2", 7), ("c", "c1", 9)}
+
+
+def test_drift_quarantine_unaffected(spark):
+    """Unparseable envelopes must not break the drift scan (their key
+    arrays coalesce to empty)."""
+    df = spark.createDataFrame(
+        [("{not json",), (_env("c", after={"doc_id": "a", "v": "x"}, lsn=1),)],
+        "value string",
+    )
+    assert dbz.drift_columns(df, PAYLOAD).count() == 0
