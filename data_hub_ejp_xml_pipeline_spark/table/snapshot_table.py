@@ -1693,13 +1693,23 @@ class SnapshotTable:
         types = {f.name: f.dataType for f in schema.fields}
 
         def transform(df: DataFrame, match) -> DataFrame:
-            out = df
-            for c, v in assignments.items():
-                vcol = v if isinstance(v, Column) else F.lit(v)
-                out = out.withColumn(
-                    c, F.when(match, vcol.cast(types[c])).otherwise(F.col(c))
-                )
-            return out
+            # ONE projection: every assignment (and the match predicate)
+            # evaluates against the PRE-update row image, like SQL UPDATE —
+            # sequential withColumn would feed earlier assignments' results
+            # into later expressions and into the predicate itself
+            out = []
+            for c in df.columns:
+                if c in assignments:
+                    v = assignments[c]
+                    vcol = v if isinstance(v, Column) else F.lit(v)
+                    out.append(
+                        F.when(match, vcol.cast(types[c]))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                    )
+                else:
+                    out.append(F.col(c))
+            return df.select(*out)
 
         return self._rewrite_where(
             cond, transform, "update_where", batch_id, prune_range

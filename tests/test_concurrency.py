@@ -116,3 +116,32 @@ def test_merge_commit_retries_win_after_concurrent_loss(spark, tmp_path, changel
     from pyspark.sql import functions as F
 
     assert table.read().count() == batch_b.filter(F.col("op") != "D").count()
+
+
+def test_dml_loses_cas_to_interleaved_merge(spark, tmp_path, changelog_pdf, monkeypatch):
+    """delete_where/update_where ride the same optimistic CAS as merge: a
+    DML commit computed against a stale snapshot must raise, never
+    silently drop the interleaved merge."""
+    table = SnapshotTable.create(spark, str(tmp_path / "tbl"), PAYLOAD_SCHEMA, n_buckets=4)
+    table.merge(
+        reduce_latest(spark_changelog_from_pandas(spark, changelog_pdf.iloc[:500])),
+        batch_id=0,
+    )
+    b2 = reduce_latest(spark_changelog_from_pandas(spark, changelog_pdf.iloc[500:1000]))
+
+    original = table._write_manifest
+    interfered = {"done": False}
+
+    def interfering_write(manifest, expected_parent_version=None):
+        if not interfered["done"] and manifest["operation"] == "delete_where":
+            interfered["done"] = True
+            SnapshotTable(spark, table.root).merge(b2, batch_id=99)
+        original(manifest, expected_parent_version=expected_parent_version)
+
+    monkeypatch.setattr(table, "_write_manifest", interfering_write)
+    with pytest.raises(ConcurrentCommitError):
+        table.delete_where("n_tok >= 0", batch_id=1)
+    monkeypatch.setattr(table, "_write_manifest", original)
+    assert "99" in table.ledger()  # the interleaved merge survived
+    res = table.delete_where("n_tok >= 0", batch_id=1)  # retry on fresh snapshot
+    assert res.applied and table.read().count() == 0

@@ -96,6 +96,24 @@ def test_update_where_rewrites_values_not_lsn(spark, tmp_path):
     assert after_lsn == before_lsn  # merge guard unchanged
 
 
+def test_update_where_assignments_read_the_pre_image(spark, tmp_path):
+    """SQL UPDATE semantics: every assignment AND the predicate evaluate
+    against the pre-update row — an assignment that rewrites a column the
+    predicate (or another assignment) reads must not feed back."""
+    t = _seed(spark, str(tmp_path / "t"), n=6)
+    res = t.update_where(
+        "grp = 'odd'",
+        {"grp": "renamed", "val": F.col("val") + F.length("grp")},
+    )
+    assert res.applied
+    st = _state(t)
+    # k003: odd, val 3 -> grp 'renamed', val 3 + len('odd') = 6
+    # (sequential evaluation would give 3 + len('renamed') = 10, or leave
+    # val untouched because the mutated predicate no longer matches)
+    assert st["k003"] == ("renamed", 6)
+    assert st["k002"] == ("even", 2)
+
+
 def test_update_where_guards_assignments(spark, tmp_path):
     t = _seed(spark, str(tmp_path / "t"), n=4)
     with pytest.raises(ValueError, match="key/internal"):
