@@ -123,6 +123,19 @@ def _build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("show", help="table version/schema/files summary")
     table_arg(s)
 
+    mt = sub.add_parser("maintain",
+                        help="one maintenance pass: compact + expire + "
+                             "watermark-gated tombstone vacuum")
+    table_arg(mt)
+    mt.add_argument("--keep-snapshots", type=int, default=4)
+    mt.add_argument("--max-files-per-bucket", type=int, default=None)
+    mt.add_argument("--vacuum-slack-lsn", type=int, default=None,
+                    help="lateness+replay bound in LSN units; omit to skip "
+                         "vacuum")
+    mt.add_argument("--watermark-lsn", type=int, default=None,
+                    help="explicit safe watermark (default: derived from "
+                         "_lsn zone maps when the table records them)")
+
     dw = sub.add_parser("delete-where",
                         help="predicate DELETE (soft tombstones by default)")
     table_arg(dw)
@@ -376,6 +389,20 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         table = SnapshotTable(spark, args.table)
         res = table.vacuum_tombstones(older_than_lsn=args.older_than_lsn)
         out = {"cmd": "vacuum", "applied": res.applied, "snapshot_id": res.snapshot_id}
+
+    elif args.cmd == "maintain":
+        from data_hub_ejp_xml_pipeline_spark.plans.maintenance import (
+            MaintenancePolicy,
+        )
+
+        policy = MaintenancePolicy(
+            SnapshotTable(spark, args.table),
+            max_files_per_bucket=args.max_files_per_bucket,
+            keep_snapshots=args.keep_snapshots,
+            vacuum_slack_lsn=args.vacuum_slack_lsn,
+            vacuum_every=1,
+        )
+        out = {"cmd": "maintain", **policy.run(watermark_lsn=args.watermark_lsn)}
 
     elif args.cmd == "delete-where":
         table = SnapshotTable(spark, args.table)

@@ -45,6 +45,8 @@ class ChangelogTailer:
         fail_after_batches: int | None = None,  # test hook: simulated crash
         profile_mode: str = "pre",
         pipeline=None,
+        maintenance=None,
+        maintenance_every: int = 8,
     ):
         """Pass EITHER ``table`` (per-epoch reduce + COW merge — the
         default loop) OR ``pipeline`` — any object with
@@ -56,7 +58,14 @@ class ChangelogTailer:
         consulted — the injected pipeline owns its reduce and merge
         configuration. A duck-typed pipeline without a ``base``/``table``
         attribute works too, but must then provide ``metrics_path``
-        (there is no table root to derive it from)."""
+        (there is no table root to derive it from).
+
+        ``maintenance``: an optional :class:`plans.maintenance.
+        MaintenancePolicy` run inside ``foreachBatch`` every
+        ``maintenance_every`` APPLIED epochs — between commits, so the
+        policy's single-owner verbs (compaction/expiry/vacuum) can never
+        race the stream's own writer. Maintenance outcomes land in the
+        metrics stream beside the apply row."""
         if (table is None) == (pipeline is None):
             raise ValueError("pass exactly one of table= or pipeline=")
         self.spark = spark
@@ -83,6 +92,9 @@ class ChangelogTailer:
         self.metrics: list[dict[str, Any]] = []
         self._fail_after = fail_after_batches
         self._batches_seen = 0
+        self.maintenance = maintenance
+        self.maintenance_every = max(1, maintenance_every)
+        self._applied_since_maintenance = 0
 
     # ----------------------------------------------------------- foreachBatch
     def apply_epoch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -129,6 +141,11 @@ class ChangelogTailer:
             # ledgered append — surface it beside the applied count so an
             # operator sees reject spikes in the same stream
             row["events_rejected"] = dlq.last_reject_count
+        if self.maintenance is not None and result.applied:
+            self._applied_since_maintenance += 1
+            if self._applied_since_maintenance >= self.maintenance_every:
+                self._applied_since_maintenance = 0
+                row["maintenance"] = self.maintenance.run()
         self.metrics.append(row)
         if len(self.metrics) > 10_000:
             # metrics.jsonl is the durable record; the in-memory list is a

@@ -413,3 +413,20 @@ def test_cli_changefeed_replicates_table(spark, tmp_path):
     src_cmp = {tuple(r) for r in t.read()
                .select(*[f.name for f in PAYLOAD.fields], "_lsn").collect()}
     assert dst == src_cmp
+
+
+def test_cli_maintain(spark, tmp_path):
+    from tests.test_zone_maps import PAYLOAD, _changelog
+
+    from data_hub_ejp_xml_pipeline_spark.table.snapshot_table import SnapshotTable
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, root, PAYLOAD, key="doc_id", n_buckets=2,
+                             stats_cols=["_lsn"])
+    t.merge(_changelog(spark, 300), batch_id=0)
+    t.delete_where("n_tok < 50")
+    out = main(["maintain", "--table", root, "--keep-snapshots", "1",
+                "--vacuum-slack-lsn", "0"], spark=spark)
+    assert out["cmd"] == "maintain" and out["vacuumed"]
+    assert t.read(include_tombstones=True).filter("_deleted").count() == 0
+    assert t.read().count() == 250

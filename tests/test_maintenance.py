@@ -293,3 +293,97 @@ def test_sub_watermark_batch_warns_and_strict_raises(spark, tmp_path, changelog_
     strict = SnapshotTable(spark, table.root, strict_ledger=True)
     with pytest.raises(ValueError, match="strict_ledger"):
         strict.merge(replay, batch_id=0)
+
+
+def test_maintenance_policy_pass(spark, tmp_path, changelog_pdf):
+    """One policy pass: threshold compaction + expiry + watermark-gated
+    vacuum, with the watermark DERIVED from the manifest's _lsn zone maps
+    (no scan). Tombstones above max_lsn - slack survive; below vanish."""
+    from data_hub_ejp_xml_pipeline_spark.plans.maintenance import MaintenancePolicy
+
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "tbl"), PAYLOAD_SCHEMA, n_buckets=4,
+        stats_cols=["_lsn"],
+    )
+    n = len(changelog_pdf)
+    step = n // 4 + 1
+    for i in range(4):
+        batch = spark_changelog_from_pandas(
+            spark, changelog_pdf.iloc[i * step : (i + 1) * step]
+        )
+        table.merge(reduce_latest(batch), batch_id=i)
+    max_lsn = int(changelog_pdf["lsn"].max())
+    dead_before = table.read(include_tombstones=True).filter("_deleted").count()
+    assert dead_before > 0
+
+    policy = MaintenancePolicy(
+        table, keep_snapshots=1, vacuum_slack_lsn=0, vacuum_every=1
+    )
+    assert policy.derived_watermark() == max_lsn
+    out = policy.run()
+    assert out["expired_manifests"] > 0
+    assert out["vacuumed"] and out["vacuum_cutoff_lsn"] == max_lsn
+    assert table.read(include_tombstones=True).filter("_deleted").count() == 0
+    assert_final_state_equal(
+        table.read().toPandas(), expected_final_state_pandas(changelog_pdf)
+    )
+    # a second pass with an UNCHANGED watermark must not pay the vacuum
+    # rewrite again (vacuum_tombstones itself always rewrites)
+    out2 = policy.run()
+    assert not out2["vacuumed"]
+
+
+def test_maintenance_policy_never_guesses_watermark(spark, tmp_path, changelog_pdf):
+    """No _lsn stats and no explicit watermark → vacuum must NOT run."""
+    from data_hub_ejp_xml_pipeline_spark.plans.maintenance import MaintenancePolicy
+
+    table = _build(spark, tmp_path, changelog_pdf, n_batches=2)
+    dead = table.read(include_tombstones=True).filter("_deleted").count()
+    assert dead > 0
+    policy = MaintenancePolicy(table, vacuum_slack_lsn=0, vacuum_every=1)
+    assert policy.derived_watermark() is None
+    out = policy.run()
+    assert not out["vacuumed"]
+    assert table.read(include_tombstones=True).filter("_deleted").count() == dead
+    # an explicit watermark (the stream's committed offset) unlocks it
+    out = policy.run(watermark_lsn=int(changelog_pdf["lsn"].max()))
+    assert out["vacuumed"]
+    assert table.read(include_tombstones=True).filter("_deleted").count() == 0
+
+
+def test_tailer_runs_maintenance_on_cadence(spark, tmp_path, changelog_pdf):
+    """ChangelogTailer(maintenance=..., maintenance_every=2) runs the pass
+    between commits; final state is untouched and metrics carry the
+    maintenance outcome rows."""
+    from data_hub_ejp_xml_pipeline_spark.generator import (
+        generate_changelog_pandas,
+        write_changelog_files,
+    )
+    from data_hub_ejp_xml_pipeline_spark.plans.maintenance import MaintenancePolicy
+    from data_hub_ejp_xml_pipeline_spark.streaming.tailer import ChangelogTailer
+
+    # mid-stream vacuum with slack 0 is only safe under the watermark
+    # contract: ORDERED delivery, no replays (a replayed pre-delete update
+    # would re-insert a vacuumed key — the module docstring's hazard)
+    pdf = generate_changelog_pandas(
+        n_events=3_000, seed=5, replay_fraction=0.0, shuffle_window=1
+    )
+    d = str(tmp_path / "chg")
+    write_changelog_files(pdf, d, 6)
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "tbl"), PAYLOAD_SCHEMA, n_buckets=4,
+        stats_cols=["_lsn"],
+    )
+    policy = MaintenancePolicy(
+        table, keep_snapshots=2, vacuum_slack_lsn=0, vacuum_every=2
+    )
+    tailer = ChangelogTailer(
+        spark, table=table, maintenance=policy, maintenance_every=2
+    )
+    tailer.run_to_completion(d, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    ran = [m["maintenance"] for m in tailer.metrics if "maintenance" in m]
+    assert len(ran) >= 2
+    assert any(p["vacuumed"] for p in ran)
+    assert_final_state_equal(
+        table.read().toPandas(), expected_final_state_pandas(pdf)
+    )
