@@ -157,12 +157,12 @@ def fill_unavailable(
     Only rows still carrying a placeholder join the table; everything
     else passes through untouched via a union-free left join (absent keys
     fill with NULL — there is no previous value to keep). Path choice:
-    the fill key set is counted once (column-pruned scan of the already-
-    computed reduce); at or under ``lookup_max_keys`` (default: the
-    table's ``LOOKUP_MAX_KEYS``) it goes through the bucket/range/bloom-
-    pruned :meth:`SnapshotTable.lookup`, above it through one equi-join
-    against ``table.read()`` — O(batch + matched files), never O(table)
-    on the driver.
+    ONE bounded driver job collects at most ``lookup_max_keys + 1`` fill
+    keys (default cap: the table's ``LOOKUP_MAX_KEYS``) — at or under the
+    cap they go through the bucket/range/bloom-pruned
+    :meth:`SnapshotTable.lookup`, above it one equi-join against
+    ``table.read()`` — O(batch + matched files), never O(table) on the
+    driver.
     """
     # duck-typed fill source: a SnapshotTable (manifest/read/lookup) or a
     # merge-on-read pipeline (key/final_state/lookup) — both expose the
@@ -173,10 +173,7 @@ def fill_unavailable(
     for c in cols:
         needs = needs | (F.col(c) == placeholder)
     needs = needs & (F.col(op_col) != "D")
-    fill_keys_df = reduced.filter(needs).select(key)
-    n = fill_keys_df.count()
-    if n == 0:
-        return reduced
+    fill_keys_df = reduced.filter(needs).select(key).distinct()
     if lookup_max_keys is not None:
         cap = lookup_max_keys
     else:
@@ -185,12 +182,17 @@ def fill_unavailable(
         )
 
         cap = getattr(table, "LOOKUP_MAX_KEYS", SnapshotTable.LOOKUP_MAX_KEYS)
-    if n <= cap:
-        keys = [r[0] for r in fill_keys_df.distinct().collect()]
+    # ONE driver job decides the path AND fetches the key list: collect at
+    # most cap+1 keys — cap+1 proves "too many for a point lookup" without
+    # a separate count() round-trip on the hot foreachBatch path
+    keys = [r[0] for r in fill_keys_df.limit(cap + 1).collect()]
+    if not keys:
+        return reduced
+    if len(keys) <= cap:
         current = table.lookup(keys)
     else:
         current = read_current().join(
-            fill_keys_df.distinct(), on=key, how="left_semi"
+            fill_keys_df, on=key, how="left_semi"
         )
     cur = current.select(
         F.col(key), *[F.col(c).alias(f"_cur_{c}") for c in cols]

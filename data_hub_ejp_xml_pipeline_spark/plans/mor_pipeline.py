@@ -208,22 +208,20 @@ class MorPipeline:
                                         stats_df=changelog)
             finally:
                 pre.unpersist()
-            if res.applied:
-                self._since_compact += 1
-                if self._since_compact >= self.k_compact:
-                    self.compact()
-            return res
-        reduced = reduce_latest(
-            changelog, key=self.key, strategy=self.reduce_strategy
-        )
-        if self.dedup_state is not None:
-            # fingerprint-then-reduce over the RAW batch (deleted keys'
-            # winners never enter the corpus state); the dedup shuffle
-            # carries fingerprints, not token payloads
-            self.dedup_state.apply_changelog(changelog, batch_id=batch_id)
-        # raw batch feeds the stats/lineage pre-pass (narrow, no reduce);
-        # the LWW reduce then executes exactly once, in the append's write
-        res = self.delta.append(reduced, batch_id=batch_id, stats_df=changelog)
+        else:
+            reduced = reduce_latest(
+                changelog, key=self.key, strategy=self.reduce_strategy
+            )
+            if self.dedup_state is not None:
+                # fingerprint-then-reduce over the RAW batch (deleted keys'
+                # winners never enter the corpus state); the dedup shuffle
+                # carries fingerprints, not token payloads
+                self.dedup_state.apply_changelog(changelog, batch_id=batch_id)
+            # raw batch feeds the stats/lineage pre-pass (narrow, no
+            # reduce); the LWW reduce then executes exactly once, in the
+            # append's write
+            res = self.delta.append(reduced, batch_id=batch_id,
+                                    stats_df=changelog)
         if res.applied:
             self._since_compact += 1
             if self._since_compact >= self.k_compact:

@@ -112,6 +112,20 @@ def _payload_keys(json_col: str, side: str):
     return F.coalesce(F.json_object_keys(obj), F.array())
 
 
+def _unknown_keys(json_col: str, side: str, payload_schema: T.StructType):
+    """Wire keys (original case preserved) whose CASE-INSENSITIVE name the
+    declared schema does not know — the same name matching every other
+    engine surface uses, so detection and evolution can never disagree on
+    a case-variant column."""
+    known_lower = F.array(
+        *[F.lit(f.name.lower()) for f in payload_schema.fields]
+    )
+    keys = _payload_keys(json_col, side)
+    return F.filter(
+        keys, lambda k: ~F.array_contains(known_lower, F.lower(k))
+    )
+
+
 def drift_columns(
     df: DataFrame, payload_schema: T.StructType, json_col: str = "value"
 ) -> DataFrame:
@@ -121,10 +135,9 @@ def drift_columns(
     ``(column, n_envelopes)`` aggregated over both envelope sides, all
     JVM expressions; empty means no drift. Run it per epoch (or on the
     quarantine branch) and feed :func:`evolve_payload_schema`."""
-    known = F.array(*[F.lit(f.name) for f in payload_schema.fields])
     unknown = F.array_union(
-        F.array_except(_payload_keys(json_col, "after"), known),
-        F.array_except(_payload_keys(json_col, "before"), known),
+        _unknown_keys(json_col, "after", payload_schema),
+        _unknown_keys(json_col, "before", payload_schema),
     )
     return (
         df.select(F.explode(unknown).alias("column"))
@@ -155,10 +168,9 @@ def evolve_payload_schema(
     :func:`drift_columns`, evolve, re-decode the epoch with the evolved
     schema, and let the table merge's create-or-evolve add the column —
     old rows read as NULL (``table/schema_evolution.py``)."""
-    known = F.array(*[F.lit(f.name) for f in payload_schema.fields])
     drifted = F.array_union(
-        F.array_except(_payload_keys(json_col, "after"), known),
-        F.array_except(_payload_keys(json_col, "before"), known),
+        _unknown_keys(json_col, "after", payload_schema),
+        _unknown_keys(json_col, "before", payload_schema),
     )
     sample = (
         df.filter(F.size(drifted) > 0)

@@ -1648,7 +1648,10 @@ class SnapshotTable:
         cond = F.expr(condition) if isinstance(condition, str) else condition
         if hard:
             def transform(df: DataFrame, match) -> DataFrame:
-                return df.filter(~match)
+                # SQL DELETE semantics: a NULL predicate is NOT a match —
+                # a bare ~match would drop NULL-evaluating rows (and only
+                # in files that also held a TRUE match: file-dependent loss)
+                return df.filter(~F.coalesce(match, F.lit(False)))
         else:
             def transform(df: DataFrame, match) -> DataFrame:
                 return df.withColumn(

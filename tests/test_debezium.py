@@ -153,3 +153,21 @@ def test_drift_quarantine_unaffected(spark):
         "value string",
     )
     assert dbz.drift_columns(df, PAYLOAD).count() == 0
+
+
+def test_drift_case_variant_column_detected_and_evolved_consistently(spark):
+    """Detection and evolution must agree on case-variant names (the
+    engine's name matching is case-insensitive everywhere): a wire column
+    differing only in case from a declared one is NOT drift; a genuinely
+    new mixed-case column is detected AND evolved (wire case preserved)."""
+    df = spark.createDataFrame(
+        [
+            (_env("u", after={"doc_id": "a", "V": "x", "NewCol": 1}, lsn=1),),
+            (_env("u", after={"doc_id": "b", "v": "y", "NewCol": 2}, lsn=2),),
+        ],
+        "value string",
+    )
+    drift = {r.column for r in dbz.drift_columns(df, PAYLOAD).collect()}
+    assert drift == {"NewCol"}  # "V" is just a case variant of declared "v"
+    evolved = dbz.evolve_payload_schema(spark, df, PAYLOAD)
+    assert [f.name for f in evolved.fields] == ["doc_id", "v", "NewCol"]

@@ -96,6 +96,29 @@ def test_update_where_rewrites_values_not_lsn(spark, tmp_path):
     assert after_lsn == before_lsn  # merge guard unchanged
 
 
+def test_hard_delete_null_predicate_is_not_a_match(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates to NULL
+    survive a hard delete — and identically whether or not they share a
+    file with a TRUE match (no file-dependent loss)."""
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), PAYLOAD, key="doc_id", n_buckets=1
+    )
+    rows = [
+        (1, "U", "k1", "g", None),   # NULL val: predicate NULL, same file
+        (2, "U", "k2", "g", 200),    # TRUE match
+        (3, "U", "k3", "g", 10),     # FALSE
+    ]
+    t.merge(
+        spark.createDataFrame(
+            rows, "lsn long, op string, doc_id string, grp string, val long"
+        ),
+        batch_id=0,
+    )
+    res = t.delete_where("val >= 100", hard=True)
+    assert res.applied
+    assert set(_state(t)) == {"k1", "k3"}
+
+
 def test_update_where_assignments_read_the_pre_image(spark, tmp_path):
     """SQL UPDATE semantics: every assignment AND the predicate evaluate
     against the pre-update row — an assignment that rewrites a column the
