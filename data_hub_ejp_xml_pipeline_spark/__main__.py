@@ -103,6 +103,16 @@ def _build_parser() -> argparse.ArgumentParser:
                              "events (null key/LSN, unknown op, "
                              "inconsistent payload) with a reason instead "
                              "of merging them")
+        sp.add_argument("--placeholder-cols", default=None,
+                        help="comma-separated string payload columns that "
+                             "may carry an unchanged-TOAST placeholder; "
+                             "resolved in-batch then from the pre-epoch "
+                             "table (operators/partial.py)")
+        sp.add_argument("--placeholder-sentinel", default=None,
+                        help="wire sentinel marking an unavailable value "
+                             "(default: the engine's __unavailable__; use "
+                             "__debezium_unavailable_value for Debezium "
+                             "feeds)")
 
     c = sub.add_parser("compact", help="compact data files (or fold MOR deltas)")
     table_arg(c)
@@ -292,6 +302,14 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
                                     n_buckets=pipe.table.manifest()["n_buckets"])
         return pipe
 
+    def _placeholder_kw():
+        if args.placeholder_cols is None:
+            return {}
+        return {
+            "placeholder_cols": [c.strip() for c in args.placeholder_cols.split(",") if c.strip()],
+            "placeholder": args.placeholder_sentinel,
+        }
+
     if args.cmd == "tail":
         from data_hub_ejp_xml_pipeline_spark.plans.mor_pipeline import MorPipeline
         from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
@@ -321,7 +339,8 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
                                k_compact=args.k_compact,
                                profile_mode=args.profile_mode,
                                dedup_state=_dedup_state(),
-                               dlq_state=_dlq_state())
+                               dlq_state=_dlq_state(),
+                               **_placeholder_kw())
         else:
             pipe = _attach_scd2(MergePipeline(spark, args.table, key=args.key,
                                               n_buckets=args.n_buckets,
@@ -329,7 +348,8 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
                                               dedup_state=_dedup_state(),
                                               ivm_state=_ivm_state(),
                                               dlq_state=_dlq_state(),
-                                              index_state=_index_state()))
+                                              index_state=_index_state(),
+                                              **_placeholder_kw()))
         tailer = ChangelogTailer(spark, pipeline=pipe)
         q = tailer.start(
             args.changelog,
@@ -357,7 +377,8 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
                                           dedup_state=_dedup_state(),
                                           ivm_state=_ivm_state(),
                                           dlq_state=_dlq_state(),
-                                          index_state=_index_state()))
+                                          index_state=_index_state(),
+                                          **_placeholder_kw()))
         res = pipe.apply(spark.read.parquet(args.changelog), batch_id=args.batch_id)
         out = {"cmd": "apply", "applied": res.applied, "snapshot_id": res.snapshot_id,
                "version": res.version, "n_events": res.n_events,

@@ -430,3 +430,36 @@ def test_cli_maintain(spark, tmp_path):
     assert out["cmd"] == "maintain" and out["vacuumed"]
     assert t.read(include_tombstones=True).filter("_deleted").count() == 0
     assert t.read().count() == 250
+
+
+def test_cli_tail_with_placeholder_cols(spark, tmp_path):
+    """--placeholder-cols on tail resolves the unchanged-TOAST sentinel
+    through the stream (in-batch + cross-epoch table fill)."""
+    import pandas as pd
+
+    from data_hub_ejp_xml_pipeline_spark.generator import (
+        generate_changelog_pandas,
+    )
+    from data_hub_ejp_xml_pipeline_spark.operators.partial import UNAVAILABLE
+    from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+    pdf = generate_changelog_pandas(
+        n_events=1_200, seed=9, replay_fraction=0.0, shuffle_window=1
+    )
+    mask = (pdf["op"] == "U") & (pdf["lsn"] % 3 == 0)
+    pdf.loc[mask, "source"] = UNAVAILABLE
+    d = str(tmp_path / "chg")
+    write_changelog_files(pdf, d, 4)
+    root = str(tmp_path / "tbl")
+    out = main(
+        ["tail", "--changelog", d, "--table", root,
+         "--checkpoint", str(tmp_path / "ckpt"), "--n-buckets", "4",
+         "--max-files-per-trigger", "1", "--placeholder-cols", "source"],
+        spark=spark,
+    )
+    assert out["epochs"] >= 4
+    srcs = {
+        r["source"]
+        for r in SnapshotTable(spark, root).read().select("source").collect()
+    }
+    assert UNAVAILABLE not in srcs and srcs
