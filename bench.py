@@ -70,6 +70,8 @@ HEADLINE = [
     "cdc_secondary_index",
     "cdc_dlq_rejects",
     "partial_update_resolve",
+    "cdc_delete_where",
+    "cdc_schema_drift",
 ]
 
 # per-query trials: the sandbox VM is noisy (identical runs vary 2-3x);

@@ -133,6 +133,12 @@ def _build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("show", help="table version/schema/files summary")
     table_arg(s)
 
+    fs = sub.add_parser("fsck", help="verify manifest/disk/footer invariants")
+    table_arg(fs)
+    fs.add_argument("--deep", action="store_true",
+                    help="also rescan every row's bucket assignment (one "
+                         "Spark scan)")
+
     mt = sub.add_parser("maintain",
                         help="one maintenance pass: compact + expire + "
                              "watermark-gated tombstone vacuum")
@@ -410,6 +416,10 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         table = SnapshotTable(spark, args.table)
         res = table.vacuum_tombstones(older_than_lsn=args.older_than_lsn)
         out = {"cmd": "vacuum", "applied": res.applied, "snapshot_id": res.snapshot_id}
+
+    elif args.cmd == "fsck":
+        table = SnapshotTable(spark, args.table)
+        out = {"cmd": "fsck", **table.verify(deep=args.deep)}
 
     elif args.cmd == "maintain":
         from data_hub_ejp_xml_pipeline_spark.plans.maintenance import (

@@ -1819,6 +1819,130 @@ class SnapshotTable:
             rows_written=sum(f["rows"] for f in new_files),
         )
 
+    # ------------------------------------------------------------------ fsck
+    def verify(self, deep: bool = False) -> dict[str, Any]:
+        """Integrity check (fsck): validate the manifest↔disk↔footer
+        invariants a reader relies on. Driver-side and O(files) footer
+        reads by default; ``deep=True`` adds ONE Spark scan recomputing
+        every row's bucket with the table's recorded hash and comparing
+        row counts.
+
+        Checks: manifest/schema parse + key field present; every data
+        file exists, its footer row count matches the manifest entry, its
+        recomputed key min/max match, its columns are a subset of the
+        manifest schema (case-insensitive), and its ``_bucket=`` path
+        component matches the entry; ledger ids are monotone-consistent
+        with ``ledger_evicted_below`` and ``ledger_pre_versions`` keys are
+        a subset of the ledger. Returns ``{"ok": bool, "errors": [...],
+        "files_checked": n, ...}`` — it reports, never mutates."""
+        import pyarrow.parquet as pq
+
+        errors: list[str] = []
+        m = self.manifest()
+        key = m["key"]
+        try:
+            schema = T.StructType.fromJson(m["schema"])
+            known = {f.name.lower() for f in schema.fields}
+            if _find_field(schema, key) is None:
+                errors.append(f"key column {key!r} missing from schema")
+        except Exception as exc:  # noqa: BLE001 — fsck reports, not raises
+            errors.append(f"unparseable schema: {exc}")
+            known = None
+        for f in m["files"]:
+            fp = os.path.join(self.root, f["path"])
+            if not os.path.exists(fp):
+                errors.append(f"missing data file: {f['path']}")
+                continue
+            try:
+                md = pq.ParquetFile(fp).metadata
+            except Exception as exc:  # noqa: BLE001
+                errors.append(f"unreadable footer: {f['path']}: {exc}")
+                continue
+            if md.num_rows != f["rows"]:
+                errors.append(
+                    f"row-count drift: {f['path']} manifest={f['rows']} "
+                    f"footer={md.num_rows}"
+                )
+            kmin, kmax = _key_stats(md, key)
+            if (kmin, kmax) != (f.get("key_min"), f.get("key_max")):
+                errors.append(
+                    f"key-stats drift: {f['path']} manifest="
+                    f"({f.get('key_min')}, {f.get('key_max')}) "
+                    f"footer=({kmin}, {kmax})"
+                )
+            if known is not None:
+                # TOP-LEVEL arrow names: the raw parquet schema flattens
+                # nested fields (tokens.list.element would read as a bogus
+                # unknown column 'element')
+                top = md.schema.to_arrow_schema().names
+                extra = {
+                    n for n in top
+                    if not n.startswith("_") and n.lower() not in known
+                }
+                if extra:
+                    errors.append(
+                        f"columns not in manifest schema: {f['path']}: "
+                        f"{sorted(extra)}"
+                    )
+            part = [
+                p for p in f["path"].split(os.sep) if p.startswith("_bucket=")
+            ]
+            if not part or int(part[0].split("=", 1)[1]) != f["bucket"]:
+                errors.append(
+                    f"bucket/path mismatch: {f['path']} entry bucket "
+                    f"{f['bucket']}"
+                )
+        ledger = m.get("ledger", {})
+        evicted = m.get("ledger_evicted_below")
+        if evicted is not None:
+            low = [
+                b for b in ledger
+                if b.lstrip("-").isdigit() and int(b) < evicted
+            ]
+            if low:
+                errors.append(
+                    f"ledger ids below eviction watermark {evicted}: {low}"
+                )
+        stray = set(m.get("ledger_pre_versions", {})) - set(ledger)
+        if stray:
+            errors.append(f"pre_versions not in ledger: {sorted(stray)}")
+        out: dict[str, Any] = {
+            "version": m["version"],
+            "files_checked": len(m["files"]),
+            "deep": deep,
+        }
+        if deep and m["files"]:
+            df = self._read_file_entries(
+                m["files"], T.StructType.fromJson(m["schema"])
+            ).withColumn("_file", F.input_file_name())
+            expect = self._bucket_expr(key)
+            # one scan: total rows + per-file wrong-bucket counts
+            bad = (
+                df.withColumn("_expected", expect)
+                .withColumn(
+                    "_b",
+                    F.regexp_extract(F.col("_file"), r"_bucket=(\d+)", 1).cast("int"),
+                )
+                .agg(
+                    F.count("*").alias("rows"),
+                    F.sum(
+                        F.when(F.col("_expected") != F.col("_b"), 1).otherwise(0)
+                    ).alias("misbucketed"),
+                )
+                .first()
+            )
+            total = sum(f["rows"] for f in m["files"])
+            if bad["rows"] != total:
+                errors.append(
+                    f"deep row-count drift: scan={bad['rows']} manifest={total}"
+                )
+            if bad["misbucketed"]:
+                errors.append(f"misbucketed rows: {bad['misbucketed']}")
+            out["rows_scanned"] = bad["rows"]
+        out["ok"] = not errors
+        out["errors"] = errors
+        return out
+
     def _batch_profile(
         self, src: DataFrame, key: str
     ) -> tuple[list[dict[str, Any]], dict[int, tuple[Any, Any]], dict[str, Any]]:

@@ -96,6 +96,13 @@ EXPECT = {
         "surviving postings (per-value LWW + tombstone drop). The base "
         "table is never scanned"
     ),
+    "cdc_delete_where": (
+        "NOTE: the merges + the DML commit execute while the query builds; "
+        "this plan is the final-state READ. The DML's pinned properties "
+        "(probe filter pushed into the candidate scan, ONLY matching files "
+        "rewritten, carried files by reference) are pinned by "
+        "tests/test_row_dml.py::test_matched_files_only_rewrite"
+    ),
     "partial_update_resolve": (
         "NOTE: the three epochs execute while the query builds; this plan "
         "is the final-state READ. The epoch reduce's pinned property "

@@ -463,3 +463,20 @@ def test_cli_tail_with_placeholder_cols(spark, tmp_path):
         for r in SnapshotTable(spark, root).read().select("source").collect()
     }
     assert UNAVAILABLE not in srcs and srcs
+
+
+def test_cli_fsck(spark, tmp_path):
+    import os
+
+    from tests.test_zone_maps import PAYLOAD, _changelog
+
+    from data_hub_ejp_xml_pipeline_spark.table.snapshot_table import SnapshotTable
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable.create(spark, root, PAYLOAD, key="doc_id", n_buckets=2)
+    t.merge(_changelog(spark, 200), batch_id=0)
+    out = main(["fsck", "--table", root, "--deep"], spark=spark)
+    assert out["cmd"] == "fsck" and out["ok"] and out["rows_scanned"] == 200
+    os.remove(os.path.join(root, t.manifest()["files"][0]["path"]))
+    out = main(["fsck", "--table", root], spark=spark)
+    assert not out["ok"] and any("missing" in e for e in out["errors"])
