@@ -2972,6 +2972,87 @@ def q_cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
+# Multi-table routing (one WAL tail → many tables)
+# ---------------------------------------------------------------------
+
+_MULTI_TABLE_ORACLE = """
+SELECT CASE WHEN user_id % 2 = 0 THEN 'evens' ELSE 'odds' END AS tbl,
+       CAST(user_id AS VARCHAR) AS doc_id,
+       event_type AS etype,
+       round(value, 4) AS val,
+       event_id AS last_lsn
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_cdc_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-connector-many-tables: events rendered as a MIXED Debezium
+    envelope stream (source.table = evens/odds by key parity) applied
+    through MultiTablePipeline in 2 epochs — route by table, decode per
+    schema, merge per table under one batch_id. The union of the two
+    final states must equal the one-shot LWW view split by parity."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.plans.multi_table import MultiTablePipeline
+
+    ev = _t(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    is_err = F.col("event_type") == "error"
+    payload = F.struct(
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("etype"),
+        F.round("value", 4).alias("val"),
+    )
+    envelopes = ev.select(
+        eid.alias("event_id"),
+        F.to_json(
+            F.struct(
+                F.when(is_err, payload).alias("before"),
+                F.when(~is_err, payload).alias("after"),
+                F.when(is_err, F.lit("d")).otherwise(F.lit("u")).alias("op"),
+                (eid + F.lit(1_700_000_000_000)).alias("ts_ms"),
+                F.struct(
+                    eid.alias("lsn"),
+                    F.when(F.col("user_id") % 2 == 0, F.lit("evens"))
+                    .otherwise(F.lit("odds"))
+                    .alias("table"),
+                ).alias("source"),
+            )
+        ).alias("value"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("etype", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    root = _swept_scratch_dir("multiq")
+    pipe = MultiTablePipeline(
+        spark, root, {"evens": schema, "odds": schema}, n_buckets=4
+    )
+    bounds = envelopes.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = bounds[0], bounds[1]
+    step = max((hi - lo + 1) // 2 + 1, 1)
+    for i in range(2):
+        batch = envelopes.filter(
+            (eid >= lo + i * step) & (eid < lo + (i + 1) * step)
+        ).select("value")
+        pipe.apply(batch, batch_id=i)
+    parts = [
+        pipe.pipes[t].table.read().select(
+            F.lit(t).alias("tbl"), "doc_id", "etype", "val",
+            F.col("_lsn").alias("last_lsn"),
+        )
+        for t in ("evens", "odds")
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+# ---------------------------------------------------------------------
 # Partial updates (unchanged-TOAST placeholder resolution)
 # ---------------------------------------------------------------------
 
@@ -3113,6 +3194,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_delete_where": (q_cdc_delete_where, _DELETE_WHERE_ORACLE),
     "cdc_update_where": (q_cdc_update_where, _UPDATE_WHERE_ORACLE),
     "cdc_schema_drift": (q_cdc_schema_drift, _SCHEMA_DRIFT_ORACLE),
+    "cdc_multi_table": (q_cdc_multi_table, _MULTI_TABLE_ORACLE),
     "lsn_gaps": (q_lsn_gaps, _LSN_GAPS_ORACLE),
     "cdc_snapshot_diff": (q_cdc_snapshot_diff, _CDC_DIFF_ORACLE),
     "watermark_per_source": (

@@ -201,6 +201,29 @@ def evolve_payload_schema(
     return T.StructType(list(payload_schema.fields) + list(new_fields.values()))
 
 
+def route_envelopes(
+    df: DataFrame,
+    schemas: dict[str, T.StructType],
+    json_col: str = "value",
+) -> dict[str, DataFrame]:
+    """Split ONE mixed envelope stream by ``source.table`` — the
+    one-connector-many-tables shape every WAL tail has. Returns
+    ``{table: envelope_df}`` for the declared tables plus an
+    ``"_unrouted"`` branch (NULL or undeclared table names) so nothing is
+    silently dropped. Pure column filters over one scan: under
+    ``foreachBatch`` the batch should be persisted by the caller so the
+    N branch filters share one materialization (plans/multi_table.py
+    does)."""
+    tbl = F.get_json_object(F.col(json_col).cast("string"), "$.source.table")
+    out = {
+        t: df.filter(tbl == F.lit(t)) for t in schemas
+    }
+    out["_unrouted"] = df.filter(
+        tbl.isNull() | ~tbl.isin(*schemas.keys())
+    )
+    return out
+
+
 def changelog(decoded: DataFrame) -> DataFrame:
     """The clean changelog branch (drops quarantine columns)."""
     return decoded.filter(F.col("_error").isNull()).drop("_error", "_raw")
