@@ -159,6 +159,38 @@ def evolution_sql(
     return stmts
 
 
+def delete_where_sql(identifier: str, condition: str, hard: bool = False) -> str:
+    """Predicate DELETE (SnapshotTable.delete_where analog). Soft keeps
+    the CDC guard: the row becomes a tombstone at its unchanged ``_lsn``
+    (Iceberg UPDATE, a copy-on-write/merge-on-read rewrite of matched
+    files only — the engine's matched-file probe is what Iceberg's own
+    planning does). Hard is a physical DELETE. Both restrict to LIVE
+    rows; SQL's own three-valued WHERE already treats a NULL predicate
+    as no-match, mirroring the local engine's coalesce."""
+    live = f"NOT coalesce({DELETED_COL}, false)"
+    if hard:
+        return f"DELETE FROM {identifier} WHERE ({condition}) AND {live}"
+    return (
+        f"UPDATE {identifier} SET {DELETED_COL} = true "
+        f"WHERE ({condition}) AND {live}"
+    )
+
+
+def update_where_sql(
+    identifier: str, condition: str, assignments: dict[str, str]
+) -> str:
+    """Predicate UPDATE (SnapshotTable.update_where analog): assignments
+    are SQL expressions over the PRE-update row (SQL UPDATE semantics —
+    the same contract the local engine enforces with its single
+    projection); keys/internal columns are the caller's responsibility
+    here, the local pipeline validates before compiling."""
+    sets = ", ".join(f"{c} = {expr}" for c, expr in sorted(assignments.items()))
+    return (
+        f"UPDATE {identifier} SET {sets} "
+        f"WHERE ({condition}) AND NOT coalesce({DELETED_COL}, false)"
+    )
+
+
 def vacuum_sql(identifier: str, older_than_lsn: int) -> str:
     """Physical tombstone removal once the stream has provably passed the
     watermark (no event with lsn <= watermark can still arrive)."""

@@ -162,3 +162,21 @@ def test_evolution_sql_noop_cases():
     assert ia.evolution_sql("cat.db.seq", upper, lower) == [
         "ALTER TABLE cat.db.seq ALTER COLUMN N_TOK TYPE bigint"
     ]
+
+
+def test_dml_sql_golden():
+    from data_hub_ejp_xml_pipeline_spark.table import iceberg_adapter as ia
+
+    assert ia.delete_where_sql("cat.db.t", "v >= 10") == (
+        "UPDATE cat.db.t SET _deleted = true "
+        "WHERE (v >= 10) AND NOT coalesce(_deleted, false)"
+    )
+    assert ia.delete_where_sql("cat.db.t", "v >= 10", hard=True) == (
+        "DELETE FROM cat.db.t WHERE (v >= 10) AND NOT coalesce(_deleted, false)"
+    )
+    assert ia.update_where_sql(
+        "cat.db.t", "g = 'odd'", {"g": "'renamed'", "v": "v + length(g)"}
+    ) == (
+        "UPDATE cat.db.t SET g = 'renamed', v = v + length(g) "
+        "WHERE (g = 'odd') AND NOT coalesce(_deleted, false)"
+    )

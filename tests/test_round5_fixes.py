@@ -305,6 +305,10 @@ def test_every_iceberg_statement_parses(spark):
         ia.merge_sql("cat.db.seq", ["doc_id", "tokens", "n_tok", "source"]),
         *ia.evolution_sql("cat.db.seq", schema, wider),
         ia.vacuum_sql("cat.db.seq", 123456789),
+        ia.delete_where_sql("cat.db.seq", "n_tok >= 100"),
+        ia.delete_where_sql("cat.db.seq", "n_tok >= 100", hard=True),
+        ia.update_where_sql("cat.db.seq", "source = 'bad'",
+                            {"source": "concat(source, '-fixed')"}),
     ]
     assert len(stmts) >= 5  # create, merge, add, widen, vacuum
     parser = spark._jsparkSession.sessionState().sqlParser()
