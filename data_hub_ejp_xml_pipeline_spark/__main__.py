@@ -21,6 +21,10 @@ plus its maintenance chores), as subcommands over the library surface:
     python -m data_hub_ejp_xml_pipeline_spark set-stats-cols --table ROOT --cols a,b
     python -m data_hub_ejp_xml_pipeline_spark tag|drop-tag --table ROOT --name N
     python -m data_hub_ejp_xml_pipeline_spark changefeed --table ROOT --from-version V [--out DIR]
+    python -m data_hub_ejp_xml_pipeline_spark delete-where --table ROOT --where SQL [--hard]
+    python -m data_hub_ejp_xml_pipeline_spark update-where --table ROOT --where SQL --set COL=EXPR
+    python -m data_hub_ejp_xml_pipeline_spark maintain --table ROOT [--vacuum-slack-lsn N]
+    python -m data_hub_ejp_xml_pipeline_spark fsck --table ROOT [--deep]
 
 Each command prints ONE JSON line (machine-scrapeable, like bench.py).
 ``main(argv, spark=...)`` is injectable for tests; standalone invocation
@@ -66,6 +70,10 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="key column when CREATING the table; an existing "
                         "table's manifest key always wins")
     a.add_argument("--profile-mode", choices=("pre", "fused"), default="pre")
+    a.add_argument("--inclusive-guard", action="store_true",
+                   help="apply with s.lsn >= t._lsn (replication feeds "
+                        "carrying row-DML changes at unchanged LSNs); "
+                        "exactly-once rides --batch-id alone")
 
     for sp in (t, a):
         sp.add_argument("--dedup-state", default=None,
@@ -384,6 +392,7 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
                                           ivm_state=_ivm_state(),
                                           dlq_state=_dlq_state(),
                                           index_state=_index_state(),
+                                          inclusive_guard=args.inclusive_guard,
                                           **_placeholder_kw()))
         res = pipe.apply(spark.read.parquet(args.changelog), batch_id=args.batch_id)
         out = {"cmd": "apply", "applied": res.applied, "snapshot_id": res.snapshot_id,

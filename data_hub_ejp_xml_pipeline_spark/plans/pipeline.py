@@ -40,6 +40,7 @@ class MergePipeline:
         index_state=None,
         placeholder_cols: list[str] | None = None,
         placeholder: str | None = None,
+        inclusive_guard: bool = False,
     ):
         """``dedup_state``: an optional :class:`plans.dedup_ingest.
         TokenDedupState` — each epoch's per-key LWW-winning fingerprint
@@ -78,7 +79,15 @@ class MergePipeline:
         merge. Incompatible with ``ivm_state``/``index_state``/
         ``dedup_state`` (their narrow side-reduces would observe raw
         placeholder values); ``scd2_state``/``dlq_state`` compose fine —
-        SCD2 consumes the already-resolved frame."""
+        SCD2 consumes the already-resolved frame.
+
+        ``inclusive_guard``: apply with ``s.lsn >= t._lsn`` instead of
+        the strict guard — for REPLICATION consumers of
+        :meth:`SnapshotTable.changelog_between` feeds, where row-level
+        DML changes content without moving LSNs. Exactly-once then rides
+        the ``batch_id`` ledger alone; never use it on a raw WAL tail
+        (see ``SnapshotTable.merge``)."""
+        self.inclusive_guard = inclusive_guard
         self.spark = spark
         self.dedup_state = dedup_state
         self.ivm_state = ivm_state
@@ -242,6 +251,7 @@ class MergePipeline:
                 return self.table.merge(
                     reduced, batch_id=batch_id, stats_df=changelog,
                     profile_mode=self.profile_mode,
+                    inclusive_guard=self.inclusive_guard,
                 )
             finally:
                 reduced.unpersist()
@@ -250,7 +260,8 @@ class MergePipeline:
         # (the dedup path above reduces its own lightweight fingerprint
         # rows, never this payload reduce)
         return self.table.merge(reduced, batch_id=batch_id, stats_df=changelog,
-                                profile_mode=self.profile_mode)
+                                profile_mode=self.profile_mode,
+                                inclusive_guard=self.inclusive_guard)
 
     def final_state(self) -> DataFrame:
         return self.table.read()

@@ -113,3 +113,36 @@ def test_changefeed_vacuumed_delete_synthesizes_lsn(spark, tmp_path, changelog_d
     dst.merge(reduce_latest(changelog_df), batch_id=0)
     dst.merge(reduce_latest(src.changelog_between(v1)), batch_id=1)
     assert _rows(dst) == _rows(src)
+
+
+def test_replication_pipeline_applies_dml_feeds(spark, tmp_path, changelog_df):
+    """MergePipeline(inclusive_guard=True) is the replication consumer:
+    a feed window carrying row-DML changes (content moved, LSN did not)
+    must land; the strict default must not."""
+    from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
+
+    src = SnapshotTable.create(
+        spark, str(tmp_path / "src"), PAYLOAD_SCHEMA, key="doc_id", n_buckets=4
+    )
+    src.merge(reduce_latest(changelog_df), batch_id=0)
+    v1 = src.current_version()
+    src.update_where("n_tok < 10", {"source": "redacted"})
+
+    def replica(name, inclusive):
+        pipe = MergePipeline(
+            spark, str(tmp_path / name), key="doc_id", n_buckets=4,
+            payload_schema=PAYLOAD_SCHEMA, inclusive_guard=inclusive,
+        )
+        pipe.apply(src.changelog_between(0, v1), batch_id=0)
+        pipe.apply(src.changelog_between(v1), batch_id=1)
+        return {
+            (r.doc_id, r.source, r._lsn)
+            for r in pipe.table.read().select("doc_id", "source", "_lsn").collect()
+        }
+
+    src_rows = {
+        (r.doc_id, r.source, r._lsn)
+        for r in src.read().select("doc_id", "source", "_lsn").collect()
+    }
+    assert replica("dst_incl", True) == src_rows
+    assert replica("dst_strict", False) != src_rows
