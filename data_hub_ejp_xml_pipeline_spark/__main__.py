@@ -141,6 +141,12 @@ def _build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("show", help="table version/schema/files summary")
     table_arg(s)
 
+    cl = sub.add_parser("clone", help="export one snapshot as a new table "
+                                      "(hardlinked data, carried ledger)")
+    table_arg(cl)
+    cl.add_argument("--dest", required=True)
+    cl.add_argument("--version", type=int, default=None)
+
     fs = sub.add_parser("fsck", help="verify manifest/disk/footer invariants")
     table_arg(fs)
     fs.add_argument("--deep", action="store_true",
@@ -425,6 +431,13 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
         table = SnapshotTable(spark, args.table)
         res = table.vacuum_tombstones(older_than_lsn=args.older_than_lsn)
         out = {"cmd": "vacuum", "applied": res.applied, "snapshot_id": res.snapshot_id}
+
+    elif args.cmd == "clone":
+        table = SnapshotTable(spark, args.table)
+        dst = table.clone(args.dest, version=args.version)
+        out = {"cmd": "clone", "dest": args.dest,
+               "version": dst.current_version(),
+               "files": len(dst.manifest()["files"])}
 
     elif args.cmd == "fsck":
         table = SnapshotTable(spark, args.table)

@@ -1819,6 +1819,55 @@ class SnapshotTable:
             rows_written=sum(f["rows"] for f in new_files),
         )
 
+    # ----------------------------------------------------------------- clone
+    def clone(self, dest_root: str, version: int | None = None) -> "SnapshotTable":
+        """Export one consistent snapshot as a NEW independent table at
+        ``dest_root`` — the dev-copy / backup / branch-from-prod verb.
+
+        Data files are immutable, so they are HARD-LINKED when the
+        destination is on the same filesystem (zero-copy, O(files)
+        metadata ops — Iceberg-snapshot-export style) and byte-copied
+        otherwise; either way the clone owns its paths and neither
+        table's expire/vacuum can affect the other (an unlink drops one
+        directory entry, never the shared inode). The clone's manifest
+        chain is COLLAPSED to the cloned version (time travel below it is
+        gone), but the LEDGER carries over verbatim so a replica that
+        resumes the same stream still no-ops already-applied epochs. Tags
+        are not copied — they point at versions the clone does not have."""
+        import shutil
+
+        m = self.manifest(version)
+        if os.path.exists(os.path.join(dest_root, "meta", "VERSION")):
+            raise ValueError(f"destination already holds a table: {dest_root}")
+        os.makedirs(os.path.join(dest_root, "meta"), exist_ok=True)
+        for f in m["files"]:
+            src = os.path.join(self.root, f["path"])
+            dst = os.path.join(dest_root, f["path"])
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device / FS without hard links
+                shutil.copy2(src, dst)
+        lineage = os.path.join(self.root, "meta", "lineage.jsonl")
+        if os.path.exists(lineage):
+            shutil.copy2(lineage, os.path.join(dest_root, "meta", "lineage.jsonl"))
+        manifest = {
+            **m,
+            "parent": None,
+            "operation": f"clone:{self.root}@v{m['version']}",
+            "ts": time.time(),
+        }
+        meta = os.path.join(dest_root, "meta")
+        with open(
+            os.path.join(meta, f"v{m['version']:08d}.json"), "x"
+        ) as fh:
+            json.dump(manifest, fh)
+        tmp = os.path.join(meta, f".VERSION.tmp.{os.getpid()}")
+        with open(tmp, "w") as fh:
+            fh.write(str(m["version"]))
+        os.replace(tmp, os.path.join(meta, "VERSION"))
+        return SnapshotTable(self.spark, dest_root)
+
     # ------------------------------------------------------------------ fsck
     def verify(self, deep: bool = False) -> dict[str, Any]:
         """Integrity check (fsck): validate the manifest↔disk↔footer
