@@ -1563,53 +1563,27 @@ class SnapshotTable:
 
     def vacuum_tombstones(self, older_than_lsn: int) -> CommitResult:
         """Drop delete tombstones whose LSN is at or below a watermark the
-        stream has provably passed (no event with lsn ≤ watermark can still
-        arrive). Full copy-on-write rewrite — run rarely, like Iceberg
-        rewrite_data_files."""
-        # coalesce _deleted exactly as read() does: a NULL _deleted row is
-        # live, and a NULL predicate here would silently drop it from the
-        # rewrite (vacuum deleting rows read() considers live).
-        live = self.read(include_tombstones=True).filter(
-            ~(F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LSN_COL) <= older_than_lsn))
+        stream has provably passed (no event with lsn ≤ watermark can
+        still arrive — exact replayed duplicates included).
+
+        Rides the DML rewrite core: only files that actually HOLD a
+        qualifying tombstone are rewritten — the probe's pushed
+        ``_deleted`` predicate meets parquet's per-row-group boolean
+        stats, so all-live files are skipped at row-group level and carry
+        forward by reference. A table with nothing to vacuum is a
+        metadata no-op (``applied=False``), where it used to be an
+        unconditional O(table) rewrite."""
+        cond = F.coalesce(F.col(DELETED_COL), F.lit(False)) & (
+            F.col(LSN_COL) <= older_than_lsn
         )
-        m = self.manifest()
-        key = m["key"]
-        version = m["version"] + 1
-        snap_rel = _snap_dir_name(version)
-        snap_dir = os.path.join(self.root, snap_rel)
-        (
-            _with_key_bloom(
-                live.withColumn("_bucket", self._bucket_expr(key))
-                .repartitionByRange(
-                    m["n_buckets"] * m.get("files_per_bucket", 1),
-                    F.col("_bucket"),
-                    F.col(key),
-                )
-                .sortWithinPartitions("_bucket", key)
-                .write.mode("overwrite"),
-                key,
-                sum(f["rows"] for f in m["files"])
-                // max(m["n_buckets"] * m.get("files_per_bucket", 1), 1)
-                + 1,
-            )
-            .partitionBy("_bucket")
-            .parquet(snap_dir)
+
+        def transform(df: DataFrame, match) -> DataFrame:
+            return df.filter(~F.coalesce(match, F.lit(False)))
+
+        return self._rewrite_where(
+            cond, transform, "vacuum_tombstones", batch_id=None,
+            prune_range=None, live_only=False,
         )
-        new_files = _list_bucket_files(
-            snap_dir, snap_rel, key, m.get("stats_cols", ())
-        )
-        manifest = {
-            **m,
-            "version": version,
-            "snapshot_id": f"snap-{version:08d}-vacuum",
-            "parent": m["snapshot_id"],
-            "operation": "vacuum_tombstones",
-            "files": new_files,
-            "ts": time.time(),
-        }
-        self._write_manifest(manifest, expected_parent_version=m["version"])
-        return CommitResult(manifest["snapshot_id"], version, applied=True,
-                            rows_written=sum(f["rows"] for f in new_files))
 
     # --------------------------------------------------- row-level DML
     def delete_where(
@@ -1725,10 +1699,12 @@ class SnapshotTable:
         operation: str,
         batch_id: int | None,
         prune_range: tuple | None,
+        live_only: bool = True,
     ) -> CommitResult:
         """Shared DML core: probe candidate files for matches, rewrite ONLY
         the matching files through ``transform(df, match)``, carry the rest
-        by reference, commit one ledgered snapshot."""
+        by reference, commit one ledgered snapshot. ``live_only=False``
+        lets the predicate target tombstone rows too (vacuum)."""
         from urllib.parse import urlparse
 
         m = self.manifest()
@@ -1743,7 +1719,7 @@ class SnapshotTable:
         else:
             candidates = list(m["files"])
         live = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
-        match = cond & live
+        match = (cond & live) if live_only else cond
         if candidates:
             probe = self._read_file_entries(candidates, schema).withColumn(
                 "_file", F.input_file_name()

@@ -387,3 +387,30 @@ def test_tailer_runs_maintenance_on_cadence(spark, tmp_path, changelog_pdf):
     assert_final_state_equal(
         table.read().toPandas(), expected_final_state_pandas(pdf)
     )
+
+
+def test_vacuum_rewrites_only_tombstone_files(spark, tmp_path, changelog_pdf):
+    """Vacuum rides the DML core: files holding no qualifying tombstone
+    carry forward BY REFERENCE, and a tombstone-free table is a no-op
+    (previously both cases paid a full O(table) rewrite)."""
+    from tests.test_zone_maps import PAYLOAD as ZPAYLOAD, _changelog
+
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "tv"), ZPAYLOAD, key="doc_id", n_buckets=4,
+        files_per_bucket=4,
+    )
+    table.merge(_changelog(spark, 2_000), batch_id=0)
+    # one narrow soft delete -> tombstones live in the ONE rewritten file
+    table.delete_where("doc_id = 'doc-00000007'")
+    before = {f["path"] for f in table.manifest()["files"]}
+    res = table.vacuum_tombstones(older_than_lsn=10**9)
+    assert res.applied
+    after = {f["path"] for f in table.manifest()["files"]}
+    assert len(before - after) <= 2, "only tombstone files may be rewritten"
+    assert before & after, "tombstone-free files must carry by reference"
+    assert table.read(include_tombstones=True).filter("_deleted").count() == 0
+    assert table.read().count() == 1_999
+    # nothing left to vacuum -> metadata no-op
+    v = table.current_version()
+    res2 = table.vacuum_tombstones(older_than_lsn=10**12)
+    assert not res2.applied and table.current_version() == v
