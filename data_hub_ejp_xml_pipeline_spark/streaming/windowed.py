@@ -29,6 +29,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def session_rollup(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    delay: str = "30 minutes",
+    event_time_col: str = "event_ts",
+    group_col: str = "doc_id",
+) -> DataFrame:
+    """Event-time SESSION windows (gap-based, the hard case tumbling
+    can't express): per key, events closer than ``gap`` merge into one
+    session; the session closes when the watermark passes last_event +
+    gap. Spark's native ``session_window`` keeps state per OPEN session
+    only — O(active keys), never O(history) — and append mode emits each
+    closed session exactly once. Works on a batch frame too (same
+    expression; the batch form is what ``q_sessionize``'s SQL oracle
+    family pins)."""
+    grouped = (
+        stream.withWatermark(event_time_col, delay)
+        if stream.isStreaming
+        else stream
+    )
+    return (
+        grouped.groupBy(
+            F.session_window(F.col(event_time_col), gap).alias("s"),
+            F.col(group_col),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("lsn").alias("first_lsn"),
+            F.max("lsn").alias("last_lsn"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            group_col,
+            "n_events",
+            "first_lsn",
+            "last_lsn",
+        )
+    )
+
+
 def windowed_rollup(
     stream: DataFrame,
     window: str = "1 hour",

@@ -154,3 +154,64 @@ def test_windowed_rollup_restart_emits_each_window_once(spark, tmp_path):
     assert first == second
     starts = [r[0] for r in first]
     assert len(starts) == len(set(starts))  # one emission per window
+
+
+def test_session_rollup_stream_matches_batch_on_closed_sessions(spark, tmp_path):
+    """Gap-based session windows under a watermark: sessions merge events
+    closer than the gap, close when the watermark passes end+gap, and the
+    streamed closed-session set equals the batch form restricted to the
+    same sessions."""
+    from data_hub_ejp_xml_pipeline_spark.streaming.windowed import session_rollup
+
+    files = [
+        # k1: two bursts 40min apart (gap 15min -> two sessions);
+        # k2: one long session straddling files (10-min steps)
+        [ev(1, 0, "s0"), ev(2, 5, "s0"), ev(3, 3, "s1")],
+        [ev(4, 13, "s1"), ev(5, 23, "s1")],
+        [ev(6, 45, "s0"), ev(7, 50, "s0"), ev(8, 33, "s1")],
+        [ev(9, 180, "s0")],  # far future: watermark passes, closes all
+        [ev(10, 240, "s0")],
+    ]
+    # use source as the session key so two keys interleave
+    chg = str(tmp_path / "chg")
+    _write_files(chg, files)
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chg)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        session_rollup(stream, gap="15 minutes", delay="10 minutes",
+                       group_col="source")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_dir)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.session_start, r.session_end, r.source, r.n_events,
+         r.first_lsn, r.last_lsn)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got, "some sessions must have closed"
+    batch = spark.createDataFrame([e for f in files for e in f], SCHEMA)
+    all_sessions = {
+        (r.session_start, r.session_end, r.source, r.n_events,
+         r.first_lsn, r.last_lsn)
+        for r in session_rollup(batch, gap="15 minutes",
+                                group_col="source").collect()
+    }
+    # every emitted session is exact, and the two k-shape expectations hold
+    assert got <= all_sessions
+    starts = sorted((g[2], g[0]) for g in got)
+    # s0 burst 1 (0-5) and burst 2 (45-50) are distinct sessions
+    s0_sessions = [g for g in got if g[2] == "s0"]
+    assert any(g[3] == 2 and g[4] == 1 and g[5] == 2 for g in s0_sessions)
+    assert any(g[3] == 2 and g[4] == 6 and g[5] == 7 for g in s0_sessions)
+    # s1's 3..33 chain (steps 10 < 15min gap) is ONE 4-event session
+    s1 = [g for g in got if g[2] == "s1"]
+    assert any(g[3] == 4 and g[4] == 3 and g[5] == 8 for g in s1)
