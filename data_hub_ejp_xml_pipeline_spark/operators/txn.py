@@ -30,18 +30,42 @@ def complete_transactions(
     changelog: DataFrame,
     txn_col: str = "txn_id",
     expected_col: str = "txn_n",
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Admit only events whose transaction is fully present.
 
-    ``expected_col`` — per-event expected member count (from the source's
-    transaction metadata). Rows with a null transaction id are admitted
+    ``expected_col`` — expected member count from the source's
+    transaction metadata. Debezium-faithful: only the END marker need
+    carry it — the count is taken as ``max(expected_col)`` over the
+    transaction's window, so events with a NULL count ride their
+    marker's value. A transaction whose END marker has NOT arrived has a
+    NULL expected count everywhere and is held back (its completeness is
+    unknowable — exactly the partial-apply hazard this operator exists
+    to stop). Rows with a null transaction id are admitted
     unconditionally (non-transactional sources interleave such events).
+
+    ``seq_col`` — optional per-event identity (Debezium's
+    ``transaction.data_collection_order`` / the event LSN). When given,
+    presence counts DISTINCT identities, so at-least-once replay
+    duplicates neither inflate the count past ``expected`` nor block
+    admission; without it the raw window count is used and admission is
+    ``>=`` so duplicates still cannot wedge a complete transaction.
     """
-    present = F.count(F.lit(1)).over(W.partitionBy(txn_col))
+    w = W.partitionBy(txn_col)
+    present = (
+        F.size(F.collect_set(F.col(seq_col)).over(w))
+        if seq_col is not None
+        else F.count(F.lit(1)).over(w)
+    )
+    expected = F.max(expected_col).over(w)
     return (
         changelog.withColumn("_present", present)
-        .filter(F.col(txn_col).isNull() | (F.col("_present") == F.col(expected_col)))
-        .drop("_present")
+        .withColumn("_expected", expected)
+        .filter(
+            F.col(txn_col).isNull()
+            | (F.col("_present") >= F.col("_expected"))
+        )
+        .drop("_present", "_expected")
     )
 
 
@@ -49,18 +73,29 @@ def incomplete_transaction_summary(
     changelog: DataFrame,
     txn_col: str = "txn_id",
     expected_col: str = "txn_n",
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Diagnostic: one row per held-back transaction —
     ``(txn_id, expected, present, n_missing)`` — the ops-facing view of
-    what the admission filter is waiting on. Partial aggregation
-    (map-side combine) before the single exchange."""
+    what the admission filter is waiting on (mirrors
+    :func:`complete_transactions`' rule, including the
+    no-END-marker-yet case: ``expected`` NULL, ``n_missing`` NULL).
+    Partial aggregation (map-side combine) before the single exchange."""
+    present = (
+        F.countDistinct(F.col(seq_col))
+        if seq_col is not None
+        else F.count(F.lit(1))
+    )
     return (
         changelog.filter(F.col(txn_col).isNotNull())
         .groupBy(txn_col)
         .agg(
             F.max(expected_col).alias("expected"),
-            F.count(F.lit(1)).alias("present"),
+            present.alias("present"),
         )
-        .filter(F.col("present") < F.col("expected"))
+        .filter(
+            F.col("expected").isNull()
+            | (F.col("present") < F.col("expected"))
+        )
         .withColumn("n_missing", F.col("expected") - F.col("present"))
     )

@@ -148,6 +148,7 @@ class IncrementalAggState:
         batch_id: int,
         op_col: str = "op",
         lsn_col: str = "lsn",
+        inclusive_guard: bool = False,
     ) -> CommitResult:
         """Fold one epoch's LWW-reduced changelog (the same frame the
         base merge consumes, BEFORE that merge commits) into the totals.
@@ -157,6 +158,12 @@ class IncrementalAggState:
         the merge's target read costs — O(touched files), never a full
         base scan; the delta aggregation is O(batch); the totals rewrite
         is O(groups).
+
+        ``inclusive_guard`` MUST match the base merge's setting: a
+        replication feed (``changelog_between``) carries equal-LSN
+        content changes the base applies with ``>=`` — the totals must
+        retract the old row and add the new one for those too, or the
+        view diverges permanently from the base.
         """
         if batch_id is None:
             raise ValueError(
@@ -181,12 +188,14 @@ class IncrementalAggState:
             # the caller (e.g. MergePipeline's shared narrow reduce)
             # owns the cache lifecycle
             return self._apply_cached(
-                reduced_batch, base, key, batch_id, op_col, lsn_col
+                reduced_batch, base, key, batch_id, op_col, lsn_col,
+                inclusive_guard,
             )
         reduced_batch = reduced_batch.persist()
         try:
             return self._apply_cached(
-                reduced_batch, base, key, batch_id, op_col, lsn_col
+                reduced_batch, base, key, batch_id, op_col, lsn_col,
+                inclusive_guard,
             )
         finally:
             reduced_batch.unpersist()
@@ -199,8 +208,14 @@ class IncrementalAggState:
         batch_id: int,
         op_col: str,
         lsn_col: str,
+        inclusive_guard: bool = False,
     ) -> CommitResult:
         old = self._old_rows(reduced_batch, base, key)
+        new_lsn, old_lsn = F.col(lsn_col), F.col("_old_lsn")
+        # mirror the merge's stale guard EXACTLY — including its
+        # inclusive (>=) replication form: a winner the merge applies
+        # must move the totals, one it ignores must not
+        fresher = (new_lsn >= old_lsn) if inclusive_guard else (new_lsn > old_lsn)
         joined = reduced_batch.join(
             old.select(
                 F.col(key),
@@ -210,11 +225,7 @@ class IncrementalAggState:
             ),
             key,
             "left",
-        ).filter(
-            # mirror the merge's stale guard: a winner the merge would
-            # ignore (lsn <= stored _lsn) must not move the totals
-            F.col("_old_lsn").isNull() | (F.col(lsn_col) > F.col("_old_lsn"))
-        )
+        ).filter(F.col("_old_lsn").isNull() | fresher)
         grp = F.col(self.group_col).cast("string")
         val = (
             F.coalesce(F.col(self.value_col).cast("double"), F.lit(0.0))

@@ -10,9 +10,12 @@ wants maintenance on a CADENCE, decoupled from ingest latency:
   threshold, so running it every pass costs one manifest read.
 * **snapshot expiry** — bounded time travel: keep the last N versions
   (plus tags), delete orphans. Single-owner, like the other verbs.
-* **tombstone vacuum** — a FULL rewrite, so it is the only verb gated by
-  more than a threshold: it runs when the policy can prove a safe LSN
-  watermark and at most every ``vacuum_every`` passes.
+* **tombstone vacuum** — rewrites only tombstone-bearing files (row-group
+  stats pick them; a clean table is a no-op), but it is SEMANTICALLY
+  destructive — a vacuumed tombstone can no longer veto a replay — so it
+  is the only verb gated by more than a threshold: it runs when the
+  policy can prove a safe LSN watermark and at most every
+  ``vacuum_every`` passes.
 
 Watermark derivation: when the table records ``_lsn`` zone maps
 (``stats_cols=['_lsn']`` — cheap, the stats come off parquet footers the
@@ -101,8 +104,9 @@ class MaintenancePolicy:
             )
             if wm is not None:
                 cutoff = wm - self.vacuum_slack_lsn
-                # vacuum is an unconditional full rewrite — only pay it
-                # when the cutoff actually ADVANCED since the last one
+                # vacuum probes + rewrites the tombstone-bearing files —
+                # only pay that (and the replay-safety erosion) when the
+                # cutoff actually ADVANCED since the last one
                 if cutoff > 0 and (
                     self._last_vacuum_cutoff is None
                     or cutoff > self._last_vacuum_cutoff

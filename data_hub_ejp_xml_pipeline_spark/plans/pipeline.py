@@ -225,12 +225,18 @@ class MergePipeline:
                 # the states see it cached and skip their own persist
                 aux_reduced = aux_reduced.persist()
             try:
+                # the sidecars must mirror the base merge's guard form
+                # exactly — a replication feed's equal-LSN changes applied
+                # by the base with >= would otherwise be silently skipped
+                # here, diverging the maintained views permanently
                 if self.ivm_state is not None:
                     self.ivm_state.apply(aux_reduced, self.table,
-                                         batch_id=batch_id)
+                                         batch_id=batch_id,
+                                         inclusive_guard=self.inclusive_guard)
                 if self.index_state is not None:
                     self.index_state.apply(aux_reduced, self.table,
-                                           batch_id=batch_id)
+                                           batch_id=batch_id,
+                                           inclusive_guard=self.inclusive_guard)
             finally:
                 if both:
                     aux_reduced.unpersist()
@@ -247,7 +253,8 @@ class MergePipeline:
             # observe the pre-epoch base.
             reduced = reduced.persist()
             try:
-                self.scd2_state.apply(reduced, self.table, batch_id=batch_id)
+                self.scd2_state.apply(reduced, self.table, batch_id=batch_id,
+                                      inclusive_guard=self.inclusive_guard)
                 return self.table.merge(
                     reduced, batch_id=batch_id, stats_df=changelog,
                     profile_mode=self.profile_mode,

@@ -166,9 +166,19 @@ class Scd2State:
         batch_id: int,
         op_col: str = "op",
         lsn_col: str = "lsn",
+        inclusive_guard: bool = False,
     ) -> CommitResult:
         """Fold one epoch's LWW-reduced changelog into the history —
-        BEFORE the base merge commits the same epoch."""
+        BEFORE the base merge commits the same epoch.
+
+        ``inclusive_guard`` MUST match the base merge's setting. On a
+        replication feed an equal-LSN content change (row-level DML on
+        the source moves content, not LSNs) is applied by the base with
+        ``>=``; history cannot represent two versions at one LSN, so the
+        OPEN version at that LSN is corrected IN PLACE (same surrogate
+        key, the history merge itself runs inclusive) and no close row
+        is written — the out-of-band correction rewrites the version it
+        corrected, exactly like the base row."""
         if batch_id is None:
             raise ValueError(
                 "Scd2State.apply requires a monotone batch_id; without one "
@@ -188,11 +198,11 @@ class Scd2State:
             reduced_batch.storageLevel.useDisk
         if already_cached:
             return self._apply_cached(reduced_batch, base, key, batch_id,
-                                      op_col, lsn_col)
+                                      op_col, lsn_col, inclusive_guard)
         reduced_batch = reduced_batch.persist()
         try:
             return self._apply_cached(reduced_batch, base, key, batch_id,
-                                      op_col, lsn_col)
+                                      op_col, lsn_col, inclusive_guard)
         finally:
             reduced_batch.unpersist()
 
@@ -204,19 +214,29 @@ class Scd2State:
         batch_id: int,
         op_col: str,
         lsn_col: str,
+        inclusive_guard: bool = False,
     ) -> CommitResult:
         old = self._old_rows(reduced_batch, base, key)
+        new_lsn, old_lsn = F.col(lsn_col), F.col("_old_lsn")
+        fresher = (new_lsn >= old_lsn) if inclusive_guard else (new_lsn > old_lsn)
         joined = (
             reduced_batch.join(old, key, "left")
-            # mirror the merge's stale guard: a winner the base merge
-            # ignores (lsn <= stored _lsn) writes no history either
-            .filter(F.col("_old_lsn").isNull() | (F.col(lsn_col) > F.col("_old_lsn")))
+            # mirror the merge's stale guard (incl. its inclusive
+            # replication form): a winner the base merge ignores
+            # writes no history either
+            .filter(F.col("_old_lsn").isNull() | fresher)
         )
         kc = F.col(key).cast("string")
         # close: the replaced LIVE row, interval sealed at the new lsn.
         # Tombstoned old rows have _old_live = false — their close
-        # happened in the epoch that processed the delete.
-        close = joined.filter(F.col("_old_live") == F.lit(True)).select(
+        # happened in the epoch that processed the delete. Equal-LSN
+        # winners (inclusive mode only) close nothing: the open version
+        # at that LSN is rewritten in place by the opens side below
+        # (same surrogate), never sealed into an empty [lsn, lsn)
+        # interval that would collide with it.
+        close = joined.filter(
+            (F.col("_old_live") == F.lit(True)) & (new_lsn > old_lsn)
+        ).select(
             _surrogate(kc, F.col("_old_lsn")).alias(_SK_COL),
             kc.alias(key),
             F.col("_old_lsn").alias("valid_from_lsn"),
@@ -238,9 +258,12 @@ class Scd2State:
         )
         rows = close.unionByName(opens)
         # ONE ledgered merge: close + open are atomic; crash before the
-        # commit leaves no trace, replay after it no-ops on the ledger
+        # commit leaves no trace, replay after it no-ops on the ledger.
+        # Inclusive mode rides through: the equal-LSN in-place rewrite of
+        # an open version needs the history merge's own guard relaxed too.
         return self.history.merge(rows, batch_id=batch_id, op_col=op_col,
-                                  lsn_col=lsn_col)
+                                  lsn_col=lsn_col,
+                                  inclusive_guard=inclusive_guard)
 
     def _old_rows(
         self, reduced_batch: DataFrame, base: SnapshotTable, key: str

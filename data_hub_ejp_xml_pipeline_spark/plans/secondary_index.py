@@ -56,6 +56,14 @@ def _posting_schema(key: str) -> T.StructType:
             T.StructField(_VALUE_COL, T.StringType(), True),
             T.StructField(key, T.StringType(), True),
             T.StructField("lsn", T.LongType(), True),
+            # epoch of the append — the LSN tie-break. A replication feed
+            # (inclusive guard) changes a key's value WITHOUT moving its
+            # LSN, so equal-LSN postings are ordered by the monotone
+            # batch_id that wrote them; within one epoch a (value, key)
+            # pair appears at most once (close XOR open), so (lsn, seq)
+            # is a total order. Strict-guard-era tables lack the column
+            # (NULL seq reads; they never tie on lsn anyway).
+            T.StructField("seq", T.LongType(), True),
             T.StructField("tombstone", T.BooleanType(), True),
         ]
     )
@@ -115,9 +123,18 @@ class SecondaryIndexState:
 
     # ------------------------------------------------------------- serve
     def _reduced(self, postings: DataFrame) -> DataFrame:
-        """Live ``(value, key)`` pairs: LWW per posting by LSN, tombstone
-        winners dropped."""
-        w = W.partitionBy(_VALUE_COL, self.key).orderBy(F.col("lsn").desc())
+        """Live ``(value, key)`` pairs: LWW per posting by (LSN, epoch),
+        tombstone winners dropped. The epoch tie-break carries the
+        inclusive-guard (replication) case where value changes arrive at
+        an unmoved LSN; tombstone-last is a final deterministic shield
+        for legacy NULL-seq rows."""
+        if "seq" not in postings.columns:  # strict-guard-era table
+            postings = postings.withColumn("seq", F.lit(None).cast("long"))
+        w = W.partitionBy(_VALUE_COL, self.key).orderBy(
+            F.col("lsn").desc(),
+            F.col("seq").desc_nulls_last(),
+            F.col("tombstone").desc(),
+        )
         return (
             postings.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & ~F.col("tombstone"))
@@ -158,14 +175,36 @@ class SecondaryIndexState:
         batch_id: int,
         op_col: str = "op",
         lsn_col: str = "lsn",
+        inclusive_guard: bool = False,
     ) -> CommitResult:
         """Fold one epoch's LWW-reduced changelog into the postings —
         BEFORE the base merge commits the same epoch (the close side reads
-        the pre-epoch base)."""
+        the pre-epoch base).
+
+        ``inclusive_guard`` MUST match the base merge's setting: a
+        replication feed carries equal-LSN value changes the base applies
+        with ``>=`` — the postings record them too (tombstone the old
+        value, open the new one, both at the unmoved LSN), ordered at
+        read time by the epoch ``seq`` column. Raises on a
+        strict-guard-era postings table (no ``seq``) because equal-LSN
+        postings would be unorderable there."""
         if batch_id is None:
             raise ValueError(
                 "SecondaryIndexState.apply requires a monotone batch_id; "
                 "without one the postings append is not exactly-once"
+            )
+        has_seq = "seq" in {
+            f.name for f in T.StructType.fromJson(
+                self.postings.manifest()["schema"]
+            ).fields
+        }
+        if inclusive_guard and not has_seq:
+            raise ValueError(
+                "inclusive_guard requires a postings table with the epoch "
+                "'seq' column — this index was created by an older build; "
+                "rebuild it (drop the state root and replay, or compact "
+                "into a freshly-created state) before attaching it to a "
+                "replication consumer"
             )
         if _applied(self.postings, batch_id):
             return CommitResult(
@@ -182,7 +221,8 @@ class SecondaryIndexState:
             reduced_batch = reduced_batch.persist()
         try:
             return self._apply_cached(reduced_batch, base, batch_id,
-                                      op_col, lsn_col)
+                                      op_col, lsn_col, inclusive_guard,
+                                      has_seq)
         finally:
             if not already_cached:
                 reduced_batch.unpersist()
@@ -194,9 +234,16 @@ class SecondaryIndexState:
         batch_id: int,
         op_col: str,
         lsn_col: str,
+        inclusive_guard: bool = False,
+        has_seq: bool = True,
     ) -> CommitResult:
         key, vcol = self.key, self.index_col
         old = self._old_values(reduced_batch, base)
+        fresher = (
+            (F.col("_lsn_new") >= F.col("_old_lsn"))
+            if inclusive_guard
+            else (F.col("_lsn_new") > F.col("_old_lsn"))
+        )
         joined = (
             reduced_batch.select(
                 F.col(key).cast("string").alias(key),
@@ -205,15 +252,15 @@ class SecondaryIndexState:
                 F.col(lsn_col).alias("_lsn_new"),
             )
             .join(old, key, "left")
-            # mirror the merge's stale guard
-            .filter(
-                F.col("_old_lsn").isNull()
-                | (F.col("_lsn_new") > F.col("_old_lsn"))
-            )
+            # mirror the merge's stale guard (incl. its inclusive form)
+            .filter(F.col("_old_lsn").isNull() | fresher)
         )
         old_live = F.coalesce(F.col("_old_live"), F.lit(False))
         unchanged = (F.col("_op") != "D") & F.col("_new_v").eqNullSafe(
             F.col("_old_v")
+        )
+        seq_cols = (
+            [F.lit(batch_id).cast("long").alias("seq")] if has_seq else []
         )
         close = joined.filter(
             old_live & F.col("_old_v").isNotNull() & ~unchanged
@@ -221,6 +268,7 @@ class SecondaryIndexState:
             F.col("_old_v").alias(_VALUE_COL),
             F.col(key),
             F.col("_lsn_new").alias("lsn"),
+            *seq_cols,
             F.lit(True).alias("tombstone"),
         )
         opens = joined.filter(
@@ -231,6 +279,7 @@ class SecondaryIndexState:
             F.col("_new_v").alias(_VALUE_COL),
             F.col(key),
             F.col("_lsn_new").alias("lsn"),
+            *seq_cols,
             F.lit(False).alias("tombstone"),
         )
         return self.postings.append(close.unionByName(opens), batch_id=batch_id)
@@ -265,11 +314,21 @@ class SecondaryIndexState:
         no-ops). O(index size); run it like file compaction, on a cadence.
         The replace writes live postings only (tombstone=false), so a
         value's whole history collapses to its current membership."""
-        w = W.partitionBy(_VALUE_COL, self.key).orderBy(F.col("lsn").desc())
+        read = self.postings.read()
+        has_seq = "seq" in read.columns
+        if not has_seq:
+            read = read.withColumn("seq", F.lit(None).cast("long"))
+        w = W.partitionBy(_VALUE_COL, self.key).orderBy(
+            F.col("lsn").desc(),
+            F.col("seq").desc_nulls_last(),
+            F.col("tombstone").desc(),
+        )
+        seq_cols = ["seq"] if has_seq else []
         folded = (
-            self.postings.read()
+            read
             .withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & ~F.col("tombstone"))
-            .select(_VALUE_COL, self.key, "lsn", F.lit(False).alias("tombstone"))
+            .select(_VALUE_COL, self.key, "lsn", *seq_cols,
+                    F.lit(False).alias("tombstone"))
         )
         return self.postings.replace(folded, batch_id=batch_id)

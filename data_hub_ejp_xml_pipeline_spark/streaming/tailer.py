@@ -95,6 +95,7 @@ class ChangelogTailer:
         self.maintenance = maintenance
         self.maintenance_every = max(1, maintenance_every)
         self._applied_since_maintenance = 0
+        self._committed_max_lsn: int | None = None
 
     # ----------------------------------------------------------- foreachBatch
     def apply_epoch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -143,9 +144,22 @@ class ChangelogTailer:
             row["events_rejected"] = dlq.last_reject_count
         if self.maintenance is not None and result.applied:
             self._applied_since_maintenance += 1
+            if result.max_lsn is not None:
+                # the stream's own committed offset — vacuum's watermark
+                # comes from here, not from zone-map derivation, when the
+                # policy runs inside foreachBatch (the derived path would
+                # read the post-merge manifest and is a fallback for
+                # tables without _lsn stats)
+                self._committed_max_lsn = (
+                    result.max_lsn
+                    if self._committed_max_lsn is None
+                    else max(self._committed_max_lsn, result.max_lsn)
+                )
             if self._applied_since_maintenance >= self.maintenance_every:
                 self._applied_since_maintenance = 0
-                row["maintenance"] = self.maintenance.run()
+                row["maintenance"] = self.maintenance.run(
+                    watermark_lsn=self._committed_max_lsn
+                )
         self.metrics.append(row)
         if len(self.metrics) > 10_000:
             # metrics.jsonl is the durable record; the in-memory list is a

@@ -99,6 +99,7 @@ class CommitResult:
     rows_written: int = 0
     n_events: int = 0  # events observed in the batch (from the stats job)
     max_event_ts: Any = None  # max event_ts in the batch, for lag metrics
+    max_lsn: Any = None  # max lsn in the batch — the committed stream offset
 
 
 class SnapshotTable:
@@ -542,10 +543,13 @@ class SnapshotTable:
         delete carries its tombstone's real LSN — the value a downstream
         LWW merge needs to outrank the row it kills. A delete whose
         tombstone was vacuumed between the versions (to-side row gone
-        entirely) is emitted with the synthetic LSN ``from_lsn + 1``:
-        the real delete outranked ``from_lsn``, so ``from_lsn + 1 <=``
-        the real delete LSN — it still beats the consumer's live row and
-        can never outrank a later legitimate resurrect.
+        entirely) is emitted with the from-side row's own LSN when that
+        row is ALREADY a tombstone (the delete's real LSN — vacuum only
+        reclaimed its bytes), else the synthetic LSN ``from_lsn + 1``:
+        the real delete outranked the live ``from_lsn``, so
+        ``from_lsn + 1 <=`` the real delete LSN — it still beats the
+        consumer's live row and can never outrank a later legitimate
+        resurrect at exactly ``delete_lsn + 1``.
 
         Row-level DML (:meth:`delete_where` / :meth:`update_where`)
         changes content WITHOUT moving the row's LSN, so the feed also
@@ -586,10 +590,16 @@ class SnapshotTable:
         # op: the to-side state decides — tombstone (or vacuumed-away row
         # that existed live on the from side) ⇒ D, else U
         op = F.when(b_exists & ~b_deleted, F.lit("U")).otherwise(F.lit("D"))
-        lsn = F.when(
-            b_exists, F.col(f"b.{LSN_COL}")
-        ).otherwise(F.col(f"a.{LSN_COL}") + F.lit(1))
         a_deleted = F.coalesce(F.col(f"a.{DELETED_COL}"), F.lit(False))
+        # vanished row: a tombstone that was vacuumed carries its own
+        # (real) delete LSN; a live row that disappeared gets lsn+1 —
+        # never past the real delete's LSN, so a later resurrect at
+        # exactly delete_lsn+1 is not outranked
+        lsn = (
+            F.when(b_exists, F.col(f"b.{LSN_COL}"))
+            .when(a_deleted, F.col(f"a.{LSN_COL}"))
+            .otherwise(F.col(f"a.{LSN_COL}") + F.lit(1))
+        )
         # null-safe payload comparison over the to-side columns (a-side
         # missing columns read as NULL — schema evolution): catches
         # update_where, which rewrites values at an unchanged LSN
@@ -1095,6 +1105,7 @@ class SnapshotTable:
             rows_written=rows_written,
             n_events=batch_stats["n_events"],
             max_event_ts=batch_stats["max_event_ts"],
+            max_lsn=batch_stats.get("max_lsn"),
         )
 
     def _merge_rows_bucket_local(
@@ -1294,6 +1305,16 @@ class SnapshotTable:
         except FileNotFoundError:
             return {}
 
+    def _write_tags(self, tags: dict[str, int]) -> None:
+        # tmp + os.replace, mirroring the VERSION pointer: expire_snapshots
+        # trusts tags() for retention, so a crash mid-write must never
+        # leave a truncated tags.json that silently un-pins snapshots
+        path = self._tags_path()
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(tags, fh)
+        os.replace(tmp, path)
+
     def tag(self, name: str, version: int | None = None) -> int:
         """Pin a version under a name — a durable time-travel handle.
         Tagged versions are RETAINED by :meth:`expire_snapshots` (their
@@ -1303,8 +1324,7 @@ class SnapshotTable:
         self.manifest(v)  # raises FileNotFoundError on an expired version
         tags = self.tags()
         tags[name] = v
-        with open(self._tags_path(), "w") as fh:
-            json.dump(tags, fh)
+        self._write_tags(tags)
         return v
 
     def drop_tag(self, name: str) -> None:
@@ -1312,8 +1332,7 @@ class SnapshotTable:
         if name not in tags:
             raise KeyError(f"no tag {name!r}")
         del tags[name]
-        with open(self._tags_path(), "w") as fh:
-            json.dump(tags, fh)
+        self._write_tags(tags)
 
     def read_tag(self, name: str, include_tombstones: bool = False) -> DataFrame:
         tags = self.tags()
@@ -1592,6 +1611,7 @@ class SnapshotTable:
         batch_id: int | None = None,
         prune_range: tuple | None = None,
         hard: bool = False,
+        verify_prune: bool = False,
     ) -> CommitResult:
         """Predicate DELETE — the row-level retention / right-to-erasure
         op (Iceberg ``DELETE FROM t WHERE ...`` analog, copy-on-write).
@@ -1617,6 +1637,15 @@ class SnapshotTable:
         rewritten — every other file carries forward by reference. Two
         scans of the candidate/matched files, never O(table) driver work.
 
+        SUBSUMPTION CONTRACT: ``prune_range`` is an UNCHECKED hint — the
+        caller asserts every row satisfying ``condition`` has ``col``
+        within ``[lo, hi]``. A range that does not subsume the predicate
+        silently skips matching rows in the pruned-away files (they are
+        carried forward unmodified, no error). Pass
+        ``verify_prune=True`` to pay one extra probe over the
+        pruned-away files and raise on residual matches instead — use it
+        in tests / fsck-grade runs, skip it on the hot path.
+
         ``batch_id`` gives the op merge/append's exactly-once ledger
         (replays no-op)."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
@@ -1636,7 +1665,7 @@ class SnapshotTable:
                 )
         return self._rewrite_where(
             cond, transform, "delete_where" + ("_hard" if hard else ""),
-            batch_id, prune_range,
+            batch_id, prune_range, verify_prune=verify_prune,
         )
 
     def update_where(
@@ -1645,6 +1674,7 @@ class SnapshotTable:
         assignments: dict[str, Any],
         batch_id: int | None = None,
         prune_range: tuple | None = None,
+        verify_prune: bool = False,
     ) -> CommitResult:
         """Predicate UPDATE (Iceberg ``UPDATE t SET ... WHERE ...`` analog,
         copy-on-write): LIVE rows matching ``condition`` get the
@@ -1653,8 +1683,9 @@ class SnapshotTable:
         and ``_deleted`` cannot be assigned — the row keeps its LSN, so
         the CDC merge guard is unchanged (an out-of-band correction does
         not mask or get masked by in-band events any differently than the
-        stored row did). Pruning, rewrite granularity and the exactly-once
-        ``batch_id`` ledger are exactly :meth:`delete_where`'s."""
+        stored row did). Pruning (incl. the ``prune_range`` subsumption
+        contract and ``verify_prune``), rewrite granularity and the
+        exactly-once ``batch_id`` ledger are exactly :meth:`delete_where`'s."""
         m = self.manifest()
         schema = T.StructType.fromJson(m["schema"])
         names = {f.name for f in schema.fields}
@@ -1689,7 +1720,8 @@ class SnapshotTable:
             return df.select(*out)
 
         return self._rewrite_where(
-            cond, transform, "update_where", batch_id, prune_range
+            cond, transform, "update_where", batch_id, prune_range,
+            verify_prune=verify_prune,
         )
 
     def _rewrite_where(
@@ -1700,11 +1732,16 @@ class SnapshotTable:
         batch_id: int | None,
         prune_range: tuple | None,
         live_only: bool = True,
+        verify_prune: bool = False,
     ) -> CommitResult:
         """Shared DML core: probe candidate files for matches, rewrite ONLY
         the matching files through ``transform(df, match)``, carry the rest
         by reference, commit one ledgered snapshot. ``live_only=False``
-        lets the predicate target tombstone rows too (vacuum)."""
+        lets the predicate target tombstone rows too (vacuum).
+        ``verify_prune=True`` additionally probes the files the
+        ``prune_range`` hint excluded and raises if any holds a match —
+        the subsumption-contract check (costs one extra scan of the
+        pruned-away files; no-op without a hint)."""
         from urllib.parse import urlparse
 
         m = self.manifest()
@@ -1720,6 +1757,23 @@ class SnapshotTable:
             candidates = list(m["files"])
         live = ~F.coalesce(F.col(DELETED_COL), F.lit(False))
         match = (cond & live) if live_only else cond
+        if verify_prune and prune_range is not None:
+            cand_paths = {f["path"] for f in candidates}
+            excluded = [f for f in m["files"] if f["path"] not in cand_paths]
+            if excluded:
+                residual = (
+                    self._read_file_entries(excluded, schema)
+                    .filter(match)
+                    .limit(1)
+                    .count()
+                )
+                if residual:
+                    raise ValueError(
+                        f"prune_range {prune_range!r} does not subsume the "
+                        f"{operation} predicate: matching rows exist in "
+                        "files the hint excluded — widen or drop the hint "
+                        "(a non-verifying run would silently skip them)"
+                    )
         if candidates:
             probe = self._read_file_entries(candidates, schema).withColumn(
                 "_file", F.input_file_name()
@@ -1980,12 +2034,16 @@ class SnapshotTable:
         groupings in one shuffle; ``grouping(col)`` flags tell the rows
         apart (NULL group values are ambiguous)."""
         has_ts = "event_ts" in src.columns
+        has_lsn = "lsn" in src.columns
         has_lineage = "source_file" in src.columns and "offset" in src.columns
         aggs = [
             F.count(F.lit(1)).alias("n_events"),
             F.min(key).alias("kmin"),
             F.max(key).alias("kmax"),
             (F.max("event_ts") if has_ts else F.lit(None)).alias("max_ts"),
+            # the batch's max LSN rides the same job — the stream offset a
+            # tailer-driven MaintenancePolicy vacuums against
+            (F.max("lsn") if has_lsn else F.lit(None)).alias("max_lsn"),
         ]
         if has_lineage:
             aggs += [
@@ -2016,6 +2074,10 @@ class SnapshotTable:
             "n_events": sum(r["n_events"] for r in bucket_rows),
             "max_event_ts": max(
                 (r["max_ts"] for r in bucket_rows if r["max_ts"] is not None),
+                default=None,
+            ),
+            "max_lsn": max(
+                (r["max_lsn"] for r in bucket_rows if r["max_lsn"] is not None),
                 default=None,
             ),
         }

@@ -414,3 +414,45 @@ def test_vacuum_rewrites_only_tombstone_files(spark, tmp_path, changelog_pdf):
     v = table.current_version()
     res2 = table.vacuum_tombstones(older_than_lsn=10**12)
     assert not res2.applied and table.current_version() == v
+
+
+def test_tailer_vacuum_uses_committed_offset(spark, tmp_path, changelog_pdf):
+    """A table WITHOUT _lsn zone maps cannot derive a vacuum watermark —
+    the tailer must hand the policy its own committed max-LSN offset, so
+    vacuum still fires (round-6 wiring; the derived path stays covered by
+    test_tailer_runs_maintenance_on_cadence)."""
+    from data_hub_ejp_xml_pipeline_spark.generator import (
+        generate_changelog_pandas,
+        write_changelog_files,
+    )
+    from data_hub_ejp_xml_pipeline_spark.plans.maintenance import MaintenancePolicy
+    from data_hub_ejp_xml_pipeline_spark.streaming.tailer import ChangelogTailer
+
+    pdf = generate_changelog_pandas(
+        n_events=3_000, seed=5, replay_fraction=0.0, shuffle_window=1
+    )
+    d = str(tmp_path / "chg")
+    write_changelog_files(pdf, d, 6)
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "tbl"), PAYLOAD_SCHEMA, n_buckets=4
+    )  # no stats_cols: derived_watermark() is None
+    policy = MaintenancePolicy(
+        table, keep_snapshots=2, vacuum_slack_lsn=0, vacuum_every=2
+    )
+    assert policy.derived_watermark() is None or True  # empty table: None
+    tailer = ChangelogTailer(
+        spark, table=table, maintenance=policy, maintenance_every=2
+    )
+    tailer.run_to_completion(d, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    assert policy.derived_watermark() is None
+    ran = [m["maintenance"] for m in tailer.metrics if "maintenance" in m]
+    assert any(p["vacuumed"] for p in ran), (
+        "tailer did not feed its committed offset to the policy"
+    )
+    # the cutoff is the stream's committed offset at that pass — never
+    # ahead of the feed's max LSN
+    cutoffs = [p["vacuum_cutoff_lsn"] for p in ran if p["vacuumed"]]
+    assert max(cutoffs) <= int(pdf["lsn"].max())
+    assert_final_state_equal(
+        table.read().toPandas(), expected_final_state_pandas(pdf)
+    )
