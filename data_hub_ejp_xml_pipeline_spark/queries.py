@@ -1197,6 +1197,246 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# Streaming forms of the windowed family (§2.9 engine tier): the batch
+# expressions above (tumbling_window_stats / sessionize) model the math;
+# these run the REAL append-mode watermarked stream — file-source drain,
+# bounded state, exactly-once ledgered sink — and return the finalized
+# windows. The oracle mirrors Spark's finalization rule exactly: the
+# final watermark is floor_ms(max event_ts) - delay (Spark tracks event
+# times in milliseconds), and a window/session is emitted iff its end is
+# <= that watermark (tie convention verified empirically: end == wm
+# emits).
+# ---------------------------------------------------------------------
+
+def _events_stream_dir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """Materialize the events table as a 2-file, mtime-ordered parquet
+    changelog (split at the row-count median of the ts order, each half a
+    single file) so a ``maxFilesPerTrigger=1`` file-source stream replays
+    it in event-time order across two microbatches — the watermark then
+    genuinely advances mid-stream. Returns the scratch root (``chg/``
+    under it holds the files). Harness-side setup, not the measured
+    engine path: the pandas hop is bounded by the sf under test."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = _swept_scratch_dir(prefix)
+    chg = os.path.join(root, "chg")
+    os.makedirs(chg)
+    pdf = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_id").alias("lsn"),
+            F.col("user_id").cast("string").alias("doc_id"),
+            F.col("event_type").alias("source"),
+            F.col("ts").alias("event_ts"),
+        )
+        .orderBy("event_ts", "lsn")
+        .toPandas()
+    )
+    half = len(pdf) // 2
+    for i, chunk in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+        path = os.path.join(chg, f"part-{i}.parquet")
+        tbl = pa.Table.from_pandas(chunk, preserve_index=False)
+        # pandas hands arrow ns-unit timestamps; Spark's TIMESTAMP reader
+        # wants us — cast at write
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("event_ts"),
+            "event_ts",
+            tbl.column("event_ts").cast(pa.timestamp("us")),
+        )
+        pq.write_table(tbl, path)
+        # file-source arrival order is mtime order — pin it
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    return root
+
+
+_STREAM_EV_FIELDS = [
+    ("lsn", "long"),
+    ("doc_id", "string"),
+    ("source", "string"),
+    # TIMESTAMP (not NTZ): withWatermark requires it. The query pins the
+    # session tz to UTC for its whole lifetime, so the naive parquet
+    # values read as UTC wall time and window alignment matches the
+    # oracle's tz-free time_bucket.
+    ("event_ts", "timestamp"),
+]
+
+
+def _run_windowed_stream(spark, root, rolled_fn, payload, key):
+    """Shared drain: readStream over ``root/chg`` -> rolled_fn(stream) ->
+    append-mode availableNow drain through a ledgered SnapshotTable
+    append (exactly-once epochs), timestamps rendered to strings INSIDE
+    the batch (under the pinned UTC tz) so the returned frame is
+    tz-independent."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+    schema = T.StructType(
+        [T.StructField(n, getattr(T, {"long": "LongType", "string": "StringType",
+                                      "timestamp": "TimestampType"}[t])())
+         for n, t in _STREAM_EV_FIELDS]
+    )
+    sink = SnapshotTable.create(
+        spark, os.path.join(root, "tbl"), payload, key=key, n_buckets=4
+    )
+    ts_cols = [f.name for f in payload.fields
+               if f.name.endswith(("_start", "_end"))]
+
+    def _append(df, bid):
+        out = df.select(
+            *[F.date_format(c, "yyyy-MM-dd HH:mm:ss").alias(c)
+              if c in ts_cols else F.col(c)
+              for c in [f.name for f in payload.fields]]
+        )
+        sink.append(out, batch_id=bid)
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(root, "chg"))
+        )
+        q = (
+            rolled_fn(stream)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .foreachBatch(_append)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    return sink
+
+
+# final watermark, Spark-faithful: event times tracked in ms (floor),
+# delay 30 min = 1_800_000_000 us
+_STREAM_WM_SQL = (
+    "SELECT make_timestamp((epoch_us(max(ts)) // 1000) * 1000 - 1800000000)"
+    " FROM events"
+)
+
+_WINDOWED_STREAM_ORACLE = f"""
+WITH w AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type AS source,
+         count(*) AS n_events, max(event_id) AS max_lsn
+  FROM events GROUP BY 1, 2
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(ws + INTERVAL '1 hour', '%Y-%m-%d %H:%M:%S') AS window_end,
+       source, n_events, max_lsn
+FROM w
+WHERE ws + INTERVAL '1 hour' <= ({_STREAM_WM_SQL})
+"""
+
+
+def q_windowed_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 streaming form, end-to-end: the events changelog is drained
+    through ``streaming/windowed.py::windowed_rollup`` (withWatermark +
+    tumbling window, append mode — state is O(active windows), finalized
+    windows emit exactly once) into a ledgered SnapshotTable append sink,
+    across two real microbatches plus the no-data finalization batch.
+    Returns the finalized windows; the oracle is the same GROUP BY over
+    events restricted to windows whose end the final watermark passed.
+    ``tests/test_streaming_windowed.py`` pins the stream==batch equality
+    and the late-drop; this entry pins the streamed result against an
+    independent engine."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.streaming.windowed import windowed_rollup
+
+    root = _events_stream_dir(spark, sf_dir, "wrollq")
+    payload = T.StructType(
+        [
+            T.StructField("window_start", T.StringType()),
+            T.StructField("window_end", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("max_lsn", T.LongType()),
+        ]
+    )
+    sink = _run_windowed_stream(
+        spark,
+        root,
+        lambda s: windowed_rollup(
+            s, window="1 hour", delay="30 minutes", group_col="source"
+        ).drop("approx_keys"),  # HLL estimate: real, but not oracle-matchable
+        payload,
+        key="window_start",
+    )
+    return sink.read().select(
+        "window_start", "window_end", "source", "n_events", "max_lsn"
+    )
+
+
+_SESSION_STREAM_ORACLE = f"""
+WITH g AS (
+  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT doc_id, event_id, ts,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY ts, event_id) AS session_no
+  FROM g
+), agg AS (
+  SELECT doc_id, min(ts) AS s_start, max(ts) + INTERVAL '30 minutes' AS s_end,
+         count(*) AS n_events, min(event_id) AS first_lsn,
+         max(event_id) AS last_lsn
+  FROM s GROUP BY doc_id, session_no
+)
+SELECT strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+       doc_id, n_events, first_lsn, last_lsn
+FROM agg
+WHERE s_end <= ({_STREAM_WM_SQL})
+"""
+
+
+def q_session_rollup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows, streamed: ``session_rollup`` (native
+    ``F.session_window``, 30-min gap, 30-min watermark delay) over the
+    same two-microbatch drain — open sessions merge across the batch
+    boundary in the state store, closed sessions emit exactly once into
+    the ledgered sink. The oracle derives sessions independently
+    (lag/cumsum) and keeps those whose end (last event + gap) the final
+    watermark passed — i.e. the closed set Spark must have emitted."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.streaming.windowed import session_rollup
+
+    root = _events_stream_dir(spark, sf_dir, "sessq")
+    payload = T.StructType(
+        [
+            T.StructField("session_start", T.StringType()),
+            T.StructField("session_end", T.StringType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("first_lsn", T.LongType()),
+            T.StructField("last_lsn", T.LongType()),
+        ]
+    )
+    sink = _run_windowed_stream(
+        spark,
+        root,
+        lambda s: session_rollup(
+            s, gap="30 minutes", delay="30 minutes", group_col="doc_id"
+        ),
+        payload,
+        key="doc_id",
+    )
+    return sink.read().select(
+        "session_start", "session_end", "doc_id", "n_events",
+        "first_lsn", "last_lsn",
+    )
+
+
 def q_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation == plain groupBy (skew pattern)."""
     ev = _t(spark, sf_dir, "events")
@@ -3262,6 +3502,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
                   min(event_id) AS first_event_id, max(event_id) AS last_event_id
            FROM s GROUP BY 1, 2""",
     ),
+    "windowed_rollup_stream": (q_windowed_rollup_stream, _WINDOWED_STREAM_ORACLE),
+    "session_rollup_stream": (q_session_rollup_stream, _SESSION_STREAM_ORACLE),
     "salted_count": (
         q_salted_count,
         "SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value "
