@@ -284,6 +284,103 @@ def q_cdc_engine_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_MAINT_ORACLE = """
+SELECT CAST(user_id AS VARCHAR) AS doc_id,
+       event_type AS final_event_type,
+       round(value, 4) AS final_value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_cdc_maintenance_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational verbs end-to-end (maintenance + fsck + clone): four
+    LSN-ordered merges with a ``MaintenancePolicy`` pass after EVERY
+    epoch — compaction (threshold 2 files/bucket), snapshot expiry
+    (keep 2) and tombstone vacuum (every 2nd pass, watermark = the
+    epoch's committed max LSN) all fire mid-stream — then
+    ``verify(deep=True)`` must report zero violations and the final
+    state is ``clone()``d and read back THROUGH THE CLONE. Oracle: the
+    plain LWW live view — maintenance must never change query results.
+    The in-query raises turn a verb that silently stopped firing into a
+    driver 'err' instead of a silent coverage loss."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.plans.maintenance import MaintenancePolicy
+    from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("final_event_type"),
+        F.round("value", 4).alias("final_value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("final_event_type", T.StringType()),
+            T.StructField("final_value", T.DoubleType()),
+        ]
+    )
+    root = _swept_scratch_dir("cdcmaint")
+    table = SnapshotTable.create(
+        spark, root + "/tbl", payload, key="doc_id", n_buckets=8,
+        stats_cols=["_lsn"],
+    )
+    policy = MaintenancePolicy(
+        table, max_files_per_bucket=1, keep_snapshots=2,
+        vacuum_slack_lsn=0, vacuum_every=2,
+    )
+    lo, hi = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    step = max((hi - lo + 1) // 4 + 1, 1)
+    passes = []
+    for i in range(4):
+        batch = changelog.filter(
+            (F.col("lsn") >= lo + i * step) & (F.col("lsn") < lo + (i + 1) * step)
+        )
+        table.merge(reduce_latest(batch), batch_id=i)
+        # the stream's committed offset, as ChangelogTailer would hand it
+        passes.append(policy.run(watermark_lsn=min(lo + (i + 1) * step - 1, hi)))
+    # big LSN-ordered epochs touch every file, so the COW rewrite keeps
+    # buckets at target fan-out — growth (what compaction exists for)
+    # comes from SMALL merges. Refresh three deterministic keys at a
+    # bumped LSN with their stored payload: content is unchanged (the
+    # oracle needs no carve-out; last_lsn is deliberately not projected),
+    # files accumulate, the next policy pass compacts them away.
+    refresh = [
+        r.asDict()
+        for r in table.read()
+        .orderBy("doc_id")
+        .limit(3)
+        .select("doc_id", "final_event_type", "final_value")
+        .collect()
+    ]
+    for j, row in enumerate(refresh):
+        one = spark.createDataFrame(
+            [(hi + 1 + j, "U", row["doc_id"], row["final_event_type"],
+              row["final_value"])],
+            "lsn long, op string, doc_id string, final_event_type string,"
+            " final_value double",
+        )
+        table.merge(reduce_latest(one), batch_id=4 + j)
+        passes.append(policy.run(watermark_lsn=hi + 1 + j))
+    if not any(p["compacted"] for p in passes):
+        raise AssertionError("compaction never fired across the loop")
+    if not any(p["vacuumed"] for p in passes):
+        raise AssertionError("vacuum never fired across the loop")
+    if not any(p["expired_manifests"] for p in passes):
+        raise AssertionError("snapshot expiry never fired across the loop")
+    chk = table.verify(deep=True)
+    if not chk["ok"]:
+        raise AssertionError(f"fsck violations after maintenance: {chk['errors']}")
+    replica = table.clone(root + "/clone")
+    return replica.read().select("doc_id", "final_event_type", "final_value")
+
+
 _CDC_LOOKUP_ORACLE = f"""
 SELECT CAST(user_id AS VARCHAR) AS doc_id,
        event_type AS final_event_type,
@@ -3504,6 +3601,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "windowed_rollup_stream": (q_windowed_rollup_stream, _WINDOWED_STREAM_ORACLE),
     "session_rollup_stream": (q_session_rollup_stream, _SESSION_STREAM_ORACLE),
+    "cdc_maintenance_loop": (q_cdc_maintenance_loop, _CDC_MAINT_ORACLE),
     "salted_count": (
         q_salted_count,
         "SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value "
