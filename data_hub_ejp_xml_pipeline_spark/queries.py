@@ -1019,6 +1019,83 @@ def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# as-of serve path: history versions are epoch-granular (one version per
+# key per applied epoch winner), so the state visible AT lsn L is, per
+# key, the max-LSN EPOCH winner whose lsn <= L — a full-epoch winner
+# above L leaves the prior version visible even though its close row
+# exists (valid_from <= L < valid_to doing real work). L sits mid-epoch-1
+# to force exactly that case.
+_SCD2_ASOF_ORACLE = """
+WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+p AS (SELECT lo, (hi - lo + 1) // 3 + 1 AS step FROM b),
+l AS (SELECT lo + step + step // 2 AS asof_lsn FROM p),
+ew AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (
+           PARTITION BY user_id, (event_id - p.lo) // p.step
+           ORDER BY event_id DESC
+         ) AS rn
+  FROM events, p
+),
+vis AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn2
+  FROM ew WHERE rn = 1 AND event_id <= (SELECT asof_lsn FROM l)
+)
+SELECT CAST(user_id AS VARCHAR) AS doc_id,
+       event_type AS final_event_type,
+       round(value, 4) AS final_value,
+       event_id AS valid_from_lsn
+FROM vis WHERE rn2 = 1 AND event_type <> 'error'
+"""
+
+
+def q_cdc_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2's reason to exist — the point-in-time serve path: the same
+    3-epoch pipeline as :func:`q_cdc_scd2_history`, then
+    ``read_as_of(L)`` for an L strictly inside the second epoch. The
+    read prunes history files via the ``valid_from_lsn`` zone maps
+    (``read_range``), and the interval filter must resurrect versions
+    whose replacement sits above L. Oracle: per-key max epoch winner
+    with lsn <= L, delete winners excluded."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
+    from data_hub_ejp_xml_pipeline_spark.plans.scd2 import Scd2State
+
+    ev = _t(spark, sf_dir, "events")
+    changelog = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("final_event_type"),
+        F.round("value", 4).alias("final_value"),
+    )
+    payload = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("final_event_type", T.StringType()),
+            T.StructField("final_value", T.DoubleType()),
+        ]
+    )
+    root = _swept_scratch_dir("scd2asof")
+    scd2 = Scd2State(spark, root + "/scd2", payload_schema=payload, key="doc_id")
+    pipe = MergePipeline(
+        spark, root + "/tbl", key="doc_id", n_buckets=8,
+        payload_schema=payload, scd2_state=scd2,
+    )
+    lo, hi = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    step = max((hi - lo + 1) // 3 + 1, 1)
+    for i in range(3):
+        batch = changelog.filter(
+            (F.col("lsn") >= lo + i * step) & (F.col("lsn") < lo + (i + 1) * step)
+        )
+        pipe.apply(batch, batch_id=i)
+    asof = lo + step + step // 2
+    return scd2.read_as_of(asof).select(
+        "doc_id", "final_event_type", "final_value", "valid_from_lsn"
+    )
+
+
 # transaction-boundary atomicity: events arrive in fixed blocks of 16
 # (txn_id = event_id // 16; the tail block is shorter), the simulated
 # loss drops some members, and ONLY complete transactions may apply —
@@ -3525,6 +3602,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ivm_group_totals": (q_ivm_group_totals, _IVM_ORACLE),
     "cdc_changefeed": (q_cdc_changefeed, _CHANGEFEED_ORACLE),
     "cdc_scd2_history": (q_cdc_scd2_history, _SCD2_ORACLE),
+    "cdc_scd2_as_of": (q_cdc_scd2_as_of, _SCD2_ASOF_ORACLE),
     "cdc_txn_atomic": (q_cdc_txn_atomic, _TXN_ORACLE.format(loss=_LOSS_SQL)),
     "cdc_snapshot_bootstrap": (q_cdc_snapshot_bootstrap, _SNAPSHOT_BOOTSTRAP_ORACLE),
     "partial_update_resolve": (q_partial_update_resolve, _PARTIAL_ORACLE),
