@@ -72,6 +72,9 @@ HEADLINE = [
     "partial_update_resolve",
     "cdc_delete_where",
     "cdc_schema_drift",
+    "windowed_rollup_stream",
+    "cdc_scd2_as_of",
+    "cdc_maintenance_loop",
 ]
 
 # per-query trials: the sandbox VM is noisy (identical runs vary 2-3x);
@@ -150,6 +153,29 @@ def shuffle_calibration(changelog_dir: str, threads_list=(8, 32)) -> dict[str, f
             s.stop()
     shutil.rmtree(out, ignore_errors=True)
     return {f"local[{k}]": round(v, 3) for k, v in best.items()}
+
+
+def kernel_once(spark, changelog_dir: str, warm: bool = False) -> float:
+    """ONE timed run of the shuffle-calibration kernel (scan the same
+    changelog → hash-shuffle on the key with a map-side-combining
+    max/max_by agg → write tmpfs parquet) IN the headline session. This
+    is the same-window control the apply headline normalizes against:
+    raw ev/s on this VM swings 2-3x with neighbor contention, and the r4
+    round lost a cycle to exactly that — ``apply_over_kernel`` (the
+    headline's primary cross-round form) divides the window out, because
+    the kernel rides the same contention as the apply it accompanies."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(_bench_tmpdir(), "kernel-out")
+    df = spark.read.parquet(changelog_dir)
+    expr = [F.max("lsn").alias("lsn"), F.max_by("tokens", "lsn").alias("tokens")]
+    if warm:
+        df.limit(1000).groupBy("doc_id").agg(*expr).count()
+    t0 = time.time()
+    df.groupBy("doc_id").agg(*expr).write.mode("overwrite").parquet(out)
+    elapsed = time.time() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    return round(elapsed, 3)
 
 
 def run_headline_queries(spark) -> dict[str, float]:
@@ -385,11 +411,17 @@ def main() -> None:
     spark = _fresh_spark(CPUS)
     ensure_changelog(spark, gen_dir, N_EVENTS)
     queries, query_trials = run_headline_queries(spark)
-    apply_trials = [
-        cdc_apply(spark, gen_dir, N_EVENTS, n_buckets=32, warmup=(i == 0))
-        for i in range(3)
-    ]
+    # STRICTLY INTERLEAVED apply/kernel trials: the kernel is the
+    # same-window normalizer, so it must share each apply trial's
+    # contention window, not run before or after the block
+    apply_trials, kernel_trials = [], []
+    for i in range(3):
+        apply_trials.append(
+            cdc_apply(spark, gen_dir, N_EVENTS, n_buckets=32, warmup=(i == 0))
+        )
+        kernel_trials.append(kernel_once(spark, gen_dir, warm=(i == 0)))
     apply_main = sorted(apply_trials, key=lambda r: r["elapsed_sec"])[1]  # median
+    kernel_sec = sorted(kernel_trials)[1]  # median, same estimator
     detail = {
         "queries_trials": QUERY_TRIALS,
         "queries_trials_sec": query_trials,
@@ -397,6 +429,7 @@ def main() -> None:
             n: round(max(ts) - min(ts), 3) for n, ts in query_trials.items()
         },
         "apply_trials_sec": [r["elapsed_sec"] for r in apply_trials],
+        "kernel_trials_sec": kernel_trials,
         "reduce_strategies_sec": reduce_strategy_comparison(spark, gen_dir),
     }
     if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "0") == "1":
@@ -443,6 +476,13 @@ def main() -> None:
         "events_per_sec": apply_main["events_per_sec"],
         "final_rows": apply_main["final_rows"],
         "queries_stat": f"median_of_{QUERY_TRIALS}",
+        # same-window control: the shuffle kernel's median sec in THIS
+        # session, interleaved with the apply trials. apply_over_kernel
+        # is the PRIMARY cross-round metric — raw sec/ev/s are
+        # window-relative on this VM (see BENCH/BASELINE.md)
+        "kernel_sec": kernel_sec,
+        "apply_over_kernel": round(apply_main["elapsed_sec"] / kernel_sec, 3)
+        if kernel_sec else None,
     }
     if scaling_compact is not None:
         result["scaling"] = scaling_compact
