@@ -58,17 +58,46 @@ class MultiTablePipeline:
         lsn_source: str = "lsn",
         json_col: str = "value",
         profile_mode: str = "pre",
+        pipeline_kwargs: dict[str, dict] | None = None,
+        auto_evolve: bool = False,
+        wire_dlq=None,
     ):
         """``schemas``: table name → payload schema (must contain that
         table's key column, default ``doc_id``, override per table via
-        ``keys``). Each table lives at ``{root}/{table}``."""
+        ``keys``). Each table lives at ``{root}/{table}``.
+
+        ``pipeline_kwargs``: table name → extra :class:`MergePipeline`
+        kwargs, so each routed table can carry its own sidecar states
+        (``scd2_state=``, ``ivm_state=``, ``index_state=``,
+        ``dlq_state=``, ``placeholder_cols=``, ...) — the production
+        epoch is routing × drift × sidecars on ONE tailer, and this is
+        where they compose (``tests/test_streaming_states.py`` pins the
+        combination under crash/restart).
+
+        ``auto_evolve``: run the upstream-DDL loop per epoch and per
+        table — drifted top-level wire columns grow that table's payload
+        schema (``sources.debezium.evolve_payload_schema``, bounded
+        sample) before decode, and the table merge's create-or-evolve
+        adds the column. Deterministic across crash/replay: a replayed
+        epoch re-detects the same drift and re-evolves to the same
+        schema; its merge then no-ops on the ledger.
+
+        ``wire_dlq``: an optional :class:`plans.dlq.DlqState` receiving
+        the DECODE-level quarantine (unparseable envelope, unknown op,
+        null key, missing ordering value) with the raw wire bytes —
+        create it with payload schema ``(tbl string, raw string)``. This
+        is upstream of the per-table changelog DLQ (``dlq_state=`` in
+        ``pipeline_kwargs``), which guards the post-decode contract."""
         if not schemas:
             raise ValueError("schemas must declare at least one table")
         self.spark = spark
         self.schemas = dict(schemas)
         self.json_col = json_col
         self.lsn_source = lsn_source
+        self.auto_evolve = auto_evolve
+        self.wire_dlq = wire_dlq
         keys = keys or {}
+        pipeline_kwargs = pipeline_kwargs or {}
         self.pipes = {
             t: MergePipeline(
                 spark,
@@ -77,6 +106,7 @@ class MultiTablePipeline:
                 n_buckets=n_buckets,
                 payload_schema=sch,
                 profile_mode=profile_mode,
+                **pipeline_kwargs.get(t, {}),
             )
             for t, sch in self.schemas.items()
         }
@@ -89,20 +119,43 @@ class MultiTablePipeline:
                 "MultiTablePipeline.apply requires a batch_id — per-table "
                 "exactly-once is keyed on it"
             )
+        from pyspark.sql import functions as F
+
         raw = envelopes.persist()
         try:
             routed = dbz.route_envelopes(raw, self.schemas, json_col=self.json_col)
             unrouted = routed["_unrouted"].count()  # also materializes raw
             per_table = {}
+            rejects = []
             for t, pipe in self.pipes.items():
+                sch = self.schemas[t]
+                if self.auto_evolve:
+                    evolved = dbz.evolve_payload_schema(
+                        self.spark, routed[t], sch, json_col=self.json_col
+                    )
+                    if evolved is not sch:
+                        self.schemas[t] = sch = evolved
                 decoded = dbz.decode_envelopes(
                     routed[t],
-                    self.schemas[t],
+                    sch,
                     key=pipe.key,
                     json_col=self.json_col,
                     lsn_source=self.lsn_source,
                 )
+                if self.wire_dlq is not None:
+                    rejects.append(
+                        dbz.quarantine(decoded).select(
+                            F.lit(t).alias("tbl"),
+                            F.col("_raw").alias("raw"),
+                            F.col("_error").alias("reject_reason"),
+                        )
+                    )
                 per_table[t] = pipe.apply(dbz.changelog(decoded), batch_id=batch_id)
+            if self.wire_dlq is not None and rejects:
+                allr = rejects[0]
+                for r in rejects[1:]:
+                    allr = allr.unionByName(r)
+                self.wire_dlq.apply(allr, batch_id=batch_id)
         finally:
             raw.unpersist()
         return MultiCommitResult(

@@ -100,3 +100,164 @@ def test_streaming_all_states_crash_restart_converges(
         "multi-epoch updates must close history versions"
     assert idx_r.postings.read().filter("tombstone").count() > 0, \
         "value churn must produce index tombstones"
+
+
+# ---------------------------------------------------------------------
+# round 6: the production epoch — multi-table routing × wire schema
+# drift × wire DLQ × SCD2 × IVM composed on ONE tailer, under crash
+# ---------------------------------------------------------------------
+
+def _envelope(lsn, table, doc_id, etype, val, score=None, bad_op=False):
+    import json
+
+    payload = {"doc_id": doc_id, "etype": etype, "val": val}
+    if score is not None:
+        payload["score"] = score
+    if payload["doc_id"] is None:
+        del payload["doc_id"]  # to_json-style null-field drop
+    op = "x" if bad_op else ("d" if etype == "error" else "u")
+    env = {
+        ("before" if op == "d" else "after"): payload,
+        "op": op,
+        "ts_ms": 1_700_000_000_000 + lsn,
+        "source": {"lsn": lsn, "table": table},
+    }
+    return json.dumps(env)
+
+
+DRIFT_AT = 400  # evens envelopes carry `score` on the wire from here on
+
+
+def _kitchen_sink_files(tmp_path, n=600, n_files=6):
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(23)
+    chg = str(tmp_path / "chg")
+    os.makedirs(chg)
+    lines = []
+    for lsn in range(1, n + 1):
+        user = int(rng.integers(0, 80))
+        table = "evens" if user % 2 == 0 else "odds"
+        etype = "error" if lsn % 11 == 0 else f"t{user % 3}"
+        doc_id = None if lsn % 37 == 0 else str(user)
+        score = lsn * 3 if (table == "evens" and lsn >= DRIFT_AT
+                            and etype != "error") else None
+        lines.append(
+            _envelope(lsn, table, doc_id, etype, round(lsn * 0.5, 2),
+                      score=score, bad_op=(lsn % 53 == 0))
+        )
+    per = len(lines) // n_files + 1
+    for i in range(n_files):
+        path = f"{chg}/f{i:02d}.parquet"
+        pq.write_table(
+            pa.table({"value": lines[i * per:(i + 1) * per]}), path
+        )
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    return chg
+
+
+def test_production_epoch_composition_crash_restart(spark, tmp_path):
+    """Routing, mid-stream wire drift (auto-evolve), wire-level DLQ, SCD2
+    on one table and IVM on the other — all attached to the same
+    ChangelogTailer — killed after 2 epochs and resumed from the
+    checkpoint: every table, every sidecar and the quarantine must
+    converge to the crash-free run. This is where batch_id/ledger
+    interactions bite: some states commit an epoch before the base merge
+    does, and the drift re-detection must be deterministic on replay."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.plans.dlq import DlqState
+    from data_hub_ejp_xml_pipeline_spark.plans.ivm import IncrementalAggState
+    from data_hub_ejp_xml_pipeline_spark.plans.multi_table import MultiTablePipeline
+    from data_hub_ejp_xml_pipeline_spark.plans.scd2 import Scd2State
+
+    chg = _kitchen_sink_files(tmp_path)
+    base = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("etype", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    wire_schema = T.StructType([T.StructField("value", T.StringType())])
+    dlq_payload = T.StructType(
+        [T.StructField("tbl", T.StringType()), T.StructField("raw", T.StringType())]
+    )
+
+    def build(root):
+        scd2 = Scd2State(spark, f"{root}/scd2", payload_schema=base,
+                         n_buckets=2)
+        ivm = IncrementalAggState(spark, f"{root}/ivm", group_col="etype",
+                                  value_col="val")
+        dlq = DlqState(spark, f"{root}/dlq", payload_schema=dlq_payload,
+                       n_buckets=2)
+        mt = MultiTablePipeline(
+            spark, f"{root}/mt",
+            schemas={"evens": base, "odds": base},
+            n_buckets=2,
+            auto_evolve=True,
+            wire_dlq=dlq,
+            pipeline_kwargs={
+                "evens": {"scd2_state": scd2},
+                "odds": {"ivm_state": ivm},
+            },
+        )
+        return scd2, ivm, dlq, mt
+
+    def tail(mt, ckpt, metrics, **kw):
+        tailer = ChangelogTailer(spark, pipeline=mt, metrics_path=metrics, **kw)
+        return tailer.start(chg, ckpt, schema=wire_schema,
+                            max_files_per_trigger=1)
+
+    # crash-free reference
+    scd2_r, ivm_r, dlq_r, ref = build(str(tmp_path / "ref"))
+    q = tail(ref, str(tmp_path / "ck_ref"), str(tmp_path / "m_ref.jsonl"))
+    q.awaitTermination()
+
+    # crashing run + resume from the same checkpoint
+    crash_root = str(tmp_path / "crash")
+    ckpt = str(tmp_path / "ck_crash")
+    _, _, _, crashing = build(crash_root)
+    q = tail(crashing, ckpt, str(tmp_path / "m_c1.jsonl"),
+             fail_after_batches=2)
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    scd2_c, ivm_c, dlq_c, resumed = build(crash_root)
+    q = tail(resumed, ckpt, str(tmp_path / "m_c2.jsonl"))
+    q.awaitTermination()
+
+    def rows(df):
+        return {tuple(r) for r in df.collect()}
+
+    for t in ("evens", "odds"):
+        assert rows(resumed.final_state(t)) == rows(ref.final_state(t)), t
+    assert rows(scd2_c.read_history()) == rows(scd2_r.read_history())
+    assert rows(ivm_c.read_totals()) == rows(ivm_r.read_totals())
+    assert rows(dlq_c.read()) == rows(dlq_r.read())
+
+    # the workload must actually exercise every composed artifact
+    evens = ref.final_state("evens")
+    assert "score" in evens.columns, "wire drift must have evolved the table"
+    assert evens.filter(F.col("score").isNotNull()).count() > 0
+    assert evens.filter(F.col("score").isNull()).count() > 0, \
+        "pre-drift rows must read NULL"
+    reasons = {r.reject_reason for r in dlq_r.read().collect()}
+    assert any("null key" in r for r in reasons)
+    assert any("unknown op" in r for r in reasons)
+    assert scd2_r.read_history().filter("NOT is_current").count() > 0
+    # IVM totals equal an independent recompute over the replicated base
+    recomputed = rows(
+        ref.final_state("odds").groupBy("etype")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.round(F.sum("val"), 6).alias("total"))
+    )
+    got = rows(
+        ivm_r.read_totals()
+        .select("etype", "cnt", F.round("total", 6).alias("total"))
+    )
+    assert got == recomputed
