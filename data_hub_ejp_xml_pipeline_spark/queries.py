@@ -3521,6 +3521,141 @@ WHERE t.last_op <> 'D'
 """
 
 
+# the production epoch, oracle-checked: routing × wire drift × wire DLQ
+# × SCD2 × IVM in one MultiTablePipeline. Dirty events (every 37th: null
+# key; every 53rd: unknown op) are quarantined at decode and excluded
+# from the clean LWW; evens gain `score` on the wire from the second
+# epoch on (auto-evolve adds the column, pre-drift rows read NULL).
+_KITCHEN_SINK_ORACLE = """
+WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+p AS (SELECT lo + (hi - lo + 1) // 2 + 1 AS drift_at FROM b),
+clean AS (
+  SELECT * FROM events WHERE event_id % 37 <> 0 AND event_id % 53 <> 0
+),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+  FROM clean
+)
+SELECT CASE WHEN user_id % 2 = 0 THEN 'evens' ELSE 'odds' END AS tbl,
+       CAST(user_id AS VARCHAR) AS doc_id,
+       event_type AS etype,
+       round(value, 4) AS val,
+       CASE WHEN user_id % 2 = 0 AND event_id >= (SELECT drift_at FROM p)
+            THEN event_id * 3 END AS score,
+       event_id AS last_lsn
+FROM w WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q_cdc_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production epoch as ONE oracle-checked query: events
+    rendered as a mixed Debezium stream with dirty envelopes (null keys,
+    unknown ops) and mid-stream wire drift, applied in 2 epochs through
+    ``MultiTablePipeline(auto_evolve=True, wire_dlq=..., pipeline_kwargs
+    ={evens: scd2, odds: ivm})``. The union of the two final states must
+    equal the clean LWW view split by parity with the drifted column;
+    in-query raises turn a sidecar that silently stopped firing (empty
+    quarantine, no closed history, diverged IVM totals) into a driver
+    'err'. The crash/restart form of the same composition is pinned by
+    ``tests/test_streaming_states.py``."""
+    from pyspark.sql import types as T
+
+    from data_hub_ejp_xml_pipeline_spark.plans.dlq import DlqState
+    from data_hub_ejp_xml_pipeline_spark.plans.ivm import IncrementalAggState
+    from data_hub_ejp_xml_pipeline_spark.plans.multi_table import MultiTablePipeline
+    from data_hub_ejp_xml_pipeline_spark.plans.scd2 import Scd2State
+
+    ev = _t(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    step = max((hi - lo + 1) // 2 + 1, 1)
+    drift_at = lo + step
+    eid = F.col("event_id")
+    is_err = F.col("event_type") == "error"
+    is_even = F.col("user_id") % 2 == 0
+    payload = F.struct(
+        F.when(eid % 37 != 0, F.col("user_id").cast("string")).alias("doc_id"),
+        F.col("event_type").alias("etype"),
+        F.round("value", 4).alias("val"),
+        F.when(is_even & ~is_err & (eid >= drift_at), eid * 3).alias("score"),
+    )
+    envelopes = ev.select(
+        eid.alias("event_id"),
+        F.to_json(
+            F.struct(
+                F.when(is_err, payload).alias("before"),
+                F.when(~is_err, payload).alias("after"),
+                F.when(eid % 53 == 0, F.lit("x"))
+                .when(is_err, F.lit("d"))
+                .otherwise(F.lit("u"))
+                .alias("op"),
+                (eid + F.lit(1_700_000_000_000)).alias("ts_ms"),
+                F.struct(
+                    eid.alias("lsn"),
+                    F.when(is_even, F.lit("evens")).otherwise(F.lit("odds"))
+                    .alias("table"),
+                ).alias("source"),
+            )
+        ).alias("value"),
+    )
+    base = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("etype", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    dlq_payload = T.StructType(
+        [T.StructField("tbl", T.StringType()), T.StructField("raw", T.StringType())]
+    )
+    root = _swept_scratch_dir("sinkq")
+    scd2 = Scd2State(spark, root + "/scd2", payload_schema=base, n_buckets=4)
+    ivm = IncrementalAggState(spark, root + "/ivm", group_col="etype",
+                              value_col="val")
+    dlq = DlqState(spark, root + "/dlq", payload_schema=dlq_payload, n_buckets=4)
+    pipe = MultiTablePipeline(
+        spark, root + "/mt", {"evens": base, "odds": base}, n_buckets=4,
+        auto_evolve=True, wire_dlq=dlq,
+        pipeline_kwargs={"evens": {"scd2_state": scd2},
+                         "odds": {"ivm_state": ivm}},
+    )
+    for i in range(2):
+        batch = envelopes.filter(
+            (eid >= lo + i * step) & (eid < lo + (i + 1) * step)
+        ).select("value")
+        pipe.apply(batch, batch_id=i)
+
+    reasons = {r.reject_reason for r in dlq.counts_by_reason().collect()}
+    if not any("null key" in r for r in reasons):
+        raise AssertionError("wire DLQ saw no null-key rejects")
+    if not any("unknown op" in r for r in reasons):
+        raise AssertionError("wire DLQ saw no unknown-op rejects")
+    evens = pipe.pipes["evens"].table.read()
+    if "score" not in evens.columns:
+        raise AssertionError("wire drift did not evolve the evens table")
+    if scd2.read_history().filter("NOT is_current").count() == 0:
+        raise AssertionError("SCD2 closed no versions across the epochs")
+    odds = pipe.pipes["odds"].table.read()
+    recomputed = {
+        tuple(r) for r in odds.groupBy("etype").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("val"), 6).alias("t")).collect()
+    }
+    got = {
+        tuple(r) for r in ivm.read_totals().select(
+            "etype", "cnt", F.round("total", 6).alias("t")).collect()
+    }
+    if got != recomputed:
+        raise AssertionError("IVM totals diverged from the odds base")
+    parts = [
+        evens.select(F.lit("evens").alias("tbl"), "doc_id", "etype", "val",
+                     "score", F.col("_lsn").alias("last_lsn")),
+        odds.select(F.lit("odds").alias("tbl"), "doc_id", "etype", "val",
+                    F.lit(None).cast("long").alias("score"),
+                    F.col("_lsn").alias("last_lsn")),
+    ]
+    return parts[0].unionByName(parts[1])
+
+
 def q_partial_update_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unchanged-TOAST resolution end-to-end: events → a partial-update
     changelog (signup ⇒ I, error ⇒ D, else U; deterministic event_id
@@ -3610,6 +3745,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cdc_update_where": (q_cdc_update_where, _UPDATE_WHERE_ORACLE),
     "cdc_schema_drift": (q_cdc_schema_drift, _SCHEMA_DRIFT_ORACLE),
     "cdc_multi_table": (q_cdc_multi_table, _MULTI_TABLE_ORACLE),
+    "cdc_kitchen_sink": (q_cdc_kitchen_sink, _KITCHEN_SINK_ORACLE),
     "lsn_gaps": (q_lsn_gaps, _LSN_GAPS_ORACLE),
     "cdc_snapshot_diff": (q_cdc_snapshot_diff, _CDC_DIFF_ORACLE),
     "watermark_per_source": (
