@@ -3859,15 +3859,55 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sequence_pack_greedy": (q_sequence_pack_greedy, _SEQUENCE_PACK_GREEDY_ORACLE),
 }
 
-# the round-4 driver record stopped at exactly 50 of the (then) 54
-# registered queries, dropping whatever sat LAST in insertion order. The
-# four it dropped now lead the registry so any budget-truncated sweep
-# covers them first; scripts/correctness_sweep.py always runs all of it.
+# Rotation for the driver's budget-truncated record: its r4/r5 records
+# each stopped at exactly 50 queries in insertion order, so whatever sits
+# last never gets a driver-recorded check. Front-load (a) this round's
+# NEW queries and (b) every query the r5 driver record missed; the
+# builder's own closing gate (scripts/correctness_sweep.py →
+# CORRECTNESS_SELF_r{N}.json) always runs the whole registry regardless.
+QUERIES.update(
+    {
+        # registered here (not in the literal above) since the round-4
+        # rotation; keep them registered
+        "sequence_pack_tokens": (q_sequence_pack_tokens,
+                                 _SEQUENCE_PACK_TOKENS_ORACLE),
+        "pii_scrub": (q_pii_scrub, _PII_ORACLE),
+        "train_val_split": (q_train_val_split, _SPLIT_ORACLE),
+        "decontaminate": (q_decontaminate, _DECONTAMINATE_ORACLE),
+    }
+)
+_DRIVER_ROTATION_FIRST = [
+    # round-6 additions
+    "windowed_rollup_stream",
+    "session_rollup_stream",
+    "cdc_maintenance_loop",
+    "cdc_scd2_as_of",
+    "cdc_kitchen_sink",
+    # missed by the 50-slot CORRECTNESS_r05.json record
+    "text_quality",
+    "repetition_quality",
+    "lang_id",
+    "token_count",
+    "doc_fingerprint",
+    "dedup_simhash",
+    "ann_brute_force",
+    "ann_lsh",
+    "ann_lsh_multiprobe",
+    "ann_ivf",
+    "ann_ivf_sampled",
+    "ann_index_state",
+    "corpus_curation",
+    "embedding_neardup",
+    "multimodal_meta",
+    "multimodal_decode",
+    "dedup_state_flags",
+    "dedup_token_prefix",
+    "entity_tables_typed",
+    "sequence_pack",
+    "sequence_pack_greedy",
+]
 QUERIES = {
-    "sequence_pack_tokens": (q_sequence_pack_tokens, _SEQUENCE_PACK_TOKENS_ORACLE),
-    "pii_scrub": (q_pii_scrub, _PII_ORACLE),
-    "train_val_split": (q_train_val_split, _SPLIT_ORACLE),
-    "decontaminate": (q_decontaminate, _DECONTAMINATE_ORACLE),
+    **{name: QUERIES[name] for name in _DRIVER_ROTATION_FIRST},
     **QUERIES,
 }
 
