@@ -125,6 +125,15 @@ class DedupIngestState:
         self.last_replay_drift: DataFrame | None = None
         self.last_replay_drift_count: int = 0
 
+    def maintained_tables(self) -> dict:
+        """See :meth:`plans.scd2.Scd2State.maintained_tables`."""
+        out = {"dedup_bands": self.bands, "dedup_flags": self.flags}
+        if self.docs is not None:
+            out["dedup_docs"] = self.docs
+        if self.texthash is not None:
+            out["dedup_texthash"] = self.texthash
+        return out
+
     def apply(self, batch_docs: DataFrame, batch_id: int,
               id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
         """One epoch: flag the batch's near-dups against the persisted
@@ -349,6 +358,11 @@ class TokenDedupState:
                                         TOKEN_FP_SCHEMA, "fp", n_buckets)
         self.flags = _open_table(spark, root + "/flags", TOKEN_FLAGS_SCHEMA,
                                  "new_doc", n_buckets)
+
+    def maintained_tables(self) -> dict:
+        """See :meth:`plans.scd2.Scd2State.maintained_tables`."""
+        return {"dedup_fingerprints": self.fingerprints,
+                "dedup_flags": self.flags}
 
     def fingerprint(self, tokens_col: Column | str) -> Column:
         """md5 over the JSON rendering of the (sliced) token array.

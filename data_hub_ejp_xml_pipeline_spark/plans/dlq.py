@@ -117,6 +117,10 @@ class DlqState:
         )
         self.last_reject_count: int = 0
 
+    def maintained_tables(self) -> dict[str, SnapshotTable]:
+        """See :meth:`plans.scd2.Scd2State.maintained_tables`."""
+        return {"dlq_rejects": self.table}
+
     # ------------------------------------------------------------- serve
     def read(self) -> DataFrame:
         """All quarantined events: original columns + reason + epoch."""

@@ -131,6 +131,10 @@ class IncrementalAggState:
             spark, root + "/totals", _totals_schema(group_col), group_col, n_buckets
         )
 
+    def maintained_tables(self) -> dict[str, "SnapshotTable"]:
+        """See :meth:`plans.scd2.Scd2State.maintained_tables`."""
+        return {"ivm_totals": self.totals}
+
     # ------------------------------------------------------------- serve
     def read_totals(self) -> DataFrame:
         """Current view: one row per non-empty group."""

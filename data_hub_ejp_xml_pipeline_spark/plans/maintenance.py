@@ -56,15 +56,26 @@ class MaintenancePolicy:
         keep_snapshots: int = 4,
         vacuum_slack_lsn: int | None = None,
         vacuum_every: int = 4,
+        states: tuple = (),
     ):
         """``vacuum_slack_lsn``: the caller's max-lateness bound in LSN
         units (None disables vacuum entirely). ``vacuum_every``: run the
-        (full-rewrite) vacuum only every this-many passes."""
+        (full-rewrite) vacuum only every this-many passes.
+
+        ``states``: sidecar states attached to the same pipeline (SCD2 /
+        IVM / secondary index / DLQ / dedup-on-ingest — anything with a
+        ``maintained_tables() -> {name: SnapshotTable}``). Every pass
+        compacts files and expires snapshots on each of those tables too
+        — they are ledgered SnapshotTables that otherwise accumulate
+        files and manifests forever. Content-preserving only: no vacuum
+        and no semantic fold (the index's postings ``compact()`` stays an
+        explicit, batch_id-carrying call)."""
         self.table = table
         self.max_files_per_bucket = max_files_per_bucket
         self.keep_snapshots = keep_snapshots
         self.vacuum_slack_lsn = vacuum_slack_lsn
         self.vacuum_every = max(1, vacuum_every)
+        self.states = tuple(states)
         self._passes = 0
         self._last_vacuum_cutoff: int | None = None
 
@@ -115,4 +126,18 @@ class MaintenancePolicy:
                     self._last_vacuum_cutoff = cutoff
                     out["vacuumed"] = v.applied
                     out["vacuum_cutoff_lsn"] = cutoff
+        if self.states:
+            st: dict[str, Any] = {}
+            for state in self.states:
+                for name, t in state.maintained_tables().items():
+                    c = t.compact_files(
+                        max_files_per_bucket=self.max_files_per_bucket
+                    )
+                    e = t.expire_snapshots(keep_last=self.keep_snapshots)
+                    st[name] = {
+                        "compacted": c.applied,
+                        "expired_manifests": e["removed_manifests"],
+                        "removed_files": e["removed_files"],
+                    }
+            out["states"] = st
         return out

@@ -272,3 +272,111 @@ class MergePipeline:
 
     def final_state(self) -> DataFrame:
         return self.table.read()
+
+    def _attached_states(self):
+        return [
+            s for s in (self.dedup_state, self.ivm_state, self.scd2_state,
+                        self.dlq_state, self.index_state)
+            if s is not None
+        ]
+
+    def verify(self, deep: bool = False) -> dict:
+        """Pipeline-wide fsck: the base table's :meth:`SnapshotTable.
+        verify` plus every attached sidecar state's tables, and — with
+        ``deep=True`` — the CROSS-state invariants the per-table check
+        cannot see:
+
+        * IVM totals equal a recompute over the base (one scan + one
+          O(groups) join, float-tolerant);
+        * SCD2's open versions are exactly the base's live ``(key,
+          _lsn)`` set;
+        * the secondary index's reduced live postings are exactly the
+          base's live non-NULL ``(key, value)`` pairs.
+
+        Reports, never mutates: ``{"ok", "base", "states",
+        "consistency"}`` — a maintained view that silently diverged (the
+        bug class the round-6 inclusive-guard fix closed) shows up here
+        as a nonzero mismatch count instead of wrong query results three
+        dashboards later."""
+        from pyspark.sql import functions as F
+
+        out: dict = {"base": self.table.verify(deep=deep), "states": {}}
+        for state in self._attached_states():
+            for name, t in state.maintained_tables().items():
+                out["states"][name] = t.verify(deep=deep)
+        ok = out["base"]["ok"] and all(
+            v["ok"] for v in out["states"].values()
+        )
+        if deep:
+            cons: dict = {}
+            base = self.table.read()
+            if self.ivm_state is not None:
+                ivm = self.ivm_state
+                recomputed = base.groupBy(
+                    F.col(ivm.group_col).cast("string").alias("_g")
+                ).agg(
+                    F.count(F.lit(1)).alias("_cnt"),
+                    F.sum(
+                        F.coalesce(F.col(ivm.value_col).cast("double"),
+                                   F.lit(0.0))
+                    ).alias("_total"),
+                )
+                totals = ivm.read_totals().select(
+                    F.col(ivm.group_col).alias("_g"),
+                    F.col("cnt").alias("_cnt2"),
+                    F.col("total").alias("_total2"),
+                )
+                cons["ivm_mismatches"] = (
+                    recomputed.join(totals, "_g", "full")
+                    .filter(
+                        F.col("_cnt").isNull()
+                        | F.col("_cnt2").isNull()
+                        | (F.col("_cnt") != F.col("_cnt2"))
+                        | (
+                            F.abs(F.col("_total") - F.col("_total2"))
+                            > F.lit(1e-6) * (F.abs(F.col("_total")) + 1)
+                        )
+                    )
+                    .count()
+                )
+            if self.scd2_state is not None:
+                cur = self.scd2_state.read_current().select(
+                    F.col(self.key).cast("string").alias("_k"),
+                    F.col("valid_from_lsn").alias("_l"),
+                )
+                live = base.select(
+                    F.col(self.key).cast("string").alias("_k"),
+                    F.col("_lsn").alias("_l2"),
+                )
+                cons["scd2_mismatches"] = (
+                    cur.join(live, "_k", "full")
+                    .filter(
+                        F.col("_l").isNull()
+                        | F.col("_l2").isNull()
+                        | (F.col("_l") != F.col("_l2"))
+                    )
+                    .count()
+                )
+            if self.index_state is not None:
+                idx = self.index_state
+                pairs = idx._reduced(idx.postings.read()).select(
+                    F.col(idx.key).cast("string").alias("_k"),
+                    F.col("value").alias("_v"),
+                )
+                want = base.filter(F.col(idx.index_col).isNotNull()).select(
+                    F.col(idx.key).cast("string").alias("_k"),
+                    F.col(idx.index_col).cast("string").alias("_v2"),
+                )
+                cons["index_mismatches"] = (
+                    pairs.join(want, "_k", "full")
+                    .filter(
+                        F.col("_v").isNull()
+                        | F.col("_v2").isNull()
+                        | (F.col("_v") != F.col("_v2"))
+                    )
+                    .count()
+                )
+            out["consistency"] = cons
+            ok = ok and all(v == 0 for v in cons.values())
+        out["ok"] = ok
+        return out

@@ -137,6 +137,13 @@ class Scd2State:
             _SK_COL, n_buckets, stats_cols=["valid_from_lsn"],
         )
 
+    def maintained_tables(self) -> dict[str, SnapshotTable]:
+        """Durable tables this state owns — the maintenance protocol
+        (``plans.maintenance.MaintenancePolicy(states=...)`` compacts
+        files and expires snapshots on each; content-preserving, so it
+        needs no batch_id and never touches semantics)."""
+        return {"scd2_history": self.history}
+
     # ------------------------------------------------------------- serve
     def read_history(self) -> DataFrame:
         """All versions: one row per (key, applied epoch-winner)."""

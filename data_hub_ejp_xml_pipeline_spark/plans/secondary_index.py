@@ -121,6 +121,13 @@ class SecondaryIndexState:
             n_buckets,
         )
 
+    def maintained_tables(self) -> dict[str, "SnapshotTable"]:
+        """See :meth:`plans.scd2.Scd2State.maintained_tables`. Physical
+        file compaction + snapshot expiry only — the SEMANTIC postings
+        fold (:meth:`compact`, a ledgered replace) stays an explicit,
+        batch_id-carrying call."""
+        return {"index_postings": self.postings}
+
     # ------------------------------------------------------------- serve
     def _reduced(self, postings: DataFrame) -> DataFrame:
         """Live ``(value, key)`` pairs: LWW per posting by (LSN, epoch),
