@@ -75,6 +75,52 @@ def pack_chunked(
     )
 
 
+def chunk_sliding(
+    df: DataFrame,
+    window: int,
+    stride: int,
+    id_col: str = "doc_id",
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Per-document sliding context windows with overlap — the
+    long-document squeeze every LM data pipeline runs before packing
+    (HF ``return_overflowing_tokens`` shape): chunk ``i`` covers token
+    span ``[i*stride, min(i*stride + window, n))`` for every
+    ``i*stride < n``. A short document yields one (partial) chunk;
+    overlap is ``window - stride`` tokens.
+
+    Pure JVM expressions — a ``sequence()`` explode per document, no
+    shuffle at all (the explode is row-local); at 100 TB this is a
+    map-only pass whose output is ~``n/stride`` rows per document.
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    n = F.col("_n")
+    i = F.col("chunk_id")
+    return (
+        df.select(
+            F.col(id_col).alias(id_col),
+            F.col(n_tok_col).cast("long").alias("_n"),
+        )
+        .filter(n > 0)
+        .select(
+            id_col,
+            "_n",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"),
+                           F.floor((n - 1) / stride).cast("long"))
+            ).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            i,
+            (i * stride).alias("tok_start"),
+            F.least(i * stride + window, n).alias("tok_end"),
+            (F.least(i * stride + window, n) - i * stride).alias("chunk_tok"),
+        )
+    )
+
+
 def pack_chunked_stats(
     df: DataFrame,
     max_tokens: int,

@@ -67,6 +67,27 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_vocab(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-``k`` regex tokens of the lowercased text
+    by frequency (ties broken by token, so the cut is deterministic).
+    One explode + one map-side-combining count shuffle; the top-k is a
+    TakeOrdered (per-partition heaps + a driver merge of k rows), never
+    a full sort — the 100 TB shape of every vocab/BPE-seed build."""
+    toks = df.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), F.lit(0)
+            )
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(k)
+    )
+
+
 def fingerprint(text_col: str = "text") -> Column:
     """Whitespace-normalized content hash (rolling-hash analog). The
     whitespace class is EXPLICIT so both regex engines agree: Java's

@@ -2357,6 +2357,50 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOKEN_VOCAB_ORACLE = f"""
+SELECT token, count(*) AS freq FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}')) AS token
+  FROM documents
+) GROUP BY token ORDER BY freq DESC, token LIMIT 100
+"""
+
+
+def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: top-100 regex tokens by frequency
+    (operators.text.token_vocab — explode, one combining count shuffle,
+    TakeOrdered top-k)."""
+    docs = _t(spark, sf_dir, "documents")
+    return TX.token_vocab(docs, k=100)
+
+
+_CHUNK_DOCS_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, len(regexp_extract_all(text, '{_TOKEN_PATTERN}')) AS n
+  FROM documents
+), e AS (
+  SELECT doc_id, n, unnest(generate_series(0, (n - 1) // 48)) AS i
+  FROM n WHERE n > 0
+)
+SELECT doc_id, i AS chunk_id, i * 48 AS tok_start,
+       least(i * 48 + 64, n) AS tok_end,
+       least(i * 48 + 64, n) - i * 48 AS chunk_tok
+FROM e
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document sliding windows (64-token window, 48 stride — 16
+    overlap): operators.packing.chunk_sliding over the regex token
+    counts. Map-only (row-local sequence explode, no shuffle)."""
+    docs = _t(spark, sf_dir, "documents")
+    counted = TX.token_counts(docs).select(
+        "doc_id", F.col("re_tokens").alias("n_tok")
+    )
+    from data_hub_ejp_xml_pipeline_spark.operators.packing import chunk_sliding
+
+    return chunk_sliding(counted, window=64, stride=48)
+
+
 _FINGERPRINT_ORACLE = """
 SELECT md5(regexp_replace(lower(text), '[ \t\n\f\r]+', ' ', 'g')) AS fingerprint,
        count(*) AS n_docs, min(doc_id) AS min_doc_id
@@ -3840,6 +3884,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "repetition_quality": (q_repetition_quality, _REPETITION_ORACLE),
     "lang_id": (q_lang_id, _lang_oracle()),
     "token_count": (q_token_count, _TOKEN_COUNT_ORACLE),
+    "token_vocab": (q_token_vocab, _TOKEN_VOCAB_ORACLE),
+    "chunk_documents": (q_chunk_documents, _CHUNK_DOCS_ORACLE),
     "doc_fingerprint": (q_doc_fingerprint, _FINGERPRINT_ORACLE),
     "dedup_simhash": (q_dedup_simhash, _simhash_oracle()),
     "ann_brute_force": (q_ann_brute_force, _ANN_ORACLE),
@@ -3883,6 +3929,8 @@ _DRIVER_ROTATION_FIRST = [
     "cdc_maintenance_loop",
     "cdc_scd2_as_of",
     "cdc_kitchen_sink",
+    "token_vocab",
+    "chunk_documents",
     # missed by the 50-slot CORRECTNESS_r05.json record
     "text_quality",
     "repetition_quality",
