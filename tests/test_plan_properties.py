@@ -123,3 +123,21 @@ def test_token_dedup_probe_broadcasts_batch_fingerprints(spark, tmp_path):
     assert "BroadcastHashJoin" in plan
     # the corpus scan must not sit under an Exchange hashpartitioning
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_chunk_sliding_is_map_only(spark, queries):
+    """chunk_documents claims a map-only pass (row-local sequence
+    explode): the optimized plan must contain NO Exchange at all."""
+    plan = _plan(queries["chunk_documents"][0](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan  # the explode itself
+
+
+def test_token_vocab_partial_agg_and_takeordered(spark, queries):
+    """token_vocab: the count must partial-aggregate before its single
+    exchange, and the top-k must plan as TakeOrderedAndProject (heaps),
+    never a global Sort of the whole vocabulary."""
+    plan = _plan(queries["token_vocab"][0](spark, SF))
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count(") Exchange") == 1, plan  # numbered node, not the tree echo
