@@ -121,6 +121,15 @@ EXPECT = {
         "dedup_incremental_minhash's pinned plan plus three ledgered "
         "appends (tests/test_dedup_ingest.py)"
     ),
+    "token_vocab": (
+        "explode -> partial_count -> ONE Exchange -> final count -> "
+        "TakeOrderedAndProject (heaps, never a global sort); pinned by "
+        "tests/test_plan_properties.py"
+    ),
+    "chunk_documents": (
+        "map-only: row-local sequence explode, ZERO Exchanges; pinned by "
+        "tests/test_plan_properties.py"
+    ),
 }
 
 
