@@ -12,9 +12,7 @@ pipeline-wide fsck.
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from data_hub_ejp_xml_pipeline_spark.generator import spark_changelog_from_pandas
 from data_hub_ejp_xml_pipeline_spark.plans.ivm import IncrementalAggState
