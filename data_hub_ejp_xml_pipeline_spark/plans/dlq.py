@@ -165,6 +165,55 @@ class DlqState:
         self.last_reject_count = res.rows_written if res.applied else 0
         return res
 
+    # ------------------------------------------------------------- replay
+    def replay_into(
+        self,
+        pipeline,
+        batch_id: int,
+        transform=None,
+    ) -> CommitResult:
+        """Dead-letter REPLAY — the verb that makes a quarantine more
+        than a graveyard: after the upstream fix lands (a schema evolved,
+        a connector bug patched, an enricher backfilled), feed the
+        quarantined events back through ``pipeline.apply`` and retire
+        them from the queue.
+
+        ``transform(rejects_df) -> batch_df`` applies the fix: it
+        receives the live quarantine rows (``reject_reason``, ``epoch``
+        and the original payload columns) and must return whatever frame
+        the pipeline's ``apply`` consumes (a changelog for
+        ``MergePipeline``, an envelope frame for ``MultiTablePipeline``).
+        Defaults to dropping the quarantine bookkeeping columns.
+
+        Exactly-once, crash-anywhere: the pipeline apply is ledgered
+        under ``batch_id`` (the quarantine's own re-reject append rides
+        that id, so a replayed crash re-run no-ops it). The retirement is
+        a soft ``delete_where`` whose predicate — ``epoch < batch_id``,
+        live rows only — is idempotent BY CONSTRUCTION, so it carries no
+        ledger id (it must not: the re-reject append already consumed
+        ``batch_id`` on this very table, and a second ledgered commit
+        under the same id would silently no-op). Crash between the two:
+        the re-run's apply no-ops on the ledger and the retirement still
+        lands — convergent, never double-applied. Rows the fix did NOT
+        fix are re-quarantined under the replay epoch and survive
+        retirement, so the loop can run again after the next fix without
+        losing anything."""
+        if batch_id is None:
+            raise ValueError("replay_into requires a monotone batch_id")
+        rejects = self.read()
+        fixed = (
+            transform(rejects)
+            if transform is not None
+            else rejects.drop(REASON_COL, _EPOCH_COL)
+        )
+        res = pipeline.apply(fixed, batch_id=batch_id)
+        # retire everything this replay RESUBMITTED; re-rejects from the
+        # replay itself carry epoch == batch_id and stay live
+        self.table.delete_where(
+            f"{_EPOCH_COL} IS NULL OR {_EPOCH_COL} < {int(batch_id)}"
+        )
+        return res
+
 
 def attach_dlq(
     spark: SparkSession, root: str, changelog_schema: T.StructType,

@@ -292,6 +292,23 @@ class IcebergSnapshotTable:
         for stmt in evolution_sql(self.identifier, existing, new_schema):
             self.spark.sql(stmt)
 
+    def delete_where(self, condition: str, hard: bool = False) -> None:
+        """Predicate DELETE (``SnapshotTable.delete_where`` parity): soft
+        tombstones at the unchanged ``_lsn`` by default, physical removal
+        with ``hard=True``. Executes :func:`delete_where_sql` — the
+        statement the goldens and the DuckDB differential suite pin."""
+        self.spark.sql(delete_where_sql(self.identifier, condition, hard))
+
+    def update_where(self, condition: str, assignments: dict[str, str]) -> None:
+        """Predicate UPDATE (``SnapshotTable.update_where`` parity);
+        assignments are SQL expressions over the pre-update row."""
+        self.spark.sql(update_where_sql(self.identifier, condition, assignments))
+
+    def vacuum_tombstones(self, older_than_lsn: int) -> None:
+        """Physical tombstone removal at/below a passed watermark
+        (``SnapshotTable.vacuum_tombstones`` parity)."""
+        self.spark.sql(vacuum_sql(self.identifier, older_than_lsn))
+
     def merge(
         self,
         updates: DataFrame,

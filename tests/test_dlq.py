@@ -262,3 +262,72 @@ def test_split_is_a_partition_property(spark):
         assert reasons <= {"null_key", "null_lsn", "bad_op", "token_arity"}
 
     check()
+
+
+def test_dlq_replay_into_fix_loop(spark, tmp_path):
+    """The fix-and-resubmit loop (round 6): quarantine a dirty stream,
+    patch ONE corruption class (bad_op — the connector bug got fixed),
+    replay the queue through the pipeline; fixed rows land in the table
+    under the LWW guard, still-broken rows are re-quarantined under the
+    replay epoch and survive retirement, and the whole loop is
+    exactly-once under a crash-style repeat of the same batch_id."""
+    pdf = _dirty_pdf(n_events=1_200, seed=7)
+    df = _dirty_df(spark, pdf)
+    dlq = DlqState(spark, str(tmp_path / "dlq"), payload_schema=CHANGELOG_SCHEMA)
+    pipe = MergePipeline(spark, str(tmp_path / "tbl"), n_buckets=4, dlq_state=dlq)
+    pipe.apply(df, batch_id=0)
+
+    reasons = _expected_reasons(pdf)
+    n_rejects = int(reasons.notna().sum())
+    n_fixable = int((reasons == "bad_op").sum())
+    assert dlq.read().count() == n_rejects and n_fixable > 0
+
+    def fix(rejects):
+        return (
+            rejects.withColumn(
+                "op",
+                F.when(F.col(REASON_COL) == "bad_op", F.lit("U"))
+                .otherwise(F.col("op")),
+            )
+            .drop(REASON_COL, "epoch")
+        )
+
+    dlq.replay_into(pipe, batch_id=1, transform=fix)
+
+    # still-broken rows re-quarantined under the replay epoch, retired
+    # originals gone from the live queue
+    live = dlq.read().toPandas()
+    assert len(live) == n_rejects - n_fixable
+    assert set(live["epoch"]) == {1}
+    assert "bad_op" not in set(live[REASON_COL])
+
+    # table state == LWW over clean rows PLUS the fixed (op->U) rows
+    clean = pdf[reasons.isna()]
+    fixed = pdf[reasons == "bad_op"].copy()
+    fixed["op"] = "U"
+    want_src = pd.concat([clean, fixed], ignore_index=True)
+    want_src["lsn"] = want_src["lsn"].astype("int64")
+    want = expected_final_state_pandas(want_src)
+    got = (
+        pipe.final_state()
+        .select("doc_id", "_lsn")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["_lsn"]) == list(want["_lsn"])
+
+    # crash-style repeat of the SAME replay batch: everything no-ops
+    dlq.replay_into(pipe, batch_id=1, transform=fix)
+    live2 = dlq.read().toPandas()
+    assert len(live2) == len(live) and set(live2["epoch"]) == {1}
+    got2 = pipe.final_state().select("doc_id", "_lsn").toPandas()
+    assert len(got2) == len(got)
+
+    # a second fixless round just rolls the queue forward one epoch —
+    # nothing lost, nothing duplicated
+    dlq.replay_into(pipe, batch_id=2)
+    live3 = dlq.read().toPandas()
+    assert len(live3) == len(live)
+    assert set(live3["epoch"]) == {2}
