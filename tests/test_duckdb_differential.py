@@ -212,3 +212,139 @@ def test_inclusive_guard_differential(spark, tmp_path):
     duck.merge(_duck_feed(moved), inclusive_guard=True)
     _assert_equal(local, duck, "inclusive equal-LSN apply")
     assert set(_state(local)["source"].dropna()) == {"s1"}
+
+
+# ---------------------------------------------------------------------
+# property form: random changelogs × random DML scripts, both engines
+# state-equal after EVERY step
+# ---------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+SMALL_PAYLOAD = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+_events = st.lists(
+    st.tuples(
+        st.integers(1, 40),      # lsn
+        st.sampled_from("IUD"),  # op
+        st.integers(0, 5),       # key index
+        st.integers(0, 9),       # n_tok
+        st.sampled_from(["s0", "s1", "s2"]),
+    ),
+    min_size=2,
+    max_size=30,
+    unique_by=lambda e: e[0],   # unique LSNs: tie-break-free ground truth
+)
+
+_COND = st.sampled_from(["n_tok < 3", "source = 's1'", "n_tok >= 4"])
+_action = st.one_of(
+    st.none(),
+    st.tuples(st.just("soft"), _COND),
+    st.tuples(st.just("hard"), _COND),
+    st.tuples(st.just("update"), _COND,
+              st.sampled_from([("n_tok", "n_tok + 10"), ("source", "'zz'")])),
+    st.tuples(st.just("vacuum"), st.sampled_from([10, 40])),
+)
+
+
+def _small_state(obj) -> list:
+    if isinstance(obj, SnapshotTable):
+        pdf = obj.read(include_tombstones=True).toPandas()
+    else:
+        pdf = obj.read_pandas(include_tombstones=True)
+    pdf = pdf[["doc_id", "n_tok", "source", "_lsn", "_deleted"]]
+    pdf["_deleted"] = pdf["_deleted"].astype("boolean").fillna(False).astype(bool)
+    rows = []
+    for r in pdf.itertuples(index=False):
+        rows.append(tuple(None if pd.isna(v) else v for v in r))
+    return sorted(rows, key=lambda t: t[0])
+
+
+def _run_action(local, duck, act, spark):
+    if act is None:
+        return
+    if act[0] == "soft":
+        local.delete_where(act[1])
+        duck.delete_where(act[1])
+    elif act[0] == "hard":
+        local.delete_where(act[1], hard=True)
+        duck.delete_where(act[1], hard=True)
+    elif act[0] == "update":
+        col, expr = act[2]
+        local.update_where(act[1], {col: F.expr(expr)})
+        duck.update_where(act[1], {col: expr})
+    elif act[0] == "vacuum":
+        local.vacuum_tombstones(older_than_lsn=act[1])
+        duck.vacuum(act[1])
+
+
+@given(events=_events, a1=_action, a2=_action)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_differential_random_scripts(spark, tmp_path_factory, events, a1, a2):
+    import uuid
+
+    rows = [
+        (lsn, op, f"k{ki}",
+         None if op == "D" else nt,
+         None if op == "D" else src)
+        for lsn, op, ki, nt, src in events
+    ]
+    pdf = pd.DataFrame(rows, columns=["lsn", "op", "doc_id", "n_tok", "source"])
+    pdf["n_tok"] = pdf["n_tok"].astype("Int32")
+    half = len(pdf) // 2
+    chunks = [pdf.iloc[:half], pdf.iloc[half:]]
+
+    con = duckdb.connect()
+    root = tmp_path_factory.mktemp(f"diffp-{uuid.uuid4().hex[:8]}")
+    local = SnapshotTable.create(
+        spark, str(root / "tbl"), SMALL_PAYLOAD, key="doc_id", n_buckets=2
+    )
+    duck = DuckDBSnapshotTable.create(con, "t", SMALL_PAYLOAD, key="doc_id")
+
+    def merge(chunk, bid):
+        if len(chunk) == 0:
+            return
+        sdf = spark.createDataFrame(
+            chunk, schema="lsn long, op string, doc_id string,"
+            " n_tok int, source string"
+        )
+        local.merge(reduce_latest(sdf), batch_id=bid)
+        duck.merge(_duck_reduce_small(con, chunk))
+
+    def check(stage):
+        assert _small_state(local) == _small_state(duck), stage
+
+    merge(chunks[0], 0)
+    check("merge 0")
+    _run_action(local, duck, a1, spark)
+    check(f"action {a1}")
+    merge(chunks[1], 1)
+    check("merge 1")
+    _run_action(local, duck, a2, spark)
+    check(f"action {a2}")
+
+
+def _duck_reduce_small(con, pdf):
+    con.register("_rawp", pdf)
+    try:
+        return con.execute(
+            "SELECT lsn, op, doc_id, n_tok, source FROM ("
+            "  SELECT *, row_number() OVER ("
+            "    PARTITION BY doc_id ORDER BY lsn DESC) AS rn FROM _rawp"
+            ") WHERE rn = 1"
+        ).df()
+    finally:
+        con.unregister("_rawp")
