@@ -216,6 +216,63 @@ class SnapshotTable:
     def ledger(self) -> dict[str, str]:
         return self.manifest()["ledger"]
 
+    def history_df(self) -> DataFrame:
+        """Iceberg ``.history``/``.snapshots`` metadata-table analog: one
+        row per RETAINED snapshot — ``(version, snapshot_id, parent,
+        operation, committed_at, n_files, total_rows)`` — straight off
+        the manifests (O(retained versions) driver work, no data read).
+        The observability surface an operator greps first: what committed
+        when, how big, and through which verb."""
+        rows = []
+        meta = os.path.join(self.root, "meta")
+        for name in sorted(os.listdir(meta)):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(meta, name)) as fh:
+                    m = json.load(fh)
+            except (json.JSONDecodeError, OSError):
+                continue  # torn/expiring manifest: history reports, never raises
+            rows.append(
+                (
+                    m["version"],
+                    m["snapshot_id"],
+                    m.get("parent"),
+                    m.get("operation"),
+                    float(m.get("ts") or 0.0),
+                    len(m.get("files", [])),
+                    sum(f.get("rows", 0) for f in m.get("files", [])),
+                )
+            )
+        schema = (
+            "version long, snapshot_id string, parent string, "
+            "operation string, committed_at double, n_files long, "
+            "total_rows long"
+        )
+        return self.spark.createDataFrame(rows, schema).orderBy("version")
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """Iceberg ``.files`` metadata-table analog for one snapshot:
+        ``(path, bucket, rows, key_min, key_max, col_stats)`` off the
+        manifest — the zone-map/pruning surface as a queryable frame."""
+        m = self.manifest(version)
+        rows = [
+            (
+                f["path"],
+                f.get("bucket"),
+                f.get("rows"),
+                str(f.get("key_min")) if f.get("key_min") is not None else None,
+                str(f.get("key_max")) if f.get("key_max") is not None else None,
+                json.dumps(f.get("col_stats")) if f.get("col_stats") else None,
+            )
+            for f in m["files"]
+        ]
+        schema = (
+            "path string, bucket int, rows long, key_min string, "
+            "key_max string, col_stats string"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def lineage(self) -> list[dict[str, Any]]:
         """Read the append-only lineage sidecar. A torn final line (crash
         mid-append) is skipped; duplicate (snapshot_id, source_file) pairs

@@ -521,3 +521,45 @@ def test_key_pin_is_case_insensitive(spark, tmp_path):
     table.add_columns(T.StructType([T.StructField("Doc_Id", T.LongType())]))
     types = {f.name.lower(): f.dataType for f in table.schema().fields}
     assert types["doc_id"] == T.IntegerType()
+
+
+def test_metadata_tables_history_and_files(spark, tmp_path, changelog_pdf):
+    """history_df/files_df (round 6): the Iceberg .snapshots/.files
+    metadata-table analogs — every retained snapshot with its verb and
+    size, and one snapshot's file inventory with its pruning stats."""
+    from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "meta_t"), PAYLOAD_SCHEMA, n_buckets=4,
+        stats_cols=["_lsn"],
+    )
+    mid = int(changelog_pdf["lsn"].median())
+    table.merge(
+        reduce_latest(spark_changelog_from_pandas(
+            spark, changelog_pdf[changelog_pdf["lsn"] <= mid])), batch_id=0)
+    table.merge(
+        reduce_latest(spark_changelog_from_pandas(
+            spark, changelog_pdf[changelog_pdf["lsn"] > mid])), batch_id=1)
+    victim = table.read().orderBy("doc_id").first().doc_id
+    table.delete_where(f"doc_id = '{victim}'")
+
+    hist = table.history_df().collect()
+    assert [r.version for r in hist] == sorted(r.version for r in hist)
+    assert hist[-1].version == table.current_version()
+    ops = [r.operation for r in hist]
+    assert ops.count("merge") == 2 and "delete_where" in ops
+    # row/file counts match the live manifest for the head snapshot
+    m = table.manifest()
+    assert hist[-1].n_files == len(m["files"])
+    assert hist[-1].total_rows == sum(f["rows"] for f in m["files"])
+
+    files = table.files_df().collect()
+    assert len(files) == len(m["files"])
+    byp = {f["path"]: f for f in m["files"]}
+    for r in files:
+        assert r.rows == byp[r.path]["rows"]
+        assert r.key_min is not None and r.key_max is not None
+        assert r.col_stats is not None  # _lsn zone maps recorded
+    # time travel: an older snapshot's inventory is reachable too
+    v0 = hist[0].version
+    assert table.files_df(version=v0).count() >= 0
