@@ -140,6 +140,9 @@ def _build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("show", help="table version/schema/files summary")
     table_arg(s)
+    s.add_argument("--history", action="store_true",
+                   help="include per-retained-snapshot history rows "
+                        "(version/operation/committed_at/files/rows)")
 
     cl = sub.add_parser("clone", help="export one snapshot as a new table "
                                       "(hardlinked data, carried ledger)")
@@ -687,6 +690,10 @@ def main(argv: list[str] | None = None, spark=None) -> dict:
             "snapshots": len(table.snapshots()),
             "tags": table.tags(),
         }
+        if getattr(args, "history", False):
+            out["history"] = [
+                r.asDict() for r in table.history_df().collect()
+            ]
 
     print(json.dumps(out))
     return out
