@@ -256,6 +256,75 @@ class MorPipeline:
         return res
 
     # --------------------------------------------------------------- read
+    def verify(self, deep: bool = False) -> dict:
+        """MOR fsck (``MergePipeline.verify`` parity): the base AND the
+        staged-delta tables' :meth:`SnapshotTable.verify`, plus every
+        attached state's tables. Deep adds the MOR-specific invariant the
+        per-table check cannot see: the merge view must equal an
+        independent LWW re-derivation over ``base ∪ delta`` raw rows —
+        a delta row silently shadowed (or resurrecting) the wrong way
+        shows up as a nonzero mismatch count."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import Window as W
+
+        out: dict = {
+            "base": self.base.verify(deep=deep),
+            "delta": self.delta.verify(deep=deep),
+            "states": {},
+        }
+        for state in (self.dedup_state, self.dlq_state):
+            if state is None:
+                continue
+            for name, t in state.maintained_tables().items():
+                out["states"][name] = t.verify(deep=deep)
+        ok = (
+            out["base"]["ok"]
+            and out["delta"]["ok"]
+            and all(v["ok"] for v in out["states"].values())
+        )
+        if deep:
+            key = self.key
+            cols = [key, "_lsn"]
+            delta_raw = self.delta.read(include_tombstones=True)
+            # staged epochs carry deletes as op='D' CHANGELOG rows (the
+            # compaction turns them into base tombstones later) — both
+            # forms are dead for the view
+            delta_dead = F.coalesce(F.col("_deleted"), F.lit(False)) | (
+                (F.col("op") == "D")
+                if "op" in delta_raw.columns
+                else F.lit(False)
+            )
+            raw = (
+                self.base.read(include_tombstones=True).select(
+                    *cols, F.coalesce(F.col("_deleted"), F.lit(False)).alias("_d")
+                ).unionByName(
+                    delta_raw.select(*cols, delta_dead.alias("_d"))
+                )
+            )
+            w = W.partitionBy(key).orderBy(F.col("_lsn").desc())
+            want = (
+                raw.withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_rn") == 1) & ~F.col("_d"))
+                .select(F.col(key).cast("string").alias("_k"),
+                        F.col("_lsn").alias("_l"))
+            )
+            got = self.final_state().select(
+                F.col(key).cast("string").alias("_k"),
+                F.col("_lsn").alias("_l2"),
+            )
+            out["view_mismatches"] = (
+                want.join(got, "_k", "full")
+                .filter(
+                    F.col("_l").isNull()
+                    | F.col("_l2").isNull()
+                    | (F.col("_l") != F.col("_l2"))
+                )
+                .count()
+            )
+            ok = ok and out["view_mismatches"] == 0
+        out["ok"] = ok
+        return out
+
     def final_state(self) -> DataFrame:
         """Merge-on-read view: base ∪ staged deltas as one changelog,
         LWW-reduced — correct between compactions, identical to the base

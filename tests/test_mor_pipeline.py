@@ -408,3 +408,25 @@ def test_mor_heal_uses_base_manifest_schema(spark, tmp_path):
     assert {k: v for k, v in got.items() if k in want} == want
     assert "op" in [f.name for f in mor.delta.schema().fields]
     assert "tokens" not in got  # the default PAYLOAD_SCHEMA did NOT leak in
+
+
+def test_mor_verify_fsck_and_view_invariant(spark, tmp_path, changelog_pdf):
+    """MorPipeline.verify (round 6): base + delta fsck aggregate, and the
+    deep merge-view invariant — the view must equal an independent LWW
+    re-derivation over base ∪ delta. A vanished delta file is caught."""
+    import os
+
+    mor = MorPipeline(spark, str(tmp_path / "t"), n_buckets=4, k_compact=3)
+    for i, pdf in enumerate(_batches(changelog_pdf, 5)):
+        mor.apply(spark_changelog_from_pandas(spark, pdf), batch_id=i)
+    chk = mor.verify(deep=True)
+    assert chk["ok"], chk
+    assert chk["view_mismatches"] == 0
+    assert chk["base"]["ok"] and chk["delta"]["ok"]
+
+    # break a staged delta file on disk: fsck reports, never raises
+    victim = os.path.join(mor.delta.root, mor.delta.manifest()["files"][0]["path"])
+    os.remove(victim)
+    chk2 = mor.verify()
+    assert not chk2["ok"]
+    assert any("missing data file" in e for e in chk2["delta"]["errors"])
