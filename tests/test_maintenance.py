@@ -456,3 +456,41 @@ def test_tailer_vacuum_uses_committed_offset(spark, tmp_path, changelog_pdf):
     assert_final_state_equal(
         table.read().toPandas(), expected_final_state_pandas(pdf)
     )
+
+
+def test_tailer_policy_maintains_sidecars_in_stream(spark, tmp_path):
+    """MaintenancePolicy(states=...) inside foreachBatch: the pass runs
+    between commits WITH the sidecar tables included — their snapshots
+    expire on the stream's cadence, and the pipeline's deep verify stays
+    clean afterwards."""
+    from data_hub_ejp_xml_pipeline_spark.generator import (
+        generate_changelog_pandas,
+        write_changelog_files,
+    )
+    from data_hub_ejp_xml_pipeline_spark.plans.ivm import IncrementalAggState
+    from data_hub_ejp_xml_pipeline_spark.plans.maintenance import MaintenancePolicy
+    from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
+    from data_hub_ejp_xml_pipeline_spark.streaming.tailer import ChangelogTailer
+
+    pdf = generate_changelog_pandas(
+        n_events=2_500, seed=13, replay_fraction=0.0, shuffle_window=1
+    )
+    d = str(tmp_path / "chg")
+    write_changelog_files(pdf, d, 6)
+    ivm = IncrementalAggState(spark, str(tmp_path / "ivm"),
+                              group_col="source", value_col="n_tok")
+    pipe = MergePipeline(spark, str(tmp_path / "tbl"), n_buckets=4,
+                         ivm_state=ivm)
+    policy = MaintenancePolicy(pipe.table, keep_snapshots=1, states=(ivm,))
+    tailer = ChangelogTailer(
+        spark, pipeline=pipe, maintenance=policy, maintenance_every=2
+    )
+    tailer.run_to_completion(d, str(tmp_path / "ckpt"), max_files_per_trigger=1)
+    ran = [m["maintenance"] for m in tailer.metrics if "maintenance" in m]
+    assert ran and all("ivm_totals" in p["states"] for p in ran)
+    assert any(p["states"]["ivm_totals"]["expired_manifests"] > 0 for p in ran)
+    chk = pipe.verify(deep=True)
+    assert chk["ok"], chk
+    assert_final_state_equal(
+        pipe.table.read().toPandas(), expected_final_state_pandas(pdf)
+    )
