@@ -171,3 +171,20 @@ class MultiTablePipeline:
 
     def final_state(self, table: str) -> DataFrame:
         return self.pipes[table].final_state()
+
+    def verify(self, deep: bool = False) -> dict:
+        """Routing-wide fsck: every routed table's
+        :meth:`MergePipeline.verify` (base + its sidecar states + deep
+        cross-state invariants), plus the wire DLQ's table. One call
+        covers every durable artifact the kitchen-sink epoch touches."""
+        out: dict = {
+            "tables": {t: p.verify(deep=deep) for t, p in self.pipes.items()}
+        }
+        ok = all(v["ok"] for v in out["tables"].values())
+        if self.wire_dlq is not None:
+            for name, t in self.wire_dlq.maintained_tables().items():
+                chk = t.verify(deep=deep)
+                out[f"wire_{name}"] = chk
+                ok = ok and chk["ok"]
+        out["ok"] = ok
+        return out

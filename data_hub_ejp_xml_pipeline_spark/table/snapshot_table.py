@@ -681,6 +681,35 @@ class SnapshotTable:
             *out_cols, op.alias("op"), lsn.cast("long").alias("lsn")
         )
 
+    def subscribe(self, cursor: int | None = None) -> tuple[DataFrame, int]:
+        """Cursor-style changefeed: ``(changes, next_cursor)`` — the
+        changelog from ``cursor`` (a version previously returned by this
+        method; None or -1 bootstraps from the initial empty snapshot, so
+        the first call streams the full current state as inserts) up to
+        the CURRENT version, plus the cursor to persist for the next
+        poll. Re-calling with an unadvanced cursor returns an empty frame
+        and the same cursor — a consumer loop is just
+
+        ``df, cur = t.subscribe(cur); pipe.apply(df, batch_id=...)``
+
+        with ``cur`` stored next to the consumer's own ledger. Same
+        pruning and tombstone/DML semantics as
+        :meth:`changelog_between`; a consumer replicating row-level DML
+        must apply with ``inclusive_guard=True``."""
+        v = self.current_version()
+        frm = 0 if cursor is None or cursor < 0 else cursor
+        if frm > v:
+            raise ValueError(
+                f"cursor {frm} is ahead of the table (version {v}) — it "
+                "belongs to a different table or a rolled-back clone"
+            )
+        if frm == v:  # nothing new: empty frame with the feed's schema
+            return (
+                self.changelog_between(v, v).limit(0),
+                v,
+            )
+        return self.changelog_between(frm, v), v
+
     # ---------------------------------------------------------------- write
     def _bucket_expr(self, key: str) -> F.Column:
         """bucket = pmod(murmur3(key), n) — deliberately THE SAME function

@@ -146,3 +146,46 @@ def test_replication_pipeline_applies_dml_feeds(spark, tmp_path, changelog_df):
     }
     assert replica("dst_incl", True) == src_rows
     assert replica("dst_strict", False) != src_rows
+
+
+def test_subscribe_cursor_loop(spark, tmp_path, changelog_df):
+    """subscribe() (round 6): the cursor-style consumer loop — bootstrap
+    streams the full state, each poll returns exactly the delta since the
+    stored cursor (row-level DML included), an unadvanced cursor returns
+    an empty frame, and a foreign/ahead cursor raises."""
+    src = SnapshotTable.create(
+        spark, str(tmp_path / "src"), PAYLOAD_SCHEMA, key="doc_id", n_buckets=4
+    )
+    dst = SnapshotTable.create(
+        spark, str(tmp_path / "dst"), PAYLOAD_SCHEMA, key="doc_id", n_buckets=8
+    )
+    lo, hi = changelog_df.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    src.merge(reduce_latest(changelog_df.filter(F.col("lsn") <= mid)), batch_id=0)
+
+    # bootstrap: cursor None -> full current state as inserts
+    feed, cur = src.subscribe()
+    dst.merge(reduce_latest(feed), batch_id=0, inclusive_guard=True)
+    assert _rows(dst) == _rows(src)
+    assert cur == src.current_version()
+
+    # quiet poll: nothing new, schema intact, cursor unmoved
+    empty, cur2 = src.subscribe(cur)
+    assert cur2 == cur and empty.count() == 0
+    assert set(empty.columns) >= {"doc_id", "op", "lsn"}
+
+    # advance the source: a merge AND row-level DML at unmoved LSNs
+    src.merge(reduce_latest(changelog_df.filter(F.col("lsn") > mid)), batch_id=1)
+    victim = src.read().orderBy("doc_id").first().doc_id
+    src.update_where(f"doc_id = '{victim}'", {"source": "redacted"})
+    feed, cur3 = src.subscribe(cur)
+    assert cur3 > cur
+    dst.merge(reduce_latest(feed), batch_id=1, inclusive_guard=True)
+    assert _rows(dst) == _rows(src)
+    assert {
+        r.source for r in dst.read().filter(F.col("doc_id") == victim).collect()
+    } == {"redacted"}
+
+    # a cursor from the future (wrong table / rolled-back clone) raises
+    with pytest.raises(ValueError, match="ahead"):
+        src.subscribe(cur3 + 10)

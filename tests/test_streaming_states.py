@@ -261,3 +261,9 @@ def test_production_epoch_composition_crash_restart(spark, tmp_path):
         .select("etype", "cnt", F.round("total", 6).alias("total"))
     )
     assert got == recomputed
+    # routing-wide fsck covers every durable artifact the epoch touched —
+    # incl. the resumed run's crash window
+    chk = resumed.verify(deep=True)
+    assert chk["ok"], chk
+    assert set(chk["tables"]) == {"evens", "odds"}
+    assert "wire_dlq_rejects" in chk
