@@ -347,27 +347,25 @@ def q_cdc_maintenance_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         passes.append(policy.run(watermark_lsn=min(lo + (i + 1) * step - 1, hi)))
     # big LSN-ordered epochs touch every file, so the COW rewrite keeps
     # buckets at target fan-out — growth (what compaction exists for)
-    # comes from SMALL merges. Refresh three deterministic keys at a
-    # bumped LSN with their stored payload: content is unchanged (the
-    # oracle needs no carve-out; last_lsn is deliberately not projected),
-    # files accumulate, the next policy pass compacts them away.
-    refresh = [
-        r.asDict()
-        for r in table.read()
-        .orderBy("doc_id")
-        .limit(3)
-        .select("doc_id", "final_event_type", "final_value")
-        .collect()
-    ]
-    for j, row in enumerate(refresh):
-        one = spark.createDataFrame(
-            [(hi + 1 + j, "U", row["doc_id"], row["final_event_type"],
-              row["final_value"])],
-            "lsn long, op string, doc_id string, final_event_type string,"
-            " final_value double",
-        )
-        table.merge(reduce_latest(one), batch_id=4 + j)
-        passes.append(policy.run(watermark_lsn=hi + 1 + j))
+    # comes from merges whose keys MISS every existing file's key range.
+    # Insert three synthetic keys that sort beyond every numeric doc_id
+    # ('zz-' > any digit), so their files land NEXT TO the carried ones
+    # (deterministic growth, independent of AQE partition coalescing) —
+    # then delete them, so the final state (and the oracle) is untouched:
+    # insert → compaction folds the extra file → delete → vacuum reclaims.
+    synth = [(hi + 1 + j, "U", f"zz-maint-{j}", "synthetic", 0.0)
+             for j in range(3)]
+    schema = ("lsn long, op string, doc_id string, final_event_type string,"
+              " final_value double")
+    table.merge(reduce_latest(spark.createDataFrame(synth, schema)),
+                batch_id=4)
+    passes.append(policy.run(watermark_lsn=hi + 3))
+    kill = [(hi + 11 + j, "D", f"zz-maint-{j}", None, None)
+            for j in range(3)]
+    table.merge(reduce_latest(spark.createDataFrame(kill, schema)),
+                batch_id=5)
+    passes.append(policy.run(watermark_lsn=hi + 13))
+    passes.append(policy.run(watermark_lsn=hi + 13))  # vacuum_every=2 phase
     if not any(p["compacted"] for p in passes):
         raise AssertionError("compaction never fired across the loop")
     if not any(p["vacuumed"] for p in passes):
