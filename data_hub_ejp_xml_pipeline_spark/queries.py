@@ -1897,11 +1897,20 @@ def _minhash_cte(with_recursive: bool = False) -> str:
     truth for the hash family so a tuning change cannot desynchronize the
     oracles. ``with_recursive`` lets callers append recursive CTEs."""
     mins, bands = _minhash_exprs()
-    band_joins = "\nUNION\n".join(
+    # UNION ALL + explicit outer DISTINCT, NOT a bare UNION chain: under
+    # WITH RECURSIVE, DuckDB 1.0 stops deduplicating a UNION inside a
+    # non-recursive CTE of the list (observed at sf0.1: cand 287 → 521
+    # rows), which double-counts the shingle intersection and turns the
+    # Jaccard denominator (na+nb-c) zero or negative — pairs silently
+    # vanish from the recursive clusters oracle while the plain pairs
+    # oracle stays correct. The explicit-DISTINCT form is
+    # semantics-identical in both modes.
+    band_joins = "\nUNION ALL\n".join(
         f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b "
         f"ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
         for b in range(_N_MINHASH // _BAND_SIZE)
     )
+    band_joins = f"SELECT DISTINCT doc_a, doc_b FROM (\n{band_joins}\n) u"
     head = (
         _SHINGLE_CTE.replace("WITH words", "WITH RECURSIVE words")
         if with_recursive
@@ -2458,7 +2467,7 @@ def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NEARDUP_COS_ORACLE = """
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6), 4) AS cosine
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
 FROM embeddings a, embeddings b
 WHERE a.vec_id < b.vec_id
   AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.38
@@ -2486,16 +2495,21 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     a = emb.alias("a")
     b = emb.alias("b")
-    sim6 = F.round(_cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    raw = _cosine(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            sim6.alias("sim6"),
+            raw.alias("raw"),
         )
-        .filter(F.col("sim6") >= 0.38)
-        .select("vec_a", "vec_b", F.round("sim6", 4).alias("cosine"))
+        # pair cut on round-6 (both engines agree to ~1e-9 on the raw
+        # double, so the 6dp cut is stable); the REPORTED value rounds
+        # ONCE from the raw double — round(round(x,6),4) double-rounds,
+        # and any pair whose raw sits near a 0.5e-6 boundary then flips
+        # its 4th decimal between engines (3 hits at sf0.1)
+        .filter(F.round("raw", 6) >= 0.38)
+        .select("vec_a", "vec_b", F.round("raw", 4).alias("cosine"))
     )
 
 
