@@ -126,6 +126,16 @@ class MergePipeline:
         self.placeholder = UNAVAILABLE if placeholder is None else placeholder
 
     def apply(self, changelog: DataFrame, batch_id: int | None = None) -> CommitResult:
+        # sidecar commits are queued here and executed IN ORDER on ONE side
+        # thread, overlapped with the base merge's write job; the merge's
+        # pre-commit barrier joins the thread, so every sidecar is durably
+        # committed BEFORE the base pointer advances (the crash contract:
+        # base committed ⟹ all sidecars committed; replay no-ops the
+        # ledgered side and applies the rest) while the epoch pays
+        # max(base write, sidecar work) wall clock instead of the sum
+        # (guide-§2.6 overlap: FIFO scheduling backfills straggler-idle
+        # cores with the sidecar jobs).
+        self._sidecar_jobs: list = []
         if self.dlq_state is not None:
             if batch_id is None:
                 raise ValueError(
@@ -142,7 +152,9 @@ class MergePipeline:
             )
 
             changelog, rejects = split_changelog(changelog, key=self.key)
-            self.dlq_state.apply(rejects, batch_id=batch_id)
+            self._sidecar_jobs.append(
+                lambda: self.dlq_state.apply(rejects, batch_id=batch_id)
+            )
         if self.placeholder_cols:
             from data_hub_ejp_xml_pipeline_spark.operators.partial import (
                 fill_unavailable,
@@ -177,6 +189,9 @@ class MergePipeline:
     def _apply_reduced(
         self, changelog: DataFrame, reduced: DataFrame, batch_id: int | None
     ) -> CommitResult:
+        jobs = getattr(self, "_sidecar_jobs", None)
+        if jobs is None:
+            jobs = self._sidecar_jobs = []
         if self.dedup_state is not None:
             if batch_id is None:
                 raise ValueError(
@@ -186,7 +201,11 @@ class MergePipeline:
             # fingerprint-then-reduce over the RAW batch: the dedup shuffle
             # carries (doc_id, lsn, fp, op) only — never the token payload,
             # and never a second execution of the merge's LWW reduce
-            self.dedup_state.apply_changelog(changelog, batch_id=batch_id)
+            jobs.append(
+                lambda: self.dedup_state.apply_changelog(
+                    changelog, batch_id=batch_id
+                )
+            )
         if self.ivm_state is not None or self.index_state is not None:
             if batch_id is None:
                 what = ("incremental view maintenance"
@@ -223,23 +242,29 @@ class MergePipeline:
             if both:
                 # each state runs 2 jobs over the frame; cache here so
                 # the states see it cached and skip their own persist
+                # (unpersisted after the sidecar thread is joined below)
                 aux_reduced = aux_reduced.persist()
-            try:
-                # the sidecars must mirror the base merge's guard form
-                # exactly — a replication feed's equal-LSN changes applied
-                # by the base with >= would otherwise be silently skipped
-                # here, diverging the maintained views permanently
-                if self.ivm_state is not None:
-                    self.ivm_state.apply(aux_reduced, self.table,
-                                         batch_id=batch_id,
-                                         inclusive_guard=self.inclusive_guard)
-                if self.index_state is not None:
-                    self.index_state.apply(aux_reduced, self.table,
-                                           batch_id=batch_id,
-                                           inclusive_guard=self.inclusive_guard)
-            finally:
-                if both:
-                    aux_reduced.unpersist()
+            aux = aux_reduced
+            # the sidecars must mirror the base merge's guard form
+            # exactly — a replication feed's equal-LSN changes applied
+            # by the base with >= would otherwise be silently skipped
+            # here, diverging the maintained views permanently
+            if self.ivm_state is not None:
+                jobs.append(
+                    lambda: self.ivm_state.apply(
+                        aux, self.table, batch_id=batch_id,
+                        inclusive_guard=self.inclusive_guard,
+                    )
+                )
+            if self.index_state is not None:
+                jobs.append(
+                    lambda: self.index_state.apply(
+                        aux, self.table, batch_id=batch_id,
+                        inclusive_guard=self.inclusive_guard,
+                    )
+                )
+        else:
+            both = False
         if self.scd2_state is not None:
             if batch_id is None:
                 raise ValueError(
@@ -249,26 +274,69 @@ class MergePipeline:
             # the history merge and the base merge consume the SAME
             # reduced frame; cache it so the LWW reduce still executes
             # once (Scd2State sees the cache and leaves its lifecycle to
-            # this scope). BEFORE the merge: the close-side read must
-            # observe the pre-epoch base.
+            # this scope). BEFORE the base merge COMMITS: the close-side
+            # read observes the pre-epoch base (the manifest pointer only
+            # advances after the barrier joins this job).
             reduced = reduced.persist()
-            try:
-                self.scd2_state.apply(reduced, self.table, batch_id=batch_id,
-                                      inclusive_guard=self.inclusive_guard)
-                return self.table.merge(
-                    reduced, batch_id=batch_id, stats_df=changelog,
-                    profile_mode=self.profile_mode,
+            jobs.append(
+                lambda: self.scd2_state.apply(
+                    reduced, self.table, batch_id=batch_id,
                     inclusive_guard=self.inclusive_guard,
                 )
-            finally:
-                reduced.unpersist()
+            )
+            scd2_cached = True
+        else:
+            scd2_cached = False
         # the raw batch feeds the stats/lineage job (no reduce needed there),
         # so the LWW reduce executes exactly once — in the merge-write job
         # (the dedup path above reduces its own lightweight fingerprint
         # rows, never this payload reduce)
-        return self.table.merge(reduced, batch_id=batch_id, stats_df=changelog,
-                                profile_mode=self.profile_mode,
-                                inclusive_guard=self.inclusive_guard)
+        if not jobs:
+            return self.table.merge(
+                reduced, batch_id=batch_id, stats_df=changelog,
+                profile_mode=self.profile_mode,
+                inclusive_guard=self.inclusive_guard,
+            )
+        box: dict = {}
+
+        def _run_sidecars() -> None:
+            try:
+                for job in jobs:
+                    job()
+            except BaseException as exc:  # surfaced at the barrier / below
+                box["error"] = exc
+
+        import threading
+
+        th = threading.Thread(
+            target=_run_sidecars, name="sidecar-states", daemon=True
+        )
+        th.start()
+
+        def _barrier() -> None:
+            th.join()
+            if "error" in box:
+                raise box["error"]
+
+        try:
+            result = self.table.merge(
+                reduced, batch_id=batch_id, stats_df=changelog,
+                profile_mode=self.profile_mode,
+                inclusive_guard=self.inclusive_guard,
+                pre_commit_hook=_barrier,
+            )
+        finally:
+            # merge() skips the barrier on its early no-op paths (replayed
+            # batch_id, empty batch) and on errors — the thread must be
+            # joined on every path before caches are released
+            th.join()
+            if both:
+                aux_reduced.unpersist()
+            if scd2_cached:
+                reduced.unpersist()
+        if "error" in box:
+            raise box["error"]
+        return result
 
     def final_state(self) -> DataFrame:
         return self.table.read()

@@ -3419,23 +3419,32 @@ def q_cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("val", T.DoubleType()),
         ]
     )
-    epoch1 = envelopes.filter(eid < mid)
-    epoch2 = envelopes.filter(eid >= mid)
-    root = _swept_scratch_dir("driftq") + "/tbl"
-    table = SnapshotTable.create(spark, root, base, key="doc_id", n_buckets=8)
-    table.merge(
-        reduce_latest(dbz.changelog(dbz.decode_envelopes(epoch1, base))),
-        batch_id=0,
-    )
-    if dbz.drift_columns(epoch1, base).count() != 0:
-        raise AssertionError("epoch 1 must be drift-free")
-    evolved = dbz.evolve_payload_schema(spark, epoch2, base)
-    if evolved is base:
-        raise AssertionError("epoch 2 must have drifted")
-    table.merge(
-        reduce_latest(dbz.changelog(dbz.decode_envelopes(epoch2, evolved))),
-        batch_id=1,
-    )
+    # each epoch's envelope frame feeds two consumers (merge decode +
+    # drift scan / schema evolution) — cache the rendered JSON strings so
+    # the to_json pass over the parquet scan runs once per epoch, not per
+    # consumer (the decode itself executes once per merge via the
+    # commit's own batch cache)
+    epoch1 = envelopes.filter(eid < mid).persist()
+    epoch2 = envelopes.filter(eid >= mid).persist()
+    try:
+        root = _swept_scratch_dir("driftq") + "/tbl"
+        table = SnapshotTable.create(spark, root, base, key="doc_id", n_buckets=8)
+        table.merge(
+            reduce_latest(dbz.changelog(dbz.decode_envelopes(epoch1, base))),
+            batch_id=0,
+        )
+        if dbz.drift_columns(epoch1, base).count() != 0:
+            raise AssertionError("epoch 1 must be drift-free")
+        evolved = dbz.evolve_payload_schema(spark, epoch2, base)
+        if evolved is base:
+            raise AssertionError("epoch 2 must have drifted")
+        table.merge(
+            reduce_latest(dbz.changelog(dbz.decode_envelopes(epoch2, evolved))),
+            batch_id=1,
+        )
+    finally:
+        epoch1.unpersist()
+        epoch2.unpersist()
     return table.read().select(
         "doc_id", "etype", "val", "score", F.col("_lsn").alias("last_lsn")
     )

@@ -834,6 +834,7 @@ class SnapshotTable:
         commit_retries: int = 0,
         retry_backoff_sec: float = 0.5,
         inclusive_guard: bool = False,
+        pre_commit_hook=None,
     ) -> CommitResult:
         """MERGE INTO semantics with an LSN guard:
 
@@ -892,6 +893,19 @@ class SnapshotTable:
         manifest (the LSN guard + ledger make re-application
         idempotent) and a lost attempt's data files are unreferenced
         orphans that ``expire_snapshots`` sweeps.
+
+        ``pre_commit_hook`` — called AFTER the merge's data files are
+        written but BEFORE the manifest/pointer commit; if it raises,
+        the commit is aborted (the written files are unreferenced
+        orphans ``expire_snapshots`` sweeps). This is the overlap seam
+        for sidecar states (``plans.pipeline.MergePipeline``): their
+        work runs on a second driver thread concurrently with this
+        merge's write job, and the hook joins that thread — preserving
+        the sidecar-commits-before-base-commit crash contract while the
+        epoch pays max(base write, sidecar work) wall clock instead of
+        the sum. NOTE: early no-op returns (replayed batch_id, empty
+        batch) do NOT invoke the hook — a caller owning a side thread
+        must join it after merge() returns regardless.
         """
         if validate_unique:
             key = self.manifest()["key"]
@@ -908,6 +922,7 @@ class SnapshotTable:
                     updates, operation="merge", batch_id=batch_id, merge=True,
                     op_col=op_col, lsn_col=lsn_col, stats_df=stats_df,
                     profile_mode=profile_mode, inclusive_guard=inclusive_guard,
+                    pre_commit_hook=pre_commit_hook,
                 )
             except ConcurrentCommitError:
                 if attempt >= commit_retries:
@@ -933,6 +948,7 @@ class SnapshotTable:
         profile_mode: str = "pre",
         replace: bool = False,
         inclusive_guard: bool = False,
+        pre_commit_hook=None,
     ) -> CommitResult:
         if profile_mode not in ("pre", "fused"):
             raise ValueError(f"profile_mode must be 'pre' or 'fused', got {profile_mode!r}")
@@ -942,6 +958,45 @@ class SnapshotTable:
         if applied_snap is not None:
             # exactly-once: epoch already applied → metadata no-op
             return CommitResult(applied_snap, m["version"], applied=False)
+        # Without a caller-provided stats_df the SAME ``updates`` plan feeds
+        # both the stats/lineage pre-pass and the write job — an expensive
+        # upstream (LWW reduce, JSON decode, a join pipeline) would execute
+        # TWICE per commit. Persist it across the two consumers (first
+        # action materializes, second reads the cache) unless the caller
+        # already owns a cache. Callers with a cheap raw batch pass
+        # ``stats_df`` and skip this entirely (see merge() docstring).
+        owned_cache = False
+        if stats_df is None and not (
+            updates.storageLevel.useMemory or updates.storageLevel.useDisk
+        ):
+            updates = updates.persist()
+            owned_cache = True
+        try:
+            return self._commit_inner(
+                updates, operation, batch_id, merge, op_col, lsn_col,
+                stats_df, profile_mode, replace, inclusive_guard, m, fused,
+                pre_commit_hook,
+            )
+        finally:
+            if owned_cache:
+                updates.unpersist()
+
+    def _commit_inner(
+        self,
+        updates: DataFrame,
+        operation: str,
+        batch_id: int | None,
+        merge: bool,
+        op_col: str,
+        lsn_col: str,
+        stats_df: DataFrame | None,
+        profile_mode: str,
+        replace: bool,
+        inclusive_guard: bool,
+        m: dict[str, Any],
+        fused: bool,
+        pre_commit_hook=None,
+    ) -> CommitResult:
 
         key = m["key"]
         existing_schema = T.StructType.fromJson(m["schema"])
@@ -1160,6 +1215,13 @@ class SnapshotTable:
             snap_dir, snap_rel, key, m.get("stats_cols", ())
         )
         rows_written = sum(f["rows"] for f in new_files)
+
+        if pre_commit_hook is not None:
+            # barrier: sidecar work overlapped with the write above must be
+            # durably committed before THIS table's pointer advances (a
+            # raise here leaves the written snap_dir an unreferenced orphan
+            # for expire_snapshots — never a visible snapshot)
+            pre_commit_hook()
 
         ledger, pre_versions, evicted_below = self._advance_ledger(
             m, batch_id, snapshot_id
