@@ -123,22 +123,40 @@ def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
 
 
 def _argmin_centroid(
-    vecs: DataFrame, centroids: DataFrame, id_col: str, vec_expr: str
+    vecs: DataFrame, centroids: DataFrame, id_col: str, vec_expr: str,
+    carry: str | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid: broadcast the (small)
-    centroid table, cosine against every centroid, keep rank 1 (rounded
-    sim, centroid-id tiebreak — deterministic across engines)."""
-    scored = vecs.join(F.broadcast(centroids)).select(
-        id_col,
-        "cid",
+    centroid table, cosine against every centroid, keep the best (rounded
+    sim, centroid-id tiebreak — deterministic across engines).
+
+    The argmin is a ``max_by`` HASH AGGREGATION over the ordering struct
+    ``(csim, -cid)`` — identical winner to ``row_number() OVER (ORDER BY
+    csim DESC, cid)`` rank 1, but with MAP-SIDE partial aggregation: the
+    n_centroids scored rows per vector collapse before the exchange,
+    where the previous rank window shuffled and per-key-sorted all of
+    them (a rank window does no partial aggregation — the same scale trap
+    ``_topk_per_query`` documents).
+
+    ``carry`` names a column of ``vecs`` to ride through the argmin
+    (e.g. the vector itself), so callers need no join-back against the
+    corpus to re-attach it — that join was a second full-corpus shuffle.
+    """
+    cols = [
+        F.col(id_col),
+        F.col("cid"),
         F.round(cosine(F.col(vec_expr), F.col("centroid")), 6).alias("csim"),
-    )
-    w = W.partitionBy(id_col).orderBy(F.col("csim").desc(), "cid")
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "cid")
-    )
+    ]
+    if carry is not None:
+        cols.append(F.col(carry))
+    scored = vecs.join(F.broadcast(centroids)).select(*cols)
+    val = F.struct(F.col("cid"), *([F.col(carry)] if carry else []))
+    order = F.struct(F.col("csim"), (-F.col("cid")).alias("_nc"))
+    best = scored.groupBy(id_col).agg(F.max_by(val, order).alias("_best"))
+    out = [F.col(id_col), F.col("_best.cid").alias("cid")]
+    if carry is not None:
+        out.append(F.col(f"_best.{carry}").alias(carry))
+    return best.select(*out)
 
 
 def ivf_centroids(
@@ -187,13 +205,16 @@ def ivf_centroids(
         train = emb.filter(
             sampling.md5_mod_col(id_col, sampling.SAMPLE_BASIS) < thr
         )
+    # the vector rides the argmin (carry) — no join-back against the
+    # training set, which was a second full shuffle of it
     assigned = _argmin_centroid(
-        train.select(id_col, F.col(vec_col).alias("_v")), seeds, id_col, "_v"
-    ).join(train.select(id_col, vec_col), id_col)
+        train.select(id_col, F.col(vec_col).alias("_v")), seeds, id_col, "_v",
+        carry="_v",
+    )
     # elementwise mean per cluster: posexplode → avg per (cid, pos) →
     # re-collect in position order; dims rounded so both engines agree
     dims = assigned.select(
-        "cid", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
+        "cid", F.posexplode(F.col("_v").cast("array<double>")).alias("pos", "x")
     )
     per_dim = dims.groupBy("cid", "pos").agg(F.round(F.avg("x"), 9).alias("m"))
     return per_dim.groupBy("cid").agg(
@@ -219,11 +240,17 @@ def ann_ivf(
     Approximate (recall < 1 when the true neighbor lives in an unprobed
     list). ``train_fraction`` samples the centroid TRAINING pass only —
     the inverted lists always cover the full corpus."""
+    # cents feeds TWO consumers (the list assignment and the query
+    # probes); persist so the training pipeline (hash-rank seeds + Lloyd
+    # step) executes once — it is n_centroids rows, the cache is free.
+    # The returned frame stays lazy over it; Spark storage is
+    # LRU-evictable (same session-lifetime stance as jaccard_pairs).
     cents = ivf_centroids(emb, n_centroids, id_col=id_col, vec_col=vec_col,
-                          train_fraction=train_fraction)
+                          train_fraction=train_fraction).persist()
     lists = _argmin_centroid(
-        emb.select(id_col, F.col(vec_col).alias("_v")), cents, id_col, "_v"
-    ).join(emb.select(id_col, vec_col), id_col)
+        emb.select(id_col, F.col(vec_col).alias("_v")), cents, id_col, "_v",
+        carry="_v",
+    ).select(id_col, "cid", F.col("_v").alias(vec_col))
 
     probe_scored = queries.join(F.broadcast(cents)).select(
         "query_id", "qe", "cid",

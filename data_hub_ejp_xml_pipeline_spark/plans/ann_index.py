@@ -127,19 +127,17 @@ class IvfIndexState:
         if not self.trained:
             raise RuntimeError("train() the index before applying epochs")
         cents = self.centroids.read().select("cid", "centroid")
+        # the vector rides the argmin (carry) — no join-back against the
+        # batch to re-attach it
         assigned = _argmin_centroid(
             batch.select(F.col(id_col).alias("vec_id"),
                          F.col(vec_col).alias("_v")),
-            cents, "vec_id", "_v",
-        ).join(
-            batch.select(F.col(id_col).alias("vec_id"),
-                         F.col(vec_col).alias("embedding")),
-            "vec_id",
+            cents, "vec_id", "_v", carry="_v",
         )
         rows = assigned.select(
             F.col("cid").cast("int").alias("cid"),
             F.col("vec_id").cast("string").alias("vec_id"),
-            F.col("embedding").cast("array<float>").alias("embedding"),
+            F.col("_v").cast("array<float>").alias("embedding"),
         )
         return self.lists.append(rows, batch_id=batch_id)
 

@@ -1202,9 +1202,14 @@ def q_cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the consistent snapshot at W: per-key winners over lsn <= W, live
     # rows only, each carrying its true last LSN (what a source-table
     # chunk SELECT returns under DBLog's low/high watermark fencing)
+    # the snapshot reduce feeds FOUR chunk merges — cache it so the
+    # per-key winner derivation over lsn <= W runs once, and each chunk
+    # merge is a cheap filter over the cached winners (what a real DBLog
+    # bootstrap does too: the source pays the snapshot query once and
+    # serves chunks from it)
     snapshot = reduce_latest(changelog.filter(F.col("lsn") <= w_mark)).filter(
         F.col("op") != "D"
-    )
+    ).persist()
     n_chunks = 4
     chunk_col = F.abs(F.hash("doc_id")) % n_chunks
     tail = changelog.filter(F.col("lsn") > w_mark)
@@ -1216,15 +1221,18 @@ def q_cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("chunk", 0), ("tail", 0), ("chunk", 1), ("chunk", 2),
         ("tail", 1), ("chunk", 3),
     ]
-    for kind, i in steps:
-        if kind == "chunk":
-            batch = snapshot.filter(chunk_col == i)
-            table.merge(batch, batch_id=100 + i)
-        else:
-            lo_i = w_mark + 1 if i == 0 else mid_tail + 1
-            hi_i = mid_tail if i == 0 else hi
-            batch = tail.filter((F.col("lsn") >= lo_i) & (F.col("lsn") <= hi_i))
-            table.merge(reduce_latest(batch), batch_id=200 + i)
+    try:
+        for kind, i in steps:
+            if kind == "chunk":
+                batch = snapshot.filter(chunk_col == i)
+                table.merge(batch, batch_id=100 + i)
+            else:
+                lo_i = w_mark + 1 if i == 0 else mid_tail + 1
+                hi_i = mid_tail if i == 0 else hi
+                batch = tail.filter((F.col("lsn") >= lo_i) & (F.col("lsn") <= hi_i))
+                table.merge(reduce_latest(batch), batch_id=200 + i)
+    finally:
+        snapshot.unpersist()
     return table.read().select(
         "doc_id", "final_event_type", "final_value", F.col("_lsn").alias("last_lsn")
     )
@@ -1383,41 +1391,47 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events_stream_dir(spark: SparkSession, sf_dir: str, prefix: str) -> str:
     """Materialize the events table as a 2-file, mtime-ordered parquet
-    changelog (split at the row-count median of the ts order, each half a
-    single file) so a ``maxFilesPerTrigger=1`` file-source stream replays
-    it in event-time order across two microbatches — the watermark then
-    genuinely advances mid-stream. Returns the scratch root (``chg/``
-    under it holds the files). Harness-side setup, not the measured
-    engine path: the pandas hop is bounded by the sf under test."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    changelog (file 0 = events at or before the event-time midpoint,
+    file 1 = the rest) so a ``maxFilesPerTrigger=1`` file-source stream
+    replays it in event-time order across two microbatches — the
+    watermark then genuinely advances mid-stream. Returns the scratch
+    root (``chg/`` under it holds the files).
+
+    Fully distributed (no driver toPandas hop — that single-threaded
+    collect+re-encode of the whole table dominated the fixture at
+    sf0.1): each half is a one-task coalesced Spark write renamed into
+    place. The split point is the event-TIME midpoint rather than the
+    row median; any time-ordered split yields the identical emitted
+    set — batch 2's minimum event time exceeds batch 1's watermark (no
+    late drops), and append-mode finalization depends only on the FINAL
+    watermark, which the split cannot move."""
+    import glob as _glob
+    import shutil as _shutil
 
     root = _swept_scratch_dir(prefix)
     chg = os.path.join(root, "chg")
     os.makedirs(chg)
-    pdf = (
-        _t(spark, sf_dir, "events")
-        .select(
-            F.col("event_id").alias("lsn"),
-            F.col("user_id").cast("string").alias("doc_id"),
-            F.col("event_type").alias("source"),
-            F.col("ts").alias("event_ts"),
-        )
-        .orderBy("event_ts", "lsn")
-        .toPandas()
+    sel = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("lsn"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_type").alias("source"),
+        F.col("ts").alias("event_ts"),
     )
-    half = len(pdf) // 2
-    for i, chunk in enumerate((pdf.iloc[:half], pdf.iloc[half:])):
+    lo, hi = sel.agg(F.min("event_ts"), F.max("event_ts")).first()
+    boundary = lo + (hi - lo) / 2
+    halves = (
+        sel.filter(F.col("event_ts") <= F.lit(boundary)),
+        sel.filter(F.col("event_ts") > F.lit(boundary)),
+    )
+    for i, part in enumerate(halves):
+        tmp = os.path.join(root, f"_half{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        files = sorted(_glob.glob(os.path.join(tmp, "part-*.parquet")))
+        if len(files) != 1:  # coalesce(1) = one task = one file
+            raise AssertionError(f"expected one file in {tmp}, got {files}")
         path = os.path.join(chg, f"part-{i}.parquet")
-        tbl = pa.Table.from_pandas(chunk, preserve_index=False)
-        # pandas hands arrow ns-unit timestamps; Spark's TIMESTAMP reader
-        # wants us — cast at write
-        tbl = tbl.set_column(
-            tbl.schema.get_field_index("event_ts"),
-            "event_ts",
-            tbl.column("event_ts").cast(pa.timestamp("us")),
-        )
-        pq.write_table(tbl, path)
+        os.replace(files[0], path)
+        _shutil.rmtree(tmp, ignore_errors=True)
         # file-source arrival order is mtime order — pin it
         os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
     return root
