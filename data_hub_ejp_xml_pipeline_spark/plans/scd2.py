@@ -237,13 +237,26 @@ class Scd2State:
         # close: the replaced LIVE row, interval sealed at the new lsn.
         # Tombstoned old rows have _old_live = false — their close
         # happened in the epoch that processed the delete. Equal-LSN
-        # winners (inclusive mode only) close nothing: the open version
-        # at that LSN is rewritten in place by the opens side below
-        # (same surrogate), never sealed into an empty [lsn, lsn)
-        # interval that would collide with it.
-        close = joined.filter(
-            (F.col("_old_live") == F.lit(True)) & (new_lsn > old_lsn)
-        ).select(
+        # UPSERT winners (inclusive mode only) close nothing: the open
+        # version at that LSN is rewritten in place by the opens side
+        # below (same surrogate). An equal-LSN DELETE winner (a
+        # replication feed's rendering of delete_where — the tombstone
+        # keeps the row's LSN) opens nothing, so the in-place rewrite
+        # must come from THIS side: the open version at that LSN is
+        # rewritten as closed at its own LSN (same surrogate,
+        # is_current = false, the deliberately-empty [lsn, lsn)
+        # interval — the FINAL state at that LSN excludes the row, and
+        # an as-of read at it must agree with the base). Without it the
+        # base tombstones the row while the history's open version
+        # stays current forever.
+        seal = (F.col("_old_live") == F.lit(True)) & (new_lsn > old_lsn)
+        if inclusive_guard:
+            seal = seal | (
+                (F.col("_old_live") == F.lit(True))
+                & (new_lsn == old_lsn)
+                & (F.col(op_col) == F.lit("D"))
+            )
+        close = joined.filter(seal).select(
             _surrogate(kc, F.col("_old_lsn")).alias(_SK_COL),
             kc.alias(key),
             F.col("_old_lsn").alias("valid_from_lsn"),

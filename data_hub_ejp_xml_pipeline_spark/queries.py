@@ -52,6 +52,59 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _parquet_int_bounds(sf_dir: str, table: str, col: str):
+    """Exact (min, max) of an integer column off the parquet footer
+    row-group statistics — the pure-metadata read behind every fixture's
+    epoch split, with no Spark job (guide §6: make the file metadata do
+    the work). Integer parquet statistics are exact (binary stats can be
+    truncated; ints never are). Returns None when any row group lacks
+    usable stats — callers fall back to the aggregation."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    paths = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    )
+    if not paths:
+        return None
+    lo = hi = None
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        names = list(md.schema.names)
+        if col not in names:
+            return None
+        idx = names.index(col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    if isinstance(lo, bool) or not isinstance(lo, int):
+        return None
+    if isinstance(hi, bool) or not isinstance(hi, int):
+        return None
+    return lo, hi
+
+
+def _event_id_bounds(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(min, max) of ``events.event_id`` — footer stats, Spark-agg
+    fallback. Every cdc_* fixture derives its epoch split from these two
+    numbers; the values are identical either way (the changelog's ``lsn``
+    IS ``event_id``), only the job disappears."""
+    b = _parquet_int_bounds(sf_dir, "events", "event_id")
+    if b is None:
+        r = _t(spark, sf_dir, "events").agg(
+            F.min("event_id"), F.max("event_id")
+        ).first()
+        b = (r[0], r[1])
+    return b
+
+
 # =====================================================================
 # CDC core (events table: event_id ≈ lsn, user_id ≈ doc_id,
 # event_type='error' plays the delete op)
@@ -224,7 +277,7 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = _swept_scratch_dir("cdcdiff") + "/tbl"
     table = SnapshotTable.create(spark, root, payload, key="doc_id", n_buckets=8)
-    lo, hi = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    lo, hi = _event_id_bounds(spark, sf_dir)
     mid = (lo + hi) // 2
     table.merge(reduce_latest(changelog.filter(F.col("lsn") <= mid)), batch_id=0)
     v1 = table.current_version()
@@ -271,8 +324,7 @@ def q_cdc_engine_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never a LIVE concurrent process's.
     root = _swept_scratch_dir("cdcq") + "/tbl"
     table = SnapshotTable.create(spark, root, payload, key="doc_id", n_buckets=8)
-    bounds = changelog.agg(F.min("lsn"), F.max("lsn")).first()
-    lo, hi = bounds[0], bounds[1]
+    lo, hi = _event_id_bounds(spark, sf_dir)
     step = max((hi - lo + 1) // 3 + 1, 1)
     for i in range(3):
         batch = changelog.filter(
@@ -335,7 +387,7 @@ def q_cdc_maintenance_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         table, max_files_per_bucket=1, keep_snapshots=2,
         vacuum_slack_lsn=0, vacuum_every=2,
     )
-    lo, hi = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    lo, hi = _event_id_bounds(spark, sf_dir)
     step = max((hi - lo + 1) // 4 + 1, 1)
     passes = []
     for i in range(4):
@@ -422,7 +474,7 @@ def q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = _swept_scratch_dir("cdclkp") + "/tbl"
     table = SnapshotTable.create(spark, root, payload, key="doc_id", n_buckets=8)
-    lo, hi = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    lo, hi = _event_id_bounds(spark, sf_dir)
     mid = (lo + hi) // 2
     table.merge(reduce_latest(changelog.filter(F.col("lsn") <= mid)), batch_id=0)
     table.merge(reduce_latest(changelog.filter(F.col("lsn") > mid)), batch_id=1)
@@ -509,7 +561,7 @@ def q_cdc_dlq_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe = MergePipeline(spark, root + "/tbl", n_buckets=8,
                          payload_schema=_DLQ_PAYLOAD_SCHEMA(), dlq_state=dlq)
     ev = _t(spark, sf_dir, "events")
-    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = _event_id_bounds(spark, sf_dir)
     mid = (lo + hi) // 2
     pipe.apply(
         dirty.filter(F.col("lsn").isNull() | (F.col("lsn") <= mid)), batch_id=0
@@ -546,7 +598,7 @@ def q_cdc_dlq_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe = MergePipeline(spark, root + "/tbl", n_buckets=8,
                          payload_schema=_DLQ_PAYLOAD_SCHEMA(), dlq_state=dlq)
     ev = _t(spark, sf_dir, "events")
-    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = _event_id_bounds(spark, sf_dir)
     mid = (lo + hi) // 2
     pipe.apply(
         dirty.filter(F.col("lsn").isNull() | (F.col("lsn") <= mid)), batch_id=0
@@ -599,7 +651,7 @@ def _secidx_pipeline(spark: SparkSession, sf_dir: str, tag: str):
                               index_col="final_event_type", n_buckets=8)
     pipe = MergePipeline(spark, root + "/tbl", n_buckets=8,
                          payload_schema=payload, index_state=idx)
-    lo, hi = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    lo, hi = _event_id_bounds(spark, sf_dir)
     mid = (lo + hi) // 2
     pipe.apply(changelog.filter(F.col("lsn") <= mid), batch_id=0)
     pipe.apply(changelog.filter(F.col("lsn") > mid), batch_id=1)
@@ -680,7 +732,7 @@ def q_cdc_zone_map_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, root, payload, key="doc_id", n_buckets=8,
         files_per_bucket=4, stats_cols=["final_value"],
     )
-    lo, hi = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    lo, hi = _event_id_bounds(spark, sf_dir)
     mid = (lo + hi) // 2
     table.merge(reduce_latest(changelog.filter(F.col("lsn") <= mid)), batch_id=0)
     table.merge(reduce_latest(changelog.filter(F.col("lsn") > mid)), batch_id=1)
@@ -735,8 +787,7 @@ def q_cdc_mor_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe = MorPipeline(
         spark, root, key="doc_id", n_buckets=8, k_compact=2, payload_schema=payload
     )
-    bounds = changelog.agg(F.min("lsn"), F.max("lsn")).first()
-    lo, hi = bounds[0], bounds[1]
+    lo, hi = _event_id_bounds(spark, sf_dir)
     step = max((hi - lo + 1) // 3 + 1, 1)
     for i in range(3):
         batch = changelog.filter(
@@ -778,8 +829,7 @@ def q_cdc_mor_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe = MorPipeline(
         spark, root, key="doc_id", n_buckets=8, k_compact=2, payload_schema=payload
     )
-    bounds = changelog.agg(F.min("lsn"), F.max("lsn")).first()
-    lo, hi = bounds[0], bounds[1]
+    lo, hi = _event_id_bounds(spark, sf_dir)
     step = max((hi - lo + 1) // 3 + 1, 1)
     for i in range(3):
         batch = changelog.filter(
@@ -854,7 +904,7 @@ def q_cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = _swept_scratch_dir("cdcfeed") + "/tbl"
     table = SnapshotTable.create(spark, root, payload, key="doc_id", n_buckets=8)
-    lo, hi = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    lo, hi = _event_id_bounds(spark, sf_dir)
     mid = (lo + hi) // 2
     table.merge(reduce_latest(changelog.filter(F.col("lsn") <= mid)), batch_id=0)
     v1 = table.current_version()
@@ -917,8 +967,7 @@ def q_ivm_group_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, root + "/tbl", key="doc_id", n_buckets=8,
         payload_schema=payload, ivm_state=ivm,
     )
-    bounds = changelog.agg(F.min("lsn"), F.max("lsn")).first()
-    lo, hi = bounds[0], bounds[1]
+    lo, hi = _event_id_bounds(spark, sf_dir)
     step = max((hi - lo + 1) // 3 + 1, 1)
     for i in range(3):
         batch = changelog.filter(
@@ -1003,8 +1052,7 @@ def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, root + "/tbl", key="doc_id", n_buckets=8,
         payload_schema=payload, scd2_state=scd2,
     )
-    bounds = changelog.agg(F.min("lsn"), F.max("lsn")).first()
-    lo, hi = bounds[0], bounds[1]
+    lo, hi = _event_id_bounds(spark, sf_dir)
     step = max((hi - lo + 1) // 3 + 1, 1)
     for i in range(3):
         batch = changelog.filter(
@@ -1081,7 +1129,7 @@ def q_cdc_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, root + "/tbl", key="doc_id", n_buckets=8,
         payload_schema=payload, scd2_state=scd2,
     )
-    lo, hi = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    lo, hi = _event_id_bounds(spark, sf_dir)
     step = max((hi - lo + 1) // 3 + 1, 1)
     for i in range(3):
         batch = changelog.filter(
@@ -1133,7 +1181,7 @@ def q_cdc_txn_atomic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_hub_ejp_xml_pipeline_spark.operators.txn import complete_transactions
 
     ev = _t(spark, sf_dir, "events")
-    hi = ev.agg(F.max("event_id")).first()[0]
+    hi = _event_id_bounds(spark, sf_dir)[1]
     observed = ev.filter(f"NOT {_LOSS_SQL}").withColumn(
         "txn_id", (F.col("event_id") / 16).cast("long")
     ).withColumn(
@@ -1197,7 +1245,7 @@ def q_cdc_snapshot_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("final_value", T.DoubleType()),
         ]
     )
-    lo, hi = changelog.agg(F.min("lsn"), F.max("lsn")).first()
+    lo, hi = _event_id_bounds(spark, sf_dir)
     w_mark = (lo + hi) // 2
     # the consistent snapshot at W: per-key winners over lsn <= W, live
     # rows only, each carrying its true last LSN (what a source-table
@@ -3329,8 +3377,7 @@ def _dml_base_table(spark: SparkSession, sf_dir: str, prefix: str):
     )
     root = _swept_scratch_dir(prefix) + "/tbl"
     table = SnapshotTable.create(spark, root, payload, key="doc_id", n_buckets=8)
-    bounds = changelog.agg(F.min("lsn"), F.max("lsn")).first()
-    lo, hi = bounds[0], bounds[1]
+    lo, hi = _event_id_bounds(spark, sf_dir)
     step = max((hi - lo + 1) // 2 + 1, 1)
     for i in range(2):
         batch = changelog.filter(
@@ -3404,7 +3451,7 @@ def q_cdc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
 
     ev = _t(spark, sf_dir, "events")
-    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = _event_id_bounds(spark, sf_dir)
     mid = (hi + 1) // 2
     eid = F.col("event_id")
     is_err = F.col("event_type") == "error"
@@ -3527,8 +3574,7 @@ def q_cdc_multi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe = MultiTablePipeline(
         spark, root, {"evens": schema, "odds": schema}, n_buckets=4
     )
-    bounds = envelopes.agg(F.min("event_id"), F.max("event_id")).first()
-    lo, hi = bounds[0], bounds[1]
+    lo, hi = _event_id_bounds(spark, sf_dir)
     step = max((hi - lo + 1) // 2 + 1, 1)
     for i in range(2):
         batch = envelopes.filter(
@@ -3645,7 +3691,7 @@ def q_cdc_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_hub_ejp_xml_pipeline_spark.plans.scd2 import Scd2State
 
     ev = _t(spark, sf_dir, "events")
-    lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+    lo, hi = _event_id_bounds(spark, sf_dir)
     step = max((hi - lo + 1) // 2 + 1, 1)
     drift_at = lo + step
     eid = F.col("event_id")
@@ -3782,8 +3828,7 @@ def q_partial_update_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_schema=payload,
         placeholder_cols=["a", "b"],
     )
-    bounds = changelog.agg(F.min("lsn"), F.max("lsn")).first()
-    lo, hi = bounds[0], bounds[1]
+    lo, hi = _event_id_bounds(spark, sf_dir)
     step = max((hi - lo + 1) // 3 + 1, 1)
     for i in range(3):
         batch = changelog.filter(

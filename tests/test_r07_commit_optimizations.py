@@ -193,3 +193,69 @@ def test_sidecar_pipeline_overlap_equivalence(spark, tmp_path):
     )
     assert pipe.table.current_version() == v_base
     assert scd2.history.current_version() == v_hist
+
+
+def test_scd2_equal_lsn_delete_replication(spark, tmp_path, changelog_df):
+    """ADVICE(high) r7 fix: a replication feed's equal-LSN DELETE winner
+    (the source ran delete_where — the tombstone keeps the row's LSN)
+    must close the SCD2 open version in place; previously the base
+    tombstoned the row while the history's open version stayed
+    is_current forever."""
+    from data_hub_ejp_xml_pipeline_spark.operators.lww import reduce_latest
+    from data_hub_ejp_xml_pipeline_spark.plans.pipeline import MergePipeline
+    from data_hub_ejp_xml_pipeline_spark.plans.scd2 import Scd2State
+    from data_hub_ejp_xml_pipeline_spark.schemas import TARGET_SCHEMA
+    from data_hub_ejp_xml_pipeline_spark.table import SnapshotTable
+
+    payload = T.StructType(
+        [f for f in TARGET_SCHEMA.fields if f.name != "_lsn"]
+    )
+    src = SnapshotTable.create(
+        spark, str(tmp_path / "src"), payload, key="doc_id", n_buckets=4
+    )
+    src.merge(reduce_latest(changelog_df), batch_id=0)
+    v1 = src.current_version()
+    # row-level DELETE on the source: tombstones keep their _lsn, so the
+    # changefeed renders them as op='D' at the UNCHANGED LSN
+    src.delete_where("n_tok < 10")
+
+    scd2 = Scd2State(spark, str(tmp_path / "scd2"), payload, n_buckets=4)
+    pipe = MergePipeline(
+        spark, str(tmp_path / "dst"), key="doc_id", n_buckets=4,
+        payload_schema=payload, scd2_state=scd2, inclusive_guard=True,
+    )
+    pipe.apply(src.changelog_between(0, v1), batch_id=0)
+    feed2 = src.changelog_between(v1)
+    # the scenario must actually occur: equal-LSN deletes in the feed
+    assert feed2.filter(F.col("op") == "D").count() > 0
+    pipe.apply(feed2, batch_id=1)
+
+    # history's open versions mirror the base's live rows exactly
+    current = {
+        (r.doc_id, r.valid_from_lsn)
+        for r in scd2.read_current().select("doc_id", "valid_from_lsn").collect()
+    }
+    base = {
+        (r.doc_id, r._lsn)
+        for r in pipe.table.read().select("doc_id", "_lsn").collect()
+    }
+    assert current == base
+    # every deleted key's version is rewritten closed at its own LSN
+    # (deliberately-empty [lsn, lsn) interval: the final state AT that
+    # LSN excludes the row) — none left open
+    deleted_keys = {
+        r.doc_id for r in feed2.filter(F.col("op") == "D").collect()
+    }
+    closed = scd2.read_history().filter(
+        ~F.col("is_current")
+        & (F.col("valid_to_lsn") == F.col("valid_from_lsn"))
+    )
+    assert {r.doc_id for r in closed.collect()} >= deleted_keys
+    # cross-state fsck agrees
+    chk = pipe.verify(deep=True)
+    assert chk["ok"], chk
+    # replaying both feed windows no-ops everywhere (ledger)
+    v_hist = scd2.history.current_version()
+    pipe.apply(src.changelog_between(0, v1), batch_id=0)
+    pipe.apply(src.changelog_between(v1), batch_id=1)
+    assert scd2.history.current_version() == v_hist
