@@ -30,6 +30,8 @@ SHIFT_COLS = {
     "orders": ["o_orderkey", "o_custkey"],
     "lineitem": ["l_orderkey"],
     "customer": ["c_custkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 COPY_AS_IS = ["region", "nation", "supplier", "part"]
 
